@@ -1,0 +1,221 @@
+"""S1-S4: sources and sinks (SURVEY.md §2.2).
+
+TableFormat (SURVEY.md §7 risk register): on a real cluster the tiers live in
+Iceberg (`df.writeTo(t).overwritePartitions()`, time-travel via
+`option('snapshot-id', ...)`). This sandbox has no Iceberg jar and no
+network, so :class:`ParquetManifestFormat` supplies the same four-method
+contract over parquet + a JSON manifest that carries snapshot semantics:
+
+  - every commit gets a monotone snapshot id;
+  - a snapshot maps each partition (part_hash) to the data directory that
+    last overwrote it, so overwrite-by-partition and read-at-snapshot behave
+    like Iceberg partition overwrites + time travel;
+  - manifest replace is atomic (os.replace), and data directories are
+    immutable once written — a reader never sees a half-written snapshot.
+
+Swapping in Iceberg on a cluster touches only this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.schema import TOKENS_SCHEMA, assert_tokens_schema
+from engine.skew import with_part_hash
+
+
+def scan_tokens(spark: SparkSession, path: str) -> DataFrame:
+    """S1: read the token table and fail fast on schema drift (B:15).
+
+    Reads the file's OWN schema (parquet footer only — cheap) and validates
+    it; imposing TOKENS_SCHEMA on the reader would silently coerce or mask a
+    drifted file instead of failing fast (caught by the round-1 verify run).
+    """
+    df = spark.read.parquet(path)
+    assert_tokens_schema(df)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# S4: deterministic synthetic token table (FIXTURES.md F1).
+#
+# Every column is a pure function of the row id — xxhash64, never rand(seed)
+# (seeded rand is partition-count-dependent; hash-of-id is not), so the same
+# (n_docs, seed) always yields byte-identical data at any parallelism.
+# ---------------------------------------------------------------------------
+
+_SOURCES = ["cc", "cc", "cc", "cc", "cc", "cc", "cc", "wiki", "books", "code", "news"]
+_EDGE_LENGTHS = [0, 1, 29, 30, 97, 512]  # w=30 edge cases (FIXTURES.md F1)
+
+
+def synth_tokens(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    n_tok: int | None = None,
+    gap_pct: int = 3,
+    spike_per_mille: int = 2,
+) -> DataFrame:
+    """S4: generate the B:15 token table, deterministic at any parallelism.
+
+    ``n_tok=None`` mixes edge lengths with a 4096 bulk (parity tests);
+    a fixed ``n_tok`` makes uniform-length bench inputs. Values are
+    U(0,50000) via hash-of-(id,t); ~``gap_pct``% slots are null (gaps);
+    ~``spike_per_mille``/1000 positions get +10σ spikes (≈ +144000) so
+    detect() has true positives (FIXTURES.md F1).
+    """
+
+    def h(*cols):
+        return F.xxhash64(*cols, F.lit(seed))
+
+    base = spark.range(n_docs).withColumnRenamed("id", "i")
+    if n_tok is None:
+        # ~30% edge lengths, rest 4096.
+        pick = F.pmod(h(F.col("i"), F.lit("len")), F.lit(100))
+        length = F.when(pick < 5, F.lit(_EDGE_LENGTHS[0]))
+        for j, el in enumerate(_EDGE_LENGTHS[1:], start=1):
+            length = length.when(pick < 5 * (j + 1), F.lit(el))
+        length = length.otherwise(F.lit(4096))
+    else:
+        length = F.lit(int(n_tok))
+
+    i = F.col("i")
+
+    def token_at(t):
+        val = F.pmod(h(i, t, F.lit("v")), F.lit(50000)).cast("int")
+        spike = F.pmod(h(i, t, F.lit("spike")), F.lit(1000)) < spike_per_mille
+        gap = F.pmod(h(i, t, F.lit("gap")), F.lit(100)) < gap_pct
+        return F.when(gap, F.lit(None).cast("int")).otherwise(
+            F.when(spike, val + F.lit(144340)).otherwise(val)
+        )
+
+    # sequence(0, -1) would yield [0, -1] (Spark infers a negative step), so
+    # length==0 must short-circuit to an explicit empty array.
+    tokens = F.when(length == 0, F.array().cast("array<int>")).otherwise(
+        F.transform(F.sequence(F.lit(0), length - 1), token_at)
+    )
+
+    out = base.select(
+        F.format_string("doc_%08d", F.col("i").cast("int")).alias("doc_id"),
+        tokens.alias("tokens"),
+        length.cast("int").alias("n_tok"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _SOURCES]),
+            (F.pmod(h(i, F.lit("src")), F.lit(len(_SOURCES))) + 1).cast("int"),
+        ).alias("source"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# S2/S3: TableFormat shim.
+# ---------------------------------------------------------------------------
+
+
+class ParquetManifestFormat:
+    """Sandbox stand-in for Iceberg partition overwrites + time travel."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- manifest helpers ---------------------------------------------------
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table, "manifest.json")
+
+    def _load(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {"current": 0, "snapshots": {"0": {"partitions": {}}}}
+        with open(p) as f:
+            return json.load(f)
+
+    def _store(self, table: str, manifest: dict) -> None:
+        d = os.path.join(self.warehouse, table)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table))  # atomic commit point
+
+    # -- the 4-method contract (SURVEY.md §7) -------------------------------
+    def current_snapshot(self, table: str) -> int:
+        return int(self._load(table)["current"])
+
+    def overwrite_partitions(self, df: DataFrame, table: str) -> int:
+        """S2: atomically replace exactly the partitions present in *df*.
+
+        *df* must carry a ``part_hash`` column (K1). Data lands in an
+        immutable per-snapshot directory first; the manifest swap is the
+        commit point, exactly the Iceberg commit ordering the lineage
+        protocol (L1) relies on.
+        """
+        if "part_hash" not in df.columns:
+            raise ValueError("overwrite_partitions requires a part_hash column (K1)")
+        manifest = self._load(table)
+        snap_id = int(manifest["current"]) + 1
+        data_dir = os.path.join(self.warehouse, table, f"snap-{snap_id}")
+        df.write.partitionBy("part_hash").mode("errorifexists").parquet(data_dir)
+        written = [
+            int(name.split("=", 1)[1])
+            for name in os.listdir(data_dir)
+            if name.startswith("part_hash=")
+        ]
+        parts = dict(manifest["snapshots"][str(manifest["current"])]["partitions"])
+        for h in written:
+            parts[str(h)] = data_dir
+        manifest["snapshots"][str(snap_id)] = {
+            "partitions": parts,
+            "committed_at_unix": time.time(),
+        }
+        manifest["current"] = snap_id
+        self._store(table, manifest)
+        return snap_id
+
+    def read_at(self, table: str, snapshot_id: int) -> DataFrame:
+        """S3: time-travel read of one snapshot."""
+        manifest = self._load(table)
+        snap = manifest["snapshots"].get(str(snapshot_id))
+        if snap is None:
+            raise ValueError(f"{table}: no snapshot {snapshot_id}")
+        paths = sorted(
+            {
+                os.path.join(d, f"part_hash={h}")
+                for h, d in snap["partitions"].items()
+            }
+        )
+        if not paths:
+            raise ValueError(f"{table}@{snapshot_id} is empty")
+        base = os.path.join(self.warehouse, table)
+        return self.spark.read.option("basePath", base).parquet(*paths)
+
+    def read(self, table: str) -> DataFrame:
+        return self.read_at(table, self.current_snapshot(table))
+
+
+def write_tier(
+    fmt: ParquetManifestFormat, df: DataFrame, tier: str, n_buckets: int | None = None
+) -> int:
+    """S2 wrapper: attach part_hash if absent and commit one rollup tier."""
+    if "part_hash" not in df.columns:
+        from engine.schema import DEFAULT_N_BUCKETS
+
+        df = with_part_hash(df, n_buckets or DEFAULT_N_BUCKETS)
+    return fmt.overwrite_partitions(df, f"rollup_{tier}")
+
+
+def scan_tier(
+    fmt: ParquetManifestFormat, tier: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """S3 wrapper."""
+    table = f"rollup_{tier}"
+    if snapshot_id is None:
+        return fmt.read(table)
+    return fmt.read_at(table, snapshot_id)

@@ -1,0 +1,63 @@
+"""SparkSession factory with the K3 tuning profile (SURVEY.md §2.6).
+
+All engine jobs and tests go through :func:`get_spark` so the conf profile is
+recorded in one place and the bench can report it (BASELINE.md protocol #4).
+
+Scale notes (designed for a 1000-executor cluster, tested on local[N]):
+  - AQE on (default in Spark 4.x, pinned anyway) + skew-join splitting +
+    partition coalescing: runtime re-planning replaces hand-tuned shuffle
+    partition counts at 100 TB.
+  - ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; AQE
+    coalesces below it. On a real cluster set it ~2-3x total cores.
+  - Arrow execution on: C1-C3 compression kernels move rows executor->Python
+    as Arrow batches, never pickled rows (BASELINE.json:15 "no per-row
+    Python").
+  - Session timezone pinned UTC so bucket_ts is deterministic everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ts-rollup-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
+    real cluster it is left unset so spark-submit supplies it.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Cap Arrow batch size so grouped-map compression kernels (C1-C3)
+        # never materialize unbounded pandas frames per call (SURVEY.md §4
+        # spill row): a (doc_id, bucket) group is <= 86400 points anyway.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
