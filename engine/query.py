@@ -1,0 +1,122 @@
+"""Q1-Q4: the downsample read path (SURVEY.md §2.8; BASELINE.json:6
+"answers downsample queries (resolution pick, tier fallback, anomaly-flag
+filter) as pure DataFrame/SQL operators with no per-row Python").
+
+Everything here returns an UNEXECUTED DataFrame — the caller picks the
+action. No Python kernels anywhere on this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.io import ParquetManifestFormat, scan_tier
+from engine.lineage import committed_partitions
+from engine.rollup import cascade
+from engine.schema import DEFAULT_N_BUCKETS, TIER_ORDER, TIER_SECONDS
+
+
+def resolution_pick(resolution_seconds: int) -> str:
+    """Q1: coarsest tier whose bucket width still divides the requested
+    resolution — driver-side dict lookup, no data touched. Resolutions finer
+    than 60 s must be served from raw points (caller's choice); we return
+    '1m' and let the caller decide, matching 'serve the finest materialized
+    tier' semantics."""
+    best = "1m"
+    for tier in TIER_ORDER:  # finest -> coarsest
+        if TIER_SECONDS[tier] <= resolution_seconds:
+            best = tier
+    return best
+
+
+def anomaly_filter(rollup: DataFrame) -> DataFrame:
+    """Q3: only buckets containing at least one flagged point."""
+    return rollup.where(F.col("anom_cnt") > 0)
+
+
+def range_filter(rollup: DataFrame, tier: str, t0: int | None, t1: int | None) -> DataFrame:
+    """Q4: positional time-range slice [t0, t1) in raw steps. The predicate
+    is on the bucket column — sargable, so it prunes row groups (and, with
+    bucket-range partitioning on a cluster, whole partitions)."""
+    b = TIER_SECONDS[tier]
+    out = rollup
+    if t0 is not None:
+        out = out.where(F.col("bucket") >= t0 // b)
+    if t1 is not None:
+        out = out.where(F.col("bucket") <= (t1 - 1) // b)
+    return out
+
+
+def tier_fallback(
+    spark: SparkSession,
+    fmt: ParquetManifestFormat,
+    tier: str,
+    checkpoint_epoch: int,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Q2: serve a tier from committed partitions, filling holes on the fly
+    by cascading the next finer committed tier.
+
+    The committed set comes from lineage (the only source of truth — data
+    files without lineage rows are invisible, see engine/lineage.py state
+    machine). The lineage table is tiny: the partition sets are computed
+    driver-side and pushed into IN-list filters, which prune part_hash
+    partitions on the scan.
+    """
+    done = committed_partitions(fmt.warehouse, tier, checkpoint_epoch)
+    holes = [p for p in range(n_buckets) if p not in done]
+    parts: list[DataFrame] = []
+    if done:
+        parts.append(
+            scan_tier(fmt, tier).where(F.col("part_hash").isin([int(p) for p in done]))
+        )
+    if holes:
+        idx = TIER_ORDER.index(tier)
+        if idx == 0:
+            raise ValueError(
+                f"tier {tier} has uncommitted partitions {holes[:5]}... and no finer tier to fall back to"
+            )
+        finer = TIER_ORDER[idx - 1]
+        finer_done = committed_partitions(fmt.warehouse, finer, checkpoint_epoch)
+        missing = [p for p in holes if p not in finer_done]
+        if missing:
+            raise ValueError(
+                f"partitions {missing[:5]}... committed in neither {tier} nor {finer}"
+            )
+        fine_df = scan_tier(fmt, finer).where(F.col("part_hash").isin(holes))
+        on_the_fly = cascade(fine_df.drop("part_hash"), finer, tier)
+        from engine.skew import with_part_hash
+
+        parts.append(with_part_hash(on_the_fly, n_buckets))
+    if not parts:
+        raise ValueError(f"tier {tier}: nothing committed for epoch {checkpoint_epoch}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def downsample(
+    spark: SparkSession,
+    fmt: ParquetManifestFormat,
+    checkpoint_epoch: int,
+    doc_ids: list[str] | None = None,
+    t0: int | None = None,
+    t1: int | None = None,
+    resolution_seconds: int = 3600,
+    anomalies_only: bool = False,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """Q1+Q2+Q3+Q4 composed: the engine's flagship read query."""
+    tier = resolution_pick(resolution_seconds)
+    df = tier_fallback(spark, fmt, tier, checkpoint_epoch, n_buckets)
+    df = range_filter(df, tier, t0, t1)
+    if doc_ids:
+        df = df.where(F.col("doc_id").isin(doc_ids))
+    if anomalies_only:
+        df = anomaly_filter(df)
+    return df.select(
+        "doc_id", "bucket", "bucket_ts", "cnt", "vmin", "vmax", "vsum",
+        "vmean", "anom_cnt", "first_v", "last_v",
+    )

@@ -1,0 +1,159 @@
+"""The build path (SURVEY.md §3.1): raw tokens -> detect -> 1m -> 1h -> 1d,
+with per-partition lineage commits and kill-safe resume.
+
+Run (sandbox):
+    python jobs/rollup.py --tokens /tmp/tokens --warehouse /tmp/wh --epoch 1
+Run (cluster):
+    spark-submit --py-files engine.zip jobs/rollup.py --tokens <iceberg-or-path> ...
+
+Resume: re-running the same command after a kill skips every partition with
+a lineage row for (tier, epoch) and recomputes only the rest — see the state
+machine in engine/lineage.py. `--stop-after-tier` exists purely to let the
+fault-injection test simulate a mid-job kill.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from engine.io import ParquetManifestFormat, scan_tokens, synth_tokens
+from engine.lineage import lineage_record, partition_stats_from_rollup, pending_partitions
+from engine.rollup import cascade, rollup_from_points
+from engine.schema import DEFAULT_K, DEFAULT_N_BUCKETS, DEFAULT_WINDOW, TIER_ORDER
+from engine.series import explode_series, gap_fill
+from engine.session import get_spark
+from engine.skew import with_part_hash
+from engine.stats import detect
+
+
+def run_rollup(
+    spark,
+    tokens_df,
+    warehouse: str,
+    epoch: int,
+    w: int = DEFAULT_WINDOW,
+    k: float = DEFAULT_K,
+    policy: str = "ffill",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    tiers: list[str] | None = None,
+    stop_after_tier: str | None = None,
+    input_snapshot_id: int = 0,
+) -> dict:
+    """Run (or resume) the full cascade for one checkpoint epoch.
+
+    Returns per-tier metrics {tier: {partitions, out_rows, seconds}} (L3).
+    """
+    fmt = ParquetManifestFormat(spark, warehouse)
+    tiers = tiers or TIER_ORDER
+    metrics: dict = {}
+
+    for tier in tiers:
+        t_start = time.monotonic()
+        pending = pending_partitions(warehouse, tier, epoch, n_buckets)
+        if not pending:
+            metrics[tier] = {"partitions": 0, "out_rows": 0, "seconds": 0.0, "skipped": True}
+            continue
+        pending_set = [int(p) for p in pending]
+        if tier == "1m":
+            # Resume filter applied BEFORE the heavy work: part_hash is a
+            # pure function of doc_id, so pruning the token table up front
+            # skips explode/gap-fill/stats for committed partitions entirely
+            # (on Iceberg with bucket(N, doc_id) this is partition pruning).
+            toks = with_part_hash(tokens_df, n_buckets)
+            if len(pending_set) < n_buckets:
+                toks = toks.where(F.col("part_hash").isin(pending_set))
+            # One doc_id-keyed shuffle serves explode -> gap-fill -> stats ->
+            # rollup (window partition key == groupBy prefix, SURVEY.md §3.1).
+            points = gap_fill(explode_series(toks.drop("part_hash")), policy)
+            flagged = detect(points, w, k)
+            tier_df = with_part_hash(rollup_from_points(flagged, "1m"), n_buckets)
+            snapshot_for_lineage = input_snapshot_id
+        else:
+            finer = TIER_ORDER[TIER_ORDER.index(tier) - 1]
+            fine_snapshot = fmt.current_snapshot(f"rollup_{finer}")
+            # part_hash partition pruning on the fine-tier scan
+            fine_df = fmt.read(f"rollup_{finer}").where(
+                F.col("part_hash").isin(pending_set)
+            )
+            tier_df = with_part_hash(
+                cascade(fine_df.drop("part_hash"), finer, tier), n_buckets
+            )
+            snapshot_for_lineage = fine_snapshot
+
+        # (A) data commit — atomic manifest swap inside
+        fmt.overwrite_partitions(tier_df, f"rollup_{tier}")
+        # (L3) per-partition counts from the written tier (cheap re-read of
+        # the just-written parquet, no recompute of the pipeline)
+        written = fmt.read(f"rollup_{tier}").where(F.col("part_hash").isin(pending_set))
+        stats = partition_stats_from_rollup(written)
+        # Partitions attempted but empty (no doc hashes into them at this
+        # input size) are COMPLETE, not pending — record them with 0 rows or
+        # resume would recompute them forever.
+        seen = {s["part_hash"] for s in stats}
+        stats += [
+            {"part_hash": p, "out_rows": 0, "in_rows": 0}
+            for p in pending_set
+            if p not in seen
+        ]
+        # (B) lineage commit — readers now see these partitions
+        lineage_record(warehouse, tier, stats, snapshot_for_lineage, epoch)
+
+        metrics[tier] = {
+            "partitions": len(stats),
+            "out_rows": int(sum(s["out_rows"] for s in stats)),
+            "seconds": round(time.monotonic() - t_start, 3),
+            "skipped": False,
+        }
+        if stop_after_tier == tier:
+            break
+    return metrics
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tokens", help="path to token parquet (or use --synth-docs)")
+    ap.add_argument("--synth-docs", type=int, help="generate N synthetic docs instead")
+    ap.add_argument("--synth-len", type=int, default=None)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--epoch", type=int, default=1)
+    ap.add_argument("--w", type=int, default=DEFAULT_WINDOW)
+    ap.add_argument("--k", type=float, default=DEFAULT_K)
+    ap.add_argument("--policy", default="ffill")
+    ap.add_argument("--n-buckets", type=int, default=DEFAULT_N_BUCKETS)
+    ap.add_argument("--tiers", default=",".join(TIER_ORDER))
+    ap.add_argument("--stop-after-tier", default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="rollup-job", master=args.master)
+    if args.synth_docs:
+        tokens = synth_tokens(spark, args.synth_docs, n_tok=args.synth_len)
+    elif args.tokens:
+        tokens = scan_tokens(spark, args.tokens)
+    else:
+        ap.error("one of --tokens / --synth-docs is required")
+    metrics = run_rollup(
+        spark,
+        tokens,
+        args.warehouse,
+        args.epoch,
+        w=args.w,
+        k=args.k,
+        policy=args.policy,
+        n_buckets=args.n_buckets,
+        tiers=args.tiers.split(","),
+        stop_after_tier=args.stop_after_tier,
+    )
+    for tier, m in metrics.items():
+        print(f"tier={tier} {m}")
+
+
+if __name__ == "__main__":
+    main()

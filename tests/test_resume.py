@@ -1,0 +1,138 @@
+"""Fault-injection resume tests (SURVEY.md §5.4) + downsample read path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.io import ParquetManifestFormat, synth_tokens, write_tier
+from engine.lineage import committed_partitions, pending_partitions, read_lineage
+from engine.query import anomaly_filter, downsample, resolution_pick, tier_fallback
+from engine.schema import DEFAULT_N_BUCKETS
+from jobs.rollup import run_rollup
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def small_tokens(spark):
+    return synth_tokens(spark, N_DOCS, seed=42).cache()
+
+
+def _table_rows(fmt: ParquetManifestFormat, tier: str):
+    df = fmt.read(f"rollup_{tier}").drop("part_hash")
+    return sorted(
+        tuple(r) for r in df.select(
+            "doc_id", "bucket", "cnt", "vmin", "vmax", "vsum", "anom_cnt",
+            "first_v", "last_v",
+        ).collect()
+    )
+
+
+def test_resume_after_kill_equals_clean_run(spark, small_tokens, tmp_path):
+    clean_wh = str(tmp_path / "clean")
+    killed_wh = str(tmp_path / "killed")
+
+    m_clean = run_rollup(spark, small_tokens, clean_wh, epoch=1)
+    assert all(not m["skipped"] for m in m_clean.values())
+
+    # simulated kill after the 1m tier commit
+    m1 = run_rollup(spark, small_tokens, killed_wh, epoch=1, stop_after_tier="1m")
+    assert set(k for k, m in m1.items() if not m.get("skipped")) == {"1m"}
+    assert pending_partitions(killed_wh, "1h", 1) == list(range(DEFAULT_N_BUCKETS))
+
+    # resume: 1m must be skipped entirely (zero recomputation), 1h/1d run
+    m2 = run_rollup(spark, small_tokens, killed_wh, epoch=1)
+    assert m2["1m"]["skipped"] is True and m2["1m"]["partitions"] == 0
+    assert not m2["1h"]["skipped"] and not m2["1d"]["skipped"]
+
+    fmt_c = ParquetManifestFormat(spark, clean_wh)
+    fmt_k = ParquetManifestFormat(spark, killed_wh)
+    for tier in ("1m", "1h", "1d"):
+        assert _table_rows(fmt_c, tier) == _table_rows(fmt_k, tier), tier
+
+
+def test_crash_between_data_and_lineage_is_recomputed(spark, small_tokens, tmp_path):
+    """DIRTY partitions (data written, no lineage row) must be invisible to
+    readers and idempotently overwritten on resume."""
+    wh = str(tmp_path / "dirty")
+    fmt = ParquetManifestFormat(spark, wh)
+    # simulate: a previous attempt wrote garbage 1m data but died before the
+    # lineage append
+    from engine.rollup import rollup_from_points
+    from engine.series import explode_series, gap_fill
+    from engine.stats import detect
+
+    garbage = rollup_from_points(
+        detect(gap_fill(explode_series(small_tokens.limit(3)))), "1m"
+    ).withColumn("cnt", F.lit(-999).cast("long"))
+    write_tier(fmt, garbage, "1m")
+    assert committed_partitions(wh, "1m", 1) == set()  # invisible to readers
+
+    run_rollup(spark, small_tokens, wh, epoch=1)
+    bad = fmt.read("rollup_1m").where("cnt = -999").count()
+    assert bad == 0, "dirty partition survived resume"
+
+
+def test_tier_fallback_serves_holes_from_finer_tier(spark, small_tokens, tmp_path):
+    wh = str(tmp_path / "fallback")
+    # commit 1m fully, then 1h only for half the partitions
+    run_rollup(spark, small_tokens, wh, epoch=1, stop_after_tier="1m")
+    fmt = ParquetManifestFormat(spark, wh)
+
+    # commit 1h for partitions < 32 only (simulate partial 1h job)
+    from engine.lineage import lineage_record, partition_stats_from_rollup
+    from engine.rollup import cascade
+    from engine.skew import with_part_hash
+
+    fine = fmt.read("rollup_1m").where("part_hash < 32")
+    half = with_part_hash(cascade(fine.drop("part_hash"), "1m", "1h"))
+    fmt.overwrite_partitions(half, "rollup_1h")
+    lineage_record(wh, "1h", partition_stats_from_rollup(half), 1, 1)
+
+    served = tier_fallback(spark, fmt, "1h", 1)
+    # fallback result must equal the full 1h cascade
+    full = cascade(fmt.read("rollup_1m").drop("part_hash"), "1m", "1h")
+    cols = ["doc_id", "bucket", "cnt", "vmin", "vmax", "vsum", "anom_cnt"]
+    a, b = served.select(cols), full.select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_downsample_flagship(spark, small_tokens, tmp_path):
+    wh = str(tmp_path / "ds")
+    run_rollup(spark, small_tokens, wh, epoch=1)
+    fmt = ParquetManifestFormat(spark, wh)
+
+    assert resolution_pick(60) == "1m"
+    assert resolution_pick(3600) == "1h"
+    assert resolution_pick(7200) == "1h"
+    assert resolution_pick(86400) == "1d"
+    assert resolution_pick(30) == "1m"
+
+    df = downsample(
+        spark, fmt, checkpoint_epoch=1, t0=0, t1=3600, resolution_seconds=60,
+        anomalies_only=True,
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["anom_cnt"] > 0 for r in rows)
+    assert all(0 <= r["bucket"] <= 59 for r in rows)
+
+    # read path must be UDF-free / pure Catalyst (B:6): no BatchEvalPython
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lineage_metrics_queryable(spark, small_tokens, tmp_path):
+    wh = str(tmp_path / "lin")
+    run_rollup(spark, small_tokens, wh, epoch=1)
+    lin = read_lineage(spark, wh)
+    per_tier = {
+        r["tier"]: r for r in lin.groupBy("tier").agg(
+            F.count("*").alias("parts"), F.sum("out_rows").alias("rows")
+        ).collect()
+    }
+    assert set(per_tier) == {"1m", "1h", "1d"}
+    fmt = ParquetManifestFormat(spark, wh)
+    for tier in ("1m", "1h", "1d"):
+        assert per_tier[tier]["rows"] == fmt.read(f"rollup_{tier}").count()
