@@ -1,0 +1,119 @@
+"""Local replay of the driver's __spark_entry__ correctness gate.
+
+Runs every queries()[name] on Spark and oracle_sql()[name] on DuckDB over
+the same sf dir, then compares row count, sorted column names, and the
+order-insensitive multiset of row values (floats exact — both sides are
+expected to round explicitly; see __spark_entry__ float policy).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import duckdb  # noqa: E402
+
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(x):
+    if x is None:
+        return None
+    if isinstance(x, bool):
+        return bool(x)
+    if isinstance(x, float):
+        if math.isnan(x):
+            return "NaN"
+        return float(x)
+    if isinstance(x, int):
+        return float(x) if abs(x) < 2**52 else x
+    return str(x)
+
+
+def _norm_rows(rows):
+    return sorted(
+        [tuple(_norm_cell(c) for c in row) for row in rows],
+        key=lambda r: tuple((v is None, str(type(v)), str(v)) for v in r),
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from engine.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"{name:28s} ROWS-ONLY rows={n}")
+            except Exception as e:
+                failures += 1
+                print(f"{name:28s} SPARK-ERROR {e}")
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sorted(sdf.columns)
+            srows = [
+                tuple(row[c] for c in scols) for row in sdf.collect()
+            ]
+        except Exception as e:
+            failures += 1
+            print(f"{name:28s} SPARK-ERROR {type(e).__name__}: {str(e)[:160]}")
+            continue
+        try:
+            res = con.execute(sql)
+            dcols_raw = [d[0] for d in res.description]
+            drows_raw = res.fetchall()
+            dorder = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+            dcols = [dcols_raw[i] for i in dorder]
+            drows = [tuple(row[i] for i in dorder) for row in drows_raw]
+        except Exception as e:
+            failures += 1
+            print(f"{name:28s} DUCKDB-ERROR {type(e).__name__}: {str(e)[:160]}")
+            continue
+        if scols != dcols:
+            failures += 1
+            print(f"{name:28s} COLS-MISMATCH spark={scols} duckdb={dcols}")
+            continue
+        if len(srows) != len(drows):
+            failures += 1
+            print(f"{name:28s} ROWCOUNT spark={len(srows)} duckdb={len(drows)}")
+            continue
+        a, b = _norm_rows(srows), _norm_rows(drows)
+        if a != b:
+            failures += 1
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"{name:28s} VALUES-MISMATCH {len([1 for x, y in zip(a, b) if x != y])} rows, e.g. {diff}")
+            continue
+        print(f"{name:28s} OK rows={len(srows)} cols={scols}")
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
