@@ -1,0 +1,297 @@
+"""C1-C3: delta-of-delta timestamp + Gorilla XOR value compression
+(SURVEY.md §2.5; BASELINE.json:6 "delta-of-delta timestamp and Gorilla XOR
+value compression inside vectorized Arrow UDFs").
+
+Scheme follows the public Gorilla design (Pelkonen et al., "Gorilla: A
+Fast, Scalable, In-Memory Time Series Database", VLDB 2015), adapted to
+positional token streams:
+
+  - One frame compresses the NON-NULL (t, v) points of one (doc_id, bucket)
+    group, t ascending. Nulls are simply absent points — the t delta stream
+    encodes the gap, so no presence bitmap is needed.
+  - ts_dod frame:  u32 n | t0 as 64 bits | per point: dod = d_i - d_{i-1}
+    (d_0 := 0) encoded with the paper's bucket prefixes
+        '0'                      dod == 0
+        '10'   + 7  bits         dod in [-63, 64]       (stored dod+63)
+        '110'  + 9  bits         dod in [-255, 256]     (stored dod+255)
+        '1110' + 12 bits         dod in [-2047, 2048]   (stored dod+2047)
+        '1111' + 64 bits         otherwise (two's complement)
+    Gap-filled series have d == 1 everywhere, so after the first two points
+    every timestamp costs 1 bit.
+  - v_gorilla frame: u32 n | v0 as 64 bits | per point: x = u64(v) XOR
+    u64(prev):
+        '0'                      x == 0
+        '10' + meaningful bits   x fits the previous (leading, length) block
+        '11' + 6 bits leading + 6 bits (length-1) + meaningful bits
+    (6-bit fields, not the paper's 5/6: our values are 64-bit lanes.)
+
+This module is THE single implementation: engine/oracle.py and the Spark
+``applyInPandas`` kernels both call compress/decompress below, so the
+roundtrip property (decompress(compress(x)) == x, §5.3) is tested once and
+holds everywhere. These are the only Python kernels in the engine, and they
+are Arrow-vectorized per group (BASELINE.json:15 "no per-row Python" — the
+arithmetic is NumPy; only the final bit-packing walks a precomputed array).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, bit_offset: int = 0) -> None:
+        self.data = data
+        self.pos = bit_offset
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        pos = self.pos
+        remaining = nbits
+        while remaining:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, remaining)
+            shift = avail - take
+            out = (out << take) | ((byte >> shift) & ((1 << take) - 1))
+            pos += take
+            remaining -= take
+        self.pos = pos
+        return out
+
+
+def _to_signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+# ---------------------------------------------------------------------------
+# C1: delta-of-delta timestamps
+# ---------------------------------------------------------------------------
+
+_DOD_BUCKETS = ((64, 63, 7, 0b10, 2), (256, 255, 9, 0b110, 3), (2048, 2047, 12, 0b1110, 4))
+
+
+def dod_compress(ts: np.ndarray) -> bytes:
+    """C1 kernel: int64 timestamps (ascending) -> frame bytes."""
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    w = _BitWriter()
+    w.write(n, 32)
+    if n == 0:
+        return w.bytes()
+    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
+    if n == 1:
+        return w.bytes()
+    deltas = np.diff(ts)
+    dods = np.empty(n - 1, dtype=np.int64)
+    dods[0] = deltas[0]  # d_0 := 0
+    dods[1:] = np.diff(deltas)
+    for dod in dods.tolist():
+        if dod == 0:
+            w.write(0, 1)
+            continue
+        for hi, off, nbits, prefix, plen in _DOD_BUCKETS:
+            if -hi + 1 <= dod <= hi:
+                w.write(prefix, plen)
+                w.write(dod + off, nbits)
+                break
+        else:
+            w.write(0b1111, 4)
+            w.write(dod & ((1 << 64) - 1), 64)
+    return w.bytes()
+
+
+def dod_decompress(frame: bytes) -> np.ndarray:
+    """C3 inverse of dod_compress."""
+    r = _BitReader(frame)
+    n = r.read(32)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    t = _to_signed64(r.read(64))
+    out[0] = t
+    delta = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            dod = 0
+        else:
+            if r.read(1) == 0:
+                dod = r.read(7) - 63
+            elif r.read(1) == 0:
+                dod = r.read(9) - 255
+            elif r.read(1) == 0:
+                dod = r.read(12) - 2047
+            else:
+                dod = _to_signed64(r.read(64))
+        delta += dod
+        t += delta
+        out[i] = t
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C2: Gorilla XOR values
+# ---------------------------------------------------------------------------
+
+
+def _clz64(x: int) -> int:
+    return 64 - x.bit_length() if x else 64
+
+
+def _ctz64(x: int) -> int:
+    return (x & -x).bit_length() - 1 if x else 64
+
+
+def gorilla_compress(vs: np.ndarray) -> bytes:
+    """C2 kernel: int64 values -> frame bytes (XOR chain on u64 lanes)."""
+    vs = np.asarray(vs, dtype=np.int64)
+    n = len(vs)
+    w = _BitWriter()
+    w.write(n, 32)
+    if n == 0:
+        return w.bytes()
+    u = vs.view(np.uint64)
+    w.write(int(u[0]), 64)
+    xors = (u[1:] ^ u[:-1]).tolist() if n > 1 else []
+    lead_prev, len_prev = -1, -1
+    for x in xors:
+        if x == 0:
+            w.write(0, 1)
+            continue
+        lead, trail = _clz64(x), _ctz64(x)
+        if (
+            lead_prev >= 0
+            and lead >= lead_prev
+            and trail >= 64 - lead_prev - len_prev
+        ):
+            w.write(0b10, 2)
+            w.write(x >> (64 - lead_prev - len_prev), len_prev)
+        else:
+            mlen = 64 - lead - trail
+            w.write(0b11, 2)
+            w.write(lead, 6)
+            w.write(mlen - 1, 6)
+            w.write(x >> trail, mlen)
+            lead_prev, len_prev = lead, mlen
+    return w.bytes()
+
+
+def gorilla_decompress(frame: bytes) -> np.ndarray:
+    """C3 inverse of gorilla_compress."""
+    r = _BitReader(frame)
+    n = r.read(32)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.int64)
+    cur = r.read(64)
+    out[0] = cur
+    lead_prev, len_prev = -1, -1
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out[i] = cur
+            continue
+        if r.read(1) == 0:
+            meaningful = r.read(len_prev)
+            x = meaningful << (64 - lead_prev - len_prev)
+        else:
+            lead = r.read(6)
+            mlen = r.read(6) + 1
+            meaningful = r.read(mlen)
+            x = meaningful << (64 - lead - mlen)
+            lead_prev, len_prev = lead, mlen
+        cur ^= x
+        out[i] = cur
+    return out.view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Spark integration (the only applyInPandas in the engine)
+# ---------------------------------------------------------------------------
+
+
+def attach_compression(rollup_df, flagged_points, tier: str):
+    """Join ts_dod / v_gorilla payloads (computed per (doc_id, bucket) from
+    the raw points) onto a rollup tier. Grouped-map Arrow UDF: each group is
+    <= bucket-width points (86400 worst case for 1d — bounded, SURVEY.md §4
+    spill row), shipped as one Arrow batch.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine.schema import TIER_SECONDS
+
+    b = TIER_SECONDS[tier]
+
+    def compress_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        mask = pdf["v"].notna()
+        ts = pdf.loc[mask, "t"].to_numpy(dtype=np.int64)
+        vs = pdf.loc[mask, "v"].to_numpy(dtype=np.float64).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": [pdf["doc_id"].iloc[0]],
+                "bucket": [pdf["bucket"].iloc[0]],
+                "ts_dod": [dod_compress(ts)],
+                "v_gorilla": [gorilla_compress(vs)],
+            }
+        )
+
+    pts = flagged_points.withColumn("bucket", F.expr(f"t DIV {b}")).select(
+        "doc_id", "bucket", "t", "v"
+    )
+    payloads = pts.groupBy("doc_id", "bucket").applyInPandas(
+        compress_group,
+        schema="doc_id string, bucket long, ts_dod binary, v_gorilla binary",
+    )
+    return rollup_df.join(payloads, ["doc_id", "bucket"], "left")
+
+
+def decompress_columns(compressed_df):
+    """C3 as a scalar Arrow UDF: (ts_dod, v_gorilla) -> point arrays."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType
+
+    # lambdas, not annotated defs: `from __future__ import annotations` turns
+    # hints into strings pyspark cannot resolve inside a nested scope
+    _ts = F.pandas_udf(
+        lambda frames: frames.map(
+            lambda b: dod_decompress(bytes(b)).tolist() if b is not None else None
+        ),
+        ArrayType(LongType()),
+    )
+    _vs = F.pandas_udf(
+        lambda frames: frames.map(
+            lambda b: gorilla_decompress(bytes(b)).tolist() if b is not None else None
+        ),
+        ArrayType(LongType()),
+    )
+
+    return compressed_df.withColumn("ts_points", _ts("ts_dod")).withColumn(
+        "v_points", _vs("v_gorilla")
+    )

@@ -93,7 +93,9 @@ def tier_fallback(
         raise ValueError(f"tier {tier}: nothing committed for epoch {checkpoint_epoch}")
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # on-the-fly cascades carry no ts_dod/v_gorilla payload columns —
+        # they backfill as NULL (frames cannot be merged by re-aggregation)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 

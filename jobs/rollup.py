@@ -45,6 +45,7 @@ def run_rollup(
     tiers: list[str] | None = None,
     stop_after_tier: str | None = None,
     input_snapshot_id: int = 0,
+    compress: bool = True,
 ) -> dict:
     """Run (or resume) the full cascade for one checkpoint epoch.
 
@@ -73,7 +74,16 @@ def run_rollup(
             # rollup (window partition key == groupBy prefix, SURVEY.md §3.1).
             points = gap_fill(explode_series(toks.drop("part_hash")), policy)
             flagged = detect(points, w, k)
-            tier_df = with_part_hash(rollup_from_points(flagged, "1m"), n_buckets)
+            tier_df = rollup_from_points(flagged, "1m")
+            if compress:
+                from engine.compression import attach_compression
+
+                tier_df = attach_compression(tier_df, flagged, "1m")
+            else:
+                tier_df = tier_df.withColumn(
+                    "ts_dod", F.lit(None).cast("binary")
+                ).withColumn("v_gorilla", F.lit(None).cast("binary"))
+            tier_df = with_part_hash(tier_df, n_buckets)
             snapshot_for_lineage = input_snapshot_id
         else:
             finer = TIER_ORDER[TIER_ORDER.index(tier) - 1]
@@ -82,9 +92,12 @@ def run_rollup(
             fine_df = fmt.read(f"rollup_{finer}").where(
                 F.col("part_hash").isin(pending_set)
             )
-            tier_df = with_part_hash(
-                cascade(fine_df.drop("part_hash"), finer, tier), n_buckets
+            coarse = cascade(
+                fine_df.drop("part_hash", "ts_dod", "v_gorilla"), finer, tier
+            ).withColumn("ts_dod", F.lit(None).cast("binary")).withColumn(
+                "v_gorilla", F.lit(None).cast("binary")
             )
+            tier_df = with_part_hash(coarse, n_buckets)
             snapshot_for_lineage = fine_snapshot
 
         # (A) data commit — atomic manifest swap inside
@@ -129,6 +142,8 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=DEFAULT_N_BUCKETS)
     ap.add_argument("--tiers", default=",".join(TIER_ORDER))
     ap.add_argument("--stop-after-tier", default=None)
+    ap.add_argument("--no-compress", action="store_true",
+                    help="skip C1/C2 payloads on the 1m tier")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -150,6 +165,7 @@ def main() -> None:
         n_buckets=args.n_buckets,
         tiers=args.tiers.split(","),
         stop_after_tier=args.stop_after_tier,
+        compress=not args.no_compress,
     )
     for tier, m in metrics.items():
         print(f"tier={tier} {m}")

@@ -1,0 +1,96 @@
+"""C1-C3 roundtrip/property tests (SURVEY.md §5.3) + Spark integration."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.compression import (
+    dod_compress,
+    dod_decompress,
+    gorilla_compress,
+    gorilla_decompress,
+)
+
+I32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+
+@given(st.lists(I32, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_gorilla_roundtrip(vals):
+    arr = np.array(vals, dtype=np.int64)
+    assert gorilla_decompress(gorilla_compress(arr)).tolist() == vals
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_dod_roundtrip_arbitrary(ts):
+    ts = sorted(ts)
+    arr = np.array(ts, dtype=np.int64)
+    assert dod_decompress(dod_compress(arr)).tolist() == ts
+
+
+def test_dod_dense_series_compresses_to_about_one_bit():
+    """Gap-filled dense positions: after the first two points every
+    timestamp must cost ~1 bit (the whole point of delta-of-delta)."""
+    ts = np.arange(10_000, dtype=np.int64)
+    frame = dod_compress(ts)
+    # 4B header + 8B t0 + ~2B for the first dod + n/8 bytes of '0' bits
+    assert len(frame) < 4 + 8 + 2 + 10_000 // 8 + 2
+    assert dod_decompress(frame).tolist() == ts.tolist()
+
+
+def test_gorilla_constant_series_one_bit_per_point():
+    vs = np.full(10_000, 123456, dtype=np.int64)
+    frame = gorilla_compress(vs)
+    assert len(frame) < 4 + 8 + 10_000 // 8 + 2
+    assert gorilla_decompress(frame).tolist() == vs.tolist()
+
+
+def test_empty_and_singleton():
+    for arr in ([], [42], [-(2**31)], [2**31 - 1]):
+        a = np.array(arr, dtype=np.int64)
+        assert gorilla_decompress(gorilla_compress(a)).tolist() == arr
+        assert dod_decompress(dod_compress(np.abs(a))).tolist() == np.abs(a).tolist()
+
+
+def test_spark_attach_and_decompress_roundtrip(spark, tokens_df, token_rows):
+    """End-to-end: compress per (doc_id, 1m bucket) via applyInPandas, read
+    payloads back with the scalar Arrow UDF, compare against the raw
+    non-null points — token-array equality (B:15)."""
+    from pyspark.sql import functions as F
+
+    from engine.compression import attach_compression, decompress_columns
+    from engine.rollup import rollup_from_points
+    from engine.series import explode_series, gap_fill
+    from engine.stats import detect
+
+    flagged = detect(gap_fill(explode_series(tokens_df), "ffill"))
+    r1m = rollup_from_points(flagged, "1m")
+    with_payloads = attach_compression(r1m, flagged, "1m")
+    decoded = decompress_columns(with_payloads).select(
+        "doc_id", "bucket", "cnt", "ts_points", "v_points"
+    )
+    rows = decoded.collect()
+    assert len(rows) > 0
+
+    # expected: non-null (t, v) per (doc_id, bucket) from the oracle side
+    from engine import oracle
+
+    expected = {}
+    for row in token_rows:
+        filled = oracle.gap_fill_series(row["tokens"], "ffill")
+        for t, v in enumerate(filled):
+            key = (row["doc_id"], t // 60)
+            expected.setdefault(key, [])  # all-null buckets: empty frame
+            if v is not None:
+                expected[key].append((t, v))
+
+    for r in rows:
+        key = (r["doc_id"], r["bucket"])
+        want = expected.get(key, [])
+        assert len(r["ts_points"]) == r["cnt"] == len(want), key
+        got = list(zip(r["ts_points"], r["v_points"]))
+        assert got == want, f"{key}: decompressed points differ"
+    assert set(expected) == {(r["doc_id"], r["bucket"]) for r in rows}
