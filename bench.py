@@ -1,0 +1,119 @@
+"""Per-round bench (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the token-pipeline throughput probe.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "pipeline_tokens_per_sec": ...}
+
+Timing: actions are forced with the noop sink (all compute, no sink I/O);
+one untimed global warmup amortizes JIT/codegen. The deeper scaling
+evidence (local[8] vs local[32]) lives in tools/bench_scaling.py ->
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "rolling_mean",
+    "anomaly_score",
+    "detect",
+    "rollup_minute",
+    "cascade_hour",
+    "pricing_summary",
+    "top_customers",
+    "rank_orders",
+    "order_gaps",
+    "doc_fingerprint",
+    "quality_score",
+    "embedding_topk",
+]
+
+PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000"))
+PIPELINE_LEN = int(os.environ.get("SPARK_GRAFT_BENCH_LEN", "4096"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+
+    import __spark_entry__ as entrymod
+    from engine.io import scan_tokens, synth_tokens
+    from engine.session import get_spark
+    from jobs.rollup import run_rollup
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    def force(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    qs = entrymod.queries()
+
+    # global warmup: touch every table + JIT the window/agg/join paths once
+    force(qs["rolling_mean"](spark, sf_dir))
+    force(qs["pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # token pipeline probe: synth (untimed, cached to parquet) -> full
+    # raw->1m->1h->1d rollup incl compression payloads
+    tok_path = f"/tmp/bench_tokens-{PIPELINE_DOCS}x{PIPELINE_LEN}"
+    if not os.path.exists(os.path.join(tok_path, "_SUCCESS")):
+        synth_tokens(spark, PIPELINE_DOCS, n_tok=PIPELINE_LEN).write.mode(
+            "overwrite"
+        ).parquet(tok_path)
+    tokens = scan_tokens(spark, tok_path)
+    # warm the pipeline path untimed at FULL size (Python workers, Arrow,
+    # codegen and page cache spin up once per JVM — one-time cost a
+    # long-running production job pays once; a small warmup input measured
+    # 5x noisier results)
+    shutil.rmtree("/tmp/bench_wh_warm", ignore_errors=True)
+    run_rollup(spark, tokens, "/tmp/bench_wh_warm", epoch=1, compress=True)
+    shutil.rmtree("/tmp/bench_wh_warm", ignore_errors=True)
+
+    wh = "/tmp/bench_wh"
+    shutil.rmtree(wh, ignore_errors=True)
+    t0 = time.monotonic()
+    run_rollup(spark, tokens, wh, epoch=1, compress=True)
+    pipeline_sec = round(time.monotonic() - t0, 3)
+    shutil.rmtree(wh, ignore_errors=True)
+    timings["token_pipeline"] = pipeline_sec
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_plus_pipeline_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "pipeline_tokens_per_sec": round(PIPELINE_DOCS * PIPELINE_LEN / pipeline_sec),
+        "pipeline_tokens": PIPELINE_DOCS * PIPELINE_LEN,
+        "cores": cpus,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

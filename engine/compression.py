@@ -234,11 +234,40 @@ def gorilla_decompress(frame: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _compress_batch_groups(pdf, out_rows: list) -> None:
+    """Split one sorted pandas batch into (doc_id, bucket) runs with NumPy
+    boundary detection and compress each run — no per-group DataFrame
+    construction (the per-group overhead of applyInPandas measured ~1 ms;
+    this path is ~30x cheaper per group)."""
+    doc = pdf["doc_id"].to_numpy()
+    buck = pdf["bucket"].to_numpy()
+    t = pdf["t"].to_numpy(dtype=np.int64)
+    v = pdf["v"].to_numpy(dtype=np.float64)  # NaN = null
+    change = np.flatnonzero((doc[1:] != doc[:-1]) | (buck[1:] != buck[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(pdf)]))
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        vv = v[s:e]
+        mask = ~np.isnan(vv)
+        out_rows.append(
+            (
+                doc[s],
+                int(buck[s]),
+                dod_compress(t[s:e][mask]),
+                gorilla_compress(vv[mask].astype(np.int64)),
+            )
+        )
+
+
 def attach_compression(rollup_df, flagged_points, tier: str):
     """Join ts_dod / v_gorilla payloads (computed per (doc_id, bucket) from
-    the raw points) onto a rollup tier. Grouped-map Arrow UDF: each group is
-    <= bucket-width points (86400 worst case for 1d — bounded, SURVEY.md §4
-    spill row), shipped as one Arrow batch.
+    the raw points) onto a rollup tier.
+
+    Arrow path: mapInPandas over doc_id-co-partitioned, (doc_id, bucket, t)-
+    sorted batches — one Python call per Arrow batch (~100k rows), not per
+    group, with a carry buffer for groups spanning batch boundaries. Each
+    group is <= bucket-width points (86400 worst case for 1d — bounded,
+    SURVEY.md §4 spill row).
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -247,28 +276,160 @@ def attach_compression(rollup_df, flagged_points, tier: str):
 
     b = TIER_SECONDS[tier]
 
-    def compress_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
-        mask = pdf["v"].notna()
-        ts = pdf.loc[mask, "t"].to_numpy(dtype=np.int64)
-        vs = pdf.loc[mask, "v"].to_numpy(dtype=np.float64).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "doc_id": [pdf["doc_id"].iloc[0]],
-                "bucket": [pdf["bucket"].iloc[0]],
-                "ts_dod": [dod_compress(ts)],
-                "v_gorilla": [gorilla_compress(vs)],
-            }
-        )
+    def compress_partition(batches):
+        carry = None
+        rows: list = []
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the trailing group — it may continue in the next batch
+            doc = pdf["doc_id"].to_numpy()
+            buck = pdf["bucket"].to_numpy()
+            last_change = np.flatnonzero(
+                (doc[1:] != doc[:-1]) | (buck[1:] != buck[:-1])
+            )
+            if len(last_change) == 0:
+                carry = pdf
+                continue
+            cut = int(last_change[-1]) + 1
+            _compress_batch_groups(pdf.iloc[:cut], rows)
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "bucket", "ts_dod", "v_gorilla"]
+                )
+                rows = []
+        if carry is not None and len(carry):
+            _compress_batch_groups(carry, rows)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "bucket", "ts_dod", "v_gorilla"]
+            )
 
-    pts = flagged_points.withColumn("bucket", F.expr(f"t DIV {b}")).select(
-        "doc_id", "bucket", "t", "v"
+    pts = (
+        flagged_points.withColumn("bucket", F.expr(f"t DIV {b}"))
+        .select("doc_id", "bucket", "t", "v")
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id", "bucket", "t")
     )
-    payloads = pts.groupBy("doc_id", "bucket").applyInPandas(
-        compress_group,
+    payloads = pts.mapInPandas(
+        compress_partition,
         schema="doc_id string, bucket long, ts_dod binary, v_gorilla binary",
     )
     return rollup_df.join(payloads, ["doc_id", "bucket"], "left")
+
+
+def rollup_1m_with_payloads(flagged_points, tier: str = "1m", presorted: bool = True):
+    """Fused A1+C1+C2: one mapInPandas pass emits the FULL rollup row —
+    aggregates and compression payloads together.
+
+    Why fused: the compression kernels need one Python pass over every
+    point anyway; computing the (doc_id, bucket) aggregates inside the same
+    pass costs a few NumPy reductions per group, while the alternative
+    (Catalyst rollup JOIN mapInPandas payloads) executes the upstream
+    explode+window pipeline TWICE (once per join branch) plus a join
+    shuffle. At 100 TB that is the difference between one scan and two.
+
+    Aggregate float policy matches engine/rollup.py exactly: vsum is an
+    exact int64 sum, vmean = double(vsum)/cnt — bit-identical to the
+    Catalyst path and the oracle (pinned by test_fused_rollup_matches_catalyst).
+
+    Ordering contract: the input must be hash(doc_id)-partitioned and
+    sorted by (doc_id, t) within partitions. detect()'s window guarantees
+    exactly that, so no extra exchange is needed; the explicit
+    repartition+sort is applied only when ``presorted=False``.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine.schema import EPOCH0_EPOCH_SECONDS, TIER_SECONDS
+
+    b = TIER_SECONDS[tier]
+
+    def rollup_partition(batches):
+        carry = None
+        rows: list = []
+
+        def emit(pdf):
+            doc = pdf["doc_id"].to_numpy()
+            buck = pdf["bucket"].to_numpy()
+            t = pdf["t"].to_numpy(dtype=np.int64)
+            v = pdf["v"].to_numpy(dtype=np.float64)
+            anom = pdf["is_anom"].to_numpy(dtype=np.bool_)
+            change = np.flatnonzero((doc[1:] != doc[:-1]) | (buck[1:] != buck[:-1])) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                vv = v[s:e]
+                mask = ~np.isnan(vv)
+                nn = vv[mask].astype(np.int64)
+                cnt = int(nn.size)
+                vsum = int(nn.sum()) if cnt else None
+                rows.append(
+                    (
+                        doc[s],
+                        int(buck[s]),
+                        cnt,
+                        int(nn.min()) if cnt else None,
+                        int(nn.max()) if cnt else None,
+                        vsum,
+                        float(vsum) / cnt if cnt else None,
+                        int(anom[s:e].sum()),
+                        int(nn[0]) if cnt else None,
+                        int(nn[-1]) if cnt else None,
+                        dod_compress(t[s:e][mask]),
+                        gorilla_compress(nn),
+                    )
+                )
+
+        cols = [
+            "doc_id", "bucket", "cnt", "vmin", "vmax", "vsum", "vmean",
+            "anom_cnt", "first_v", "last_v", "ts_dod", "v_gorilla",
+        ]
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            doc = pdf["doc_id"].to_numpy()
+            buck = pdf["bucket"].to_numpy()
+            last_change = np.flatnonzero((doc[1:] != doc[:-1]) | (buck[1:] != buck[:-1]))
+            if len(last_change) == 0:
+                carry = pdf
+                continue
+            cut = int(last_change[-1]) + 1
+            emit(pdf.iloc[:cut])
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+                rows = []
+        if carry is not None and len(carry):
+            emit(carry)
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    pts = flagged_points.withColumn("bucket", F.expr(f"t DIV {b}")).select(
+        "doc_id", "bucket", "t", "v", "is_anom"
+    )
+    if not presorted:
+        pts = pts.repartition("doc_id").sortWithinPartitions("doc_id", "bucket", "t")
+    out = pts.mapInPandas(
+        rollup_partition,
+        schema=(
+            "doc_id string, bucket long, cnt long, vmin int, vmax int, "
+            "vsum long, vmean double, anom_cnt long, first_v int, "
+            "last_v int, ts_dod binary, v_gorilla binary"
+        ),
+    )
+    return out.withColumn(
+        "bucket_ts",
+        F.timestamp_seconds(F.lit(EPOCH0_EPOCH_SECONDS) + F.col("bucket") * F.lit(b)),
+    ).select(
+        "doc_id", "bucket", "bucket_ts", "cnt", "vmin", "vmax", "vsum",
+        "vmean", "anom_cnt", "first_v", "last_v", "ts_dod", "v_gorilla",
+    )
 
 
 def decompress_columns(compressed_df):

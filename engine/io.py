@@ -149,7 +149,7 @@ class ParquetManifestFormat:
     def current_snapshot(self, table: str) -> int:
         return int(self._load(table)["current"])
 
-    def overwrite_partitions(self, df: DataFrame, table: str) -> int:
+    def overwrite_partitions(self, df: DataFrame, table: str, n_buckets: int | None = None) -> int:
         """S2: atomically replace exactly the partitions present in *df*.
 
         *df* must carry a ``part_hash`` column (K1). Data lands in an
@@ -162,6 +162,14 @@ class ParquetManifestFormat:
         manifest = self._load(table)
         snap_id = int(manifest["current"]) + 1
         data_dir = os.path.join(self.warehouse, table, f"snap-{snap_id}")
+        # Co-locate each part_hash into one task before the dynamic-partition
+        # write: otherwise every task opens a writer per partition value
+        # (tasks x N_BUCKETS tiny files). One shuffle of already-aggregated
+        # rows buys one file per partition — at 100 TB this is the difference
+        # between N_BUCKETS files and N_BUCKETS x shuffle_partitions.
+        from engine.schema import DEFAULT_N_BUCKETS
+
+        df = df.repartition(int(n_buckets or DEFAULT_N_BUCKETS), "part_hash")
         df.write.partitionBy("part_hash").mode("errorifexists").parquet(data_dir)
         written = [
             int(name.split("=", 1)[1])
@@ -208,7 +216,7 @@ def write_tier(
         from engine.schema import DEFAULT_N_BUCKETS
 
         df = with_part_hash(df, n_buckets or DEFAULT_N_BUCKETS)
-    return fmt.overwrite_partitions(df, f"rollup_{tier}")
+    return fmt.overwrite_partitions(df, f"rollup_{tier}", n_buckets)
 
 
 def scan_tier(

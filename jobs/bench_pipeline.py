@@ -1,0 +1,110 @@
+"""Token-pipeline throughput bench (BASELINE.md protocol).
+
+Generates (once, untimed) a deterministic token table at --docs x --len,
+then times the full raw -> 1m -> 1h -> 1d rollup (fresh warehouse per run,
+fresh lineage — no resume short-circuit). tokens/sec = sum(n_tok) / wall.
+
+Each invocation is one JVM at one --master; the scaling harness
+(tools/bench_scaling.py) spawns this at local[8] and local[32] and computes
+the efficiency ratio — the sandbox proxy for the N -> 4N executor rule
+(BASELINE.json:14, task brief).
+
+Prints one JSON line per run plus a final summary JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=10_000)
+    ap.add_argument("--len", type=int, default=10_000, dest="length")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="untimed JIT warmup runs before the timed ones")
+    ap.add_argument("--no-compress", action="store_true")
+    ap.add_argument("--workdir", default="/tmp/bench_pipeline")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from engine.io import scan_tokens, synth_tokens
+    from engine.session import get_spark
+    from jobs.rollup import run_rollup
+
+    spark = get_spark(
+        app_name="bench-pipeline",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    cores = spark.sparkContext.defaultParallelism
+
+    tok_path = os.path.join(args.workdir, f"tokens-{args.docs}x{args.length}")
+    if not os.path.exists(os.path.join(tok_path, "_SUCCESS")):
+        synth_tokens(spark, args.docs, n_tok=args.length).write.mode(
+            "overwrite"
+        ).parquet(tok_path)
+    tokens = scan_tokens(spark, tok_path)
+    total_tokens = args.docs * args.length
+
+    for i in range(args.warmup):
+        wh = os.path.join(args.workdir, f"wh-warm{i}")
+        shutil.rmtree(wh, ignore_errors=True)
+        run_rollup(spark, tokens, wh, epoch=1, compress=not args.no_compress)
+        shutil.rmtree(wh, ignore_errors=True)
+
+    results = []
+    for i in range(args.runs):
+        wh = os.path.join(args.workdir, f"wh-run{i}")
+        shutil.rmtree(wh, ignore_errors=True)
+        t0 = time.monotonic()
+        tiers = run_rollup(
+            spark, tokens, wh, epoch=1, compress=not args.no_compress
+        )
+        wall = time.monotonic() - t0
+        rec = {
+            "run": i,
+            "seconds": round(wall, 3),
+            "tiers": {t: m["seconds"] for t, m in tiers.items()},
+            "tokens_per_sec": round(total_tokens / wall),
+            "cores": cores,
+            "docs": args.docs,
+            "len": args.length,
+            "compress": not args.no_compress,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        }
+        print(json.dumps(rec), flush=True)
+        results.append(wall)
+        shutil.rmtree(wh, ignore_errors=True)
+
+    med = sorted(results)[len(results) // 2]
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "median_seconds": round(med, 3),
+                "tokens_per_sec": round(total_tokens / med),
+                "cores": cores,
+                "runs": [round(r, 3) for r in results],
+                "docs": args.docs,
+                "len": args.length,
+                "compress": not args.no_compress,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

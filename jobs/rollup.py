@@ -46,6 +46,7 @@ def run_rollup(
     stop_after_tier: str | None = None,
     input_snapshot_id: int = 0,
     compress: bool = True,
+    stats_mode: str = "long",
 ) -> dict:
     """Run (or resume) the full cascade for one checkpoint epoch.
 
@@ -73,14 +74,16 @@ def run_rollup(
             # One doc_id-keyed shuffle serves explode -> gap-fill -> stats ->
             # rollup (window partition key == groupBy prefix, SURVEY.md §3.1).
             points = gap_fill(explode_series(toks.drop("part_hash")), policy)
-            flagged = detect(points, w, k)
-            tier_df = rollup_from_points(flagged, "1m")
+            flagged = detect(points, w, k, stats_mode)
             if compress:
-                from engine.compression import attach_compression
+                # fused A1+C1+C2: one Python pass computes aggregates AND
+                # payloads — avoids executing the window pipeline twice
+                # (engine/compression.py::rollup_1m_with_payloads)
+                from engine.compression import rollup_1m_with_payloads
 
-                tier_df = attach_compression(tier_df, flagged, "1m")
+                tier_df = rollup_1m_with_payloads(flagged, "1m")
             else:
-                tier_df = tier_df.withColumn(
+                tier_df = rollup_from_points(flagged, "1m").withColumn(
                     "ts_dod", F.lit(None).cast("binary")
                 ).withColumn("v_gorilla", F.lit(None).cast("binary"))
             tier_df = with_part_hash(tier_df, n_buckets)
@@ -144,6 +147,9 @@ def main() -> None:
     ap.add_argument("--stop-after-tier", default=None)
     ap.add_argument("--no-compress", action="store_true",
                     help="skip C1/C2 payloads on the 1m tier")
+    ap.add_argument("--stats-mode", default="long", choices=["long", "decimal"],
+                    help="integer carrier for exact rolling stats; 'decimal' "
+                         "for int32-extreme domains (see engine/stats.py)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -166,6 +172,7 @@ def main() -> None:
         tiers=args.tiers.split(","),
         stop_after_tier=args.stop_after_tier,
         compress=not args.no_compress,
+        stats_mode=args.stats_mode,
     )
     for tier, m in metrics.items():
         print(f"tier={tier} {m}")

@@ -94,3 +94,20 @@ def test_spark_attach_and_decompress_roundtrip(spark, tokens_df, token_rows):
         got = list(zip(r["ts_points"], r["v_points"]))
         assert got == want, f"{key}: decompressed points differ"
     assert set(expected) == {(r["doc_id"], r["bucket"]) for r in rows}
+
+
+def test_fused_rollup_matches_catalyst(spark, tokens_df):
+    """The fused mapInPandas A1+C1+C2 path must produce the exact same
+    aggregate rows as the pure-Catalyst rollup (incl. bit-equal vmean)."""
+    from engine.compression import rollup_1m_with_payloads
+    from engine.rollup import rollup_from_points
+    from engine.series import explode_series, gap_fill
+    from engine.stats import detect
+
+    flagged = detect(gap_fill(explode_series(tokens_df), "ffill"), exact_mode="decimal")
+    cols = ["doc_id", "bucket", "bucket_ts", "cnt", "vmin", "vmax", "vsum",
+            "vmean", "anom_cnt", "first_v", "last_v"]
+    fused = rollup_1m_with_payloads(flagged, "1m").select(cols)
+    catalyst = rollup_from_points(flagged, "1m").select(cols)
+    assert fused.exceptAll(catalyst).count() == 0
+    assert catalyst.exceptAll(fused).count() == 0

@@ -64,9 +64,12 @@ def test_oracle_matches_pandas_rolling():
     assert np.allclose(got["sd"].to_numpy()[m], psd[m], rtol=1e-9)
 
 
-def spark_pipeline(tokens_df, policy="ffill"):
+def spark_pipeline(tokens_df, policy="ffill", exact_mode="decimal"):
+    # the fixture includes doc_negmax (int32 extremes), which the fast long
+    # carrier rejects by design (ANSI overflow) -> decimal mode here; the
+    # long path is pinned bit-identical in test_long_mode_matches_decimal
     pts = gap_fill(explode_series(tokens_df), policy)
-    return detect(pts, W, K)
+    return detect(pts, W, K, exact_mode)
 
 
 # ---------------------------------------------------------------------------
@@ -132,7 +135,7 @@ def test_detect_has_true_positives(spark, tokens_df, token_rows, ora):
 
 def test_detect_indices_parity(spark, tokens_df, token_rows, ora):
     got = {r["doc_id"]: list(r["anomalies"]) for r in detect_indices(
-        gap_fill(explode_series(tokens_df), "ffill"), W, K
+        gap_fill(explode_series(tokens_df), "ffill"), W, K, exact_mode="decimal"
     ).collect()}
     want = dict(zip(ora["detect"]["doc_id"], ora["detect"]["anomalies"]))
     for doc_id in want:
@@ -204,3 +207,26 @@ def test_empty_and_allgap_docs(spark, tokens_df):
     tok = {r["doc_id"]: r["tokens"] for r in reassemble_tokens(filled, tokens_df).collect()}
     assert tok["doc_empty"] == []
     assert tok["doc_allgaps"] == [None] * 40
+
+
+def test_long_mode_matches_decimal(spark, tokens_df):
+    """Fast long-carrier stats are bit-identical to the decimal carrier on
+    in-range data (everything but doc_negmax)."""
+    in_range = tokens_df.where("doc_id != 'doc_negmax'")
+    a = spark_pipeline(in_range, exact_mode="long").toPandas().sort_values(["doc_id","t"]).reset_index(drop=True)
+    b = spark_pipeline(in_range, exact_mode="decimal").toPandas().sort_values(["doc_id","t"]).reset_index(drop=True)
+    for col in ("ma", "sd", "score"):
+        assert_float_col(f"long-vs-decimal {col}", a[col], b[col])
+    assert (a["is_anom"] == b["is_anom"]).all()
+
+
+def test_long_mode_fails_loudly_on_extremes(spark, tokens_df):
+    """ANSI overflow, not silent corruption, on int32-extreme input."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    extremes = tokens_df.where("doc_id = 'doc_negmax'")
+    with _pytest.raises((ArithmeticException, Py4JJavaError, Exception)) as ei:
+        spark_pipeline(extremes, exact_mode="long").select("sd").agg({"sd": "sum"}).collect()
+    assert "ARITHMETIC_OVERFLOW" in str(ei.value) or "overflow" in str(ei.value).lower()

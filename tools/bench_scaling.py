@@ -1,0 +1,122 @@
+"""Two-parallelism scaling evidence (BASELINE.json:14; task brief).
+
+No real cluster exists in this sandbox, so the N -> 4N executor rule is
+evidenced by running the SAME pipeline on the SAME input at local[8] and
+local[32] (cores-only delta, fresh JVM per configuration) and reporting
+throughput at both plus efficiency = (thr_32 / thr_8) / 4.
+
+Writes BENCH/BASELINE.md and BENCH/scaling.json.
+
+Usage: python tools/bench_scaling.py [--docs 6000 --len 8192 --runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run_config(master: str, docs: int, length: int, runs: int, compress: bool) -> dict:
+    cmd = [
+        sys.executable,
+        str(REPO / "jobs" / "bench_pipeline.py"),
+        "--docs", str(docs), "--len", str(length),
+        "--master", master, "--runs", str(runs), "--warmup", "1",
+    ]
+    if not compress:
+        cmd.append("--no-compress")
+    print(f"--- {master} compress={compress}: {' '.join(cmd)}", file=sys.stderr, flush=True)
+    out = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+    summary = None
+    for line in out.splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if rec.get("summary"):
+            summary = rec
+        print(line, file=sys.stderr, flush=True)
+    if summary is None:
+        raise RuntimeError(f"no summary line from {master}: {out[-2000:]}")
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=6000)
+    ap.add_argument("--len", type=int, default=8192, dest="length")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    git_sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+
+    results = {}
+    for compress in (False, True):
+        for master, cores in (("local[8]", 8), ("local[32]", 32)):
+            key = f"{'comp' if compress else 'nocomp'}-{cores}"
+            results[key] = run_config(master, args.docs, args.length, args.runs, compress)
+
+    def eff(compress_key: str) -> tuple[float, float, float]:
+        thr8 = results[f"{compress_key}-8"]["tokens_per_sec"]
+        thr32 = results[f"{compress_key}-32"]["tokens_per_sec"]
+        return thr8, thr32, round(thr32 / thr8 / 4.0, 3)
+
+    n8, n32, ne = eff("nocomp")
+    c8, c32, ce = eff("comp")
+    total_tokens = args.docs * args.length
+
+    os.makedirs(REPO / "BENCH", exist_ok=True)
+    payload = {
+        "input": {"docs": args.docs, "len": args.length, "tokens": total_tokens, "seed": 42},
+        "runs_per_config": args.runs,
+        "git_sha": git_sha,
+        "configs": results,
+        "efficiency_nocompress": ne,
+        "efficiency_compress": ce,
+    }
+    with open(REPO / "BENCH" / "scaling.json", "w") as f:
+        json.dump(payload, f, indent=2)
+
+    md = f"""# BENCH/BASELINE.md — measured pipeline throughput + scaling evidence
+
+Input: deterministic synthetic token table, {args.docs} docs x {args.length}
+tokens = {total_tokens:,} tokens (seed=42, hash-of-id generation), written
+to parquet once (untimed). Timed job: full raw -> 1m -> 1h -> 1d rollup
+(gap-fill, rolling stats, detect, cascade, lineage commits) to a fresh
+warehouse. {args.runs} timed runs after 1 untimed warmup per JVM; median
+reported. git {git_sha}. shuffle partitions = core count. AQE on.
+
+## Scaling (sandbox proxy for N -> 4N executors; BASELINE.json:14)
+
+| variant | local[8] tok/s | local[32] tok/s | efficiency (thr32/thr8)/4 |
+|---|---|---|---|
+| pipeline, no compression payloads | {n8:,} | {n32:,} | **{ne}** |
+| pipeline + Gorilla/DoD payloads | {c8:,} | {c32:,} | **{ce}** |
+
+Raw per-run data: BENCH/scaling.json.
+
+Interpretation notes:
+- the cores-only delta is the honest sandbox proxy: same code, same input,
+  same single NVMe — no network shuffle, so it measures CPU scaling of the
+  window/agg/Arrow stages, which is the component the 0.8 target governs.
+- per-run medians; first-run JIT/codegen excluded via warmup (protocol in
+  /root/repo/BASELINE.md).
+"""
+    with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
+        f.write(md)
+    print(json.dumps(payload["configs"], indent=2)[:500])
+    print(f"no-compress eff: {ne}  compress eff: {ce}")
+
+
+if __name__ == "__main__":
+    main()
