@@ -390,6 +390,307 @@ def q_embedding_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Near-duplicate detection (MinHash-LSH / Jaccard / SimHash) — SURVEY.md
+# training-data ops. Hash family: md5 (identical in Spark and DuckDB), so
+# the oracle can replay the exact same signatures.
+# ---------------------------------------------------------------------------
+
+N_BANDS = 4
+
+
+def _shingles(spark, sf_dir):
+    """Distinct word-3-gram shingles per doc (the dedup unit)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    # guard: sequence(0, -1) yields [0, -1] (negative step inference) and
+    # element_at(words, 0) is an ANSI error -> short-circuit docs < 3 words
+    tri = F.when(F.size(words) < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            ),
+        )
+    )
+    return d.select("doc_id", F.explode(tri).alias("shingle")).distinct()
+
+
+_SHINGLES_SQL = """
+  sh AS (
+    SELECT DISTINCT w1.doc_id,
+           w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+    FROM wpos w1
+    JOIN wpos w2 ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+    JOIN wpos w3 ON w3.doc_id = w1.doc_id AND w3.pos = w1.pos + 2
+  )
+"""
+
+_WPOS_SQL = """
+  wpos AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash band signatures: per (doc, band) the min md5 of salted
+    shingles — the LSH bucketing key for near-dup candidate generation."""
+    sh = _shingles(spark, sf_dir)
+    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
+    return (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "band")
+        .agg(F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), "shingle"))).alias("sig"))
+    )
+
+
+def q_lsh_candidates(spark, sf_dir):
+    """LSH candidate pairs: docs sharing a band signature (band-join)."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("shared_bands"))
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard for every pair sharing >= 1 shingle; top 20."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    j = (
+        inter.join(F.broadcast(sa), "d1").join(F.broadcast(sb), "d2")
+        .select(
+            "d1", "d2",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.desc("jaccard"), "d1", "d2").limit(20)
+
+
+def _nibble(hexcol, i: int):
+    # identical hex-nibble arithmetic in both engines: 1-based position in
+    # the hex alphabet -> 0..15
+    return F.instr(F.lit("0123456789abcdef"), F.substring(hexcol, i, 1)) - 1
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash over word md5s: bit j set iff the majority of word
+    hashes have bit j set. Pure integer arithmetic on md5 nibbles so DuckDB
+    replays it exactly."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    h16 = (
+        _nibble(F.md5("word"), 1) * 4096
+        + _nibble(F.md5("word"), 2) * 256
+        + _nibble(F.md5("word"), 3) * 16
+        + _nibble(F.md5("word"), 4)
+    )
+    w = w.select("doc_id", h16.alias("h"))
+    aggs = [F.count("*").alias("nw")] + [
+        F.sum(((F.col("h") / F.lit(2**j)).cast("long") % 2)).alias(f"b{j}")
+        for j in range(16)
+    ]
+    per_doc = w.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"b{j}") * 2 > F.col("nw"), F.lit(2**j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+N_PLANES = 12  # ANN-LSH signature width
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH over the embedding column.
+
+    Plane weights are DETERMINISTIC (md5 parity per (plane, dim)), vectors
+    are bucketed by their 12-bit sign signature, and the query (vec_id=0)
+    is compared brute-force only against its own bucket — the candidate set
+    an IVF/LSH index would visit. Approximate by construction -> rows-only
+    driver check; the exact brute-force twin is q_embedding_topk.
+
+    At 100 TB: signatures are one narrow int column; the bucket join is an
+    equi-join on it (shuffle on 2^12 keys), so candidate generation never
+    materializes the O(n^2) pair space.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id", F.posexplode("embedding").alias("i", "x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    # sign of plane p at dim i: +1 iff md5("p|i") has an even first nibble
+    dots = pts.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    _nibble(
+                        F.md5(F.concat(F.lit(f"{p}|"), F.col("i").cast("string"))), 1
+                    ) % 2
+                    == 0,
+                    F.col("x"),
+                ).otherwise(-F.col("x"))
+            ).alias(f"dot{p}")
+            for p in range(N_PLANES)
+        ]
+    )
+    sig = None
+    for p in range(N_PLANES):
+        bit = F.when(F.col(f"dot{p}") > 0, F.lit(2**p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    sigs = dots.select("vec_id", sig.alias("sig"))
+    qsig = sigs.where("vec_id = 0").select(F.col("sig").alias("qs"))
+    cands = sigs.join(F.broadcast(qsig), sigs.sig == F.col("qs")).where("vec_id != 0")
+    # brute-force cosine within the candidate bucket
+    qv = pts.where("vec_id = 0").select(F.col("i").alias("qi"), F.col("x").alias("qx"))
+    sims = (
+        pts.join(cands.select("vec_id"), "vec_id")
+        .join(F.broadcast(qv), pts.i == F.col("qi"))
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(F.col("x") * F.col("qx"))
+                / (F.sqrt(F.sum(F.col("x") * F.col("x"))) * F.sqrt(F.sum(F.col("qx") * F.col("qx"))))
+            ).alias("_cos")
+        )
+    )
+    return (
+        sims.orderBy(F.desc("_cos"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4: as-of join + range join
+# ---------------------------------------------------------------------------
+
+
+def q_asof_order_before_event(spark, sf_dir):
+    """As-of join: for each event, the customer's most recent order with
+    o_orderdate <= ts (deterministic tie-break: latest date, then highest
+    orderkey). Window-based as-of — the idiomatic Spark form."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    j = ev.join(F.broadcast(o), (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts))
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("event_id", "user_id", "o_orderkey")
+    )
+
+
+def q_event_pairs_within_minute(spark, sf_dir):
+    """Range self-join: pairs of events of the same user within 60s."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
+    )
+    return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        F.count("*").alias("pairs")
+    )
+
+
+def q_orders_customers_merge(spark, sf_dir):
+    """X2: sort-merge join (explicit hint) orders x customer."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("orders"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2 / A3 / A4 / language-ID
+# ---------------------------------------------------------------------------
+
+
+def q_salted_source_stats(spark, sf_dir):
+    """K2: two-phase salted aggregation over the skewed source column —
+    identical result to a direct GROUP BY (which IS the oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    salted = d.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(16)))
+    partial = salted.groupBy("source", "_salt").agg(
+        F.count("*").alias("_docs"), F.sum("n_chars").alias("_chars")
+    )
+    return partial.groupBy("source").agg(
+        F.sum("_docs").alias("docs"),
+        F.sum("_chars").cast("long").alias("chars"),
+    )
+
+
+def q_lang_source_cube(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count("*").alias("docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """A4: HLL++ cardinalities (approximate -> rows-only driver check)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("events"),
+    )
+
+
+_STOPWORDS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "la"),
+    "es": ("el", "y", "los"),
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-family hit counts -> predicted lang
+    (deterministic tie-break by family order), compared to the label."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    def stop_counter(ws):
+        # single-parameter lambda: pyspark's higher-order-function binding
+        # passes one Column per declared parameter, so `lambda x, ws=ws`
+        # would bind ws to a Column
+        return F.size(F.filter(toks, lambda x: x.isin(*ws)))
+
+    counts = {lang: stop_counter(ws) for lang, ws in _STOPWORDS.items()}
+    pred = F.lit("zh")
+    best = F.lit(0)
+    for lang in ("en", "de", "fr", "es"):  # fixed priority = tie-break
+        c = counts[lang]
+        pred = F.when(c > best, F.lit(lang)).otherwise(pred)
+        best = F.when(c > best, c).otherwise(best)
+    out = d.select("doc_id", "lang", pred.alias("pred"))
+    return out.groupBy("lang", "pred").agg(F.count("*").alias("docs"))
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -428,6 +729,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "embedding_norms": q_embedding_norms,
         "embedding_topk": q_embedding_topk,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidates": q_lsh_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "asof_order_before_event": q_asof_order_before_event,
+        "event_pairs_within_minute": q_event_pairs_within_minute,
+        "orders_customers_merge": q_orders_customers_merge,
+        "salted_source_stats": q_salted_source_stats,
+        "lang_source_cube": q_lang_source_cube,
+        "approx_distinct": q_approx_distinct,
+        "lang_id": q_lang_id,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -561,6 +874,105 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, round(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS l2
         FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
         GROUP BY vec_id""",
+        "minhash_signatures": """
+        WITH _WPOS_, _SH_,
+        bands AS (SELECT unnest([0, 1, 2, 3]) AS band)
+        SELECT doc_id, band,
+               min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+        FROM sh CROSS JOIN bands GROUP BY doc_id, band""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "lsh_candidates": """
+        WITH _WPOS_, _SH_,
+        bands AS (SELECT unnest([0, 1, 2, 3]) AS band),
+        sig AS (
+          SELECT doc_id, band,
+                 min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+          FROM sh CROSS JOIN bands GROUP BY doc_id, band)
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_bands
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "ngram_jaccard": """
+        WITH _WPOS_, _SH_,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2,
+               round(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = d1
+                   JOIN sizes sb ON sb.doc_id = d2
+        ORDER BY jaccard DESC, d1, d2 LIMIT 20""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "simhash": """
+        WITH w AS (
+          SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+          FROM documents),
+        n AS (SELECT doc_id, ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)*4096 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)*256 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)*16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) AS h16 FROM w),
+        per AS (
+          SELECT doc_id, count(*) AS nw,
+           sum((h16 // 1) % 2) AS b0,
+           sum((h16 // 2) % 2) AS b1,
+           sum((h16 // 4) % 2) AS b2,
+           sum((h16 // 8) % 2) AS b3,
+           sum((h16 // 16) % 2) AS b4,
+           sum((h16 // 32) % 2) AS b5,
+           sum((h16 // 64) % 2) AS b6,
+           sum((h16 // 128) % 2) AS b7,
+           sum((h16 // 256) % 2) AS b8,
+           sum((h16 // 512) % 2) AS b9,
+           sum((h16 // 1024) % 2) AS b10,
+           sum((h16 // 2048) % 2) AS b11,
+           sum((h16 // 4096) % 2) AS b12,
+           sum((h16 // 8192) % 2) AS b13,
+           sum((h16 // 16384) % 2) AS b14,
+           sum((h16 // 32768) % 2) AS b15
+          FROM n GROUP BY doc_id)
+        SELECT doc_id, CAST((CASE WHEN b0*2 > nw THEN 1 ELSE 0 END) + (CASE WHEN b1*2 > nw THEN 2 ELSE 0 END) + (CASE WHEN b2*2 > nw THEN 4 ELSE 0 END) + (CASE WHEN b3*2 > nw THEN 8 ELSE 0 END) + (CASE WHEN b4*2 > nw THEN 16 ELSE 0 END) + (CASE WHEN b5*2 > nw THEN 32 ELSE 0 END) + (CASE WHEN b6*2 > nw THEN 64 ELSE 0 END) + (CASE WHEN b7*2 > nw THEN 128 ELSE 0 END) + (CASE WHEN b8*2 > nw THEN 256 ELSE 0 END) + (CASE WHEN b9*2 > nw THEN 512 ELSE 0 END) + (CASE WHEN b10*2 > nw THEN 1024 ELSE 0 END) + (CASE WHEN b11*2 > nw THEN 2048 ELSE 0 END) + (CASE WHEN b12*2 > nw THEN 4096 ELSE 0 END) + (CASE WHEN b13*2 > nw THEN 8192 ELSE 0 END) + (CASE WHEN b14*2 > nw THEN 16384 ELSE 0 END) + (CASE WHEN b15*2 > nw THEN 32768 ELSE 0 END) AS BIGINT) AS simhash FROM per""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "asof_order_before_event": """
+        SELECT event_id, user_id, o_orderkey FROM (
+          SELECT e.event_id, e.user_id, o.o_orderkey,
+                 row_number() OVER (PARTITION BY e.event_id
+                     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e JOIN orders o
+            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        WHERE rn = 1""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "event_pairs_within_minute": """
+        SELECT a.user_id, count(*) AS pairs
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 60 SECOND
+        GROUP BY a.user_id""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "orders_customers_merge": """
+        SELECT c_mktsegment, count(*) AS orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "salted_source_stats": """
+        SELECT source, count(*) AS docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "lang_source_cube": """
+        SELECT lang, source, count(*) AS docs,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY CUBE (lang, source)""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "lang_id": """
+        WITH c AS (
+          SELECT doc_id, lang,
+            len(list_filter(string_split(text,' '), x -> x IN ('the','and','of'))) AS c_en,
+            len(list_filter(string_split(text,' '), x -> x IN ('der','und','die'))) AS c_de,
+            len(list_filter(string_split(text,' '), x -> x IN ('le','et','la'))) AS c_fr,
+            len(list_filter(string_split(text,' '), x -> x IN ('el','y','los'))) AS c_es
+          FROM documents),
+        p AS (
+          SELECT lang,
+            CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'zh'
+                 WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                 WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                 WHEN c_fr >= c_es THEN 'fr'
+                 ELSE 'es' END AS pred
+          FROM c)
+        SELECT lang, pred, count(*) AS docs FROM p GROUP BY lang, pred""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
         "embedding_topk": """
         WITH pts AS (
           SELECT vec_id, i, CAST(x AS DOUBLE) AS x
