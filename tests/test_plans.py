@@ -1,0 +1,91 @@
+"""Physical-plan assertions (SURVEY.md §4): pushdown reaches the scan,
+dims broadcast, the series pipeline keeps ONE wide boundary, and the read
+path stays UDF-free."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tokens_path(spark, tmp_path_factory):
+    from engine.io import synth_tokens
+
+    p = str(tmp_path_factory.mktemp("plans") / "tokens")
+    synth_tokens(spark, 50, n_tok=256).write.parquet(p)
+    return p
+
+
+def test_filter_pushdown_reaches_parquet(spark, tokens_path):
+    from engine.io import scan_tokens
+
+    df = scan_tokens(spark, tokens_path).where(F.col("source") == "cc")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "source" in plan.split("PushedFilters")[1][:120], plan
+
+
+def test_column_pruning_reaches_parquet(spark, tokens_path):
+    from engine.io import scan_tokens
+
+    df = scan_tokens(spark, tokens_path).select("doc_id", "n_tok")
+    read_schema = _plan(df).split("ReadSchema:")[1][:200]
+    assert "tokens" not in read_schema, read_schema
+
+
+def test_series_pipeline_single_shuffle(spark, tokens_path):
+    """Explode -> gap-fill -> stats -> 1m rollup must have exactly ONE wide
+    boundary (the doc_id window shuffle); the groupBy reuses it because its
+    key has the window key as prefix (SURVEY.md §3.1)."""
+    from engine.io import scan_tokens
+    from engine.rollup import rollup_from_points
+    from engine.series import explode_series, gap_fill
+    from engine.stats import detect
+
+    r1m = rollup_from_points(
+        detect(gap_fill(explode_series(scan_tokens(spark, tokens_path)), "ffill")),
+        "1m",
+    )
+    plan = _plan(r1m)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan[:2000]}"
+
+
+def test_dim_join_broadcasts(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_top_customers(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_read_path_udf_free(spark, tokens_path, tmp_path):
+    from engine.io import ParquetManifestFormat, scan_tokens
+    from engine.query import downsample
+    from jobs.rollup import run_rollup
+
+    wh = str(tmp_path / "wh")
+    run_rollup(spark, scan_tokens(spark, tokens_path), wh, epoch=1, compress=False)
+    fmt = ParquetManifestFormat(spark, wh)
+    df = downsample(spark, fmt, 1, t0=0, t1=120, resolution_seconds=60)
+    plan = _plan(df)
+    assert "EvalPython" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_detect_stays_in_codegen(spark, tokens_path):
+    """R1-R4 must not fall out of whole-stage codegen into Python."""
+    from engine.io import scan_tokens
+    from engine.series import explode_series, gap_fill
+    from engine.stats import detect
+
+    df = detect(gap_fill(explode_series(scan_tokens(spark, tokens_path))))
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "Window [" in plan  # native window functions, not UDFs
+    # AQE finalizes this df's own queryExecution only via its own action
+    df.limit(1).collect()
+    final = _plan(df.limit(1))
+    assert "EvalPython" not in final
