@@ -516,14 +516,14 @@ def q_simhash(spark, sf_dir):
     return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-N_PLANES = 12  # ANN-LSH signature width
+N_PLANES = 4  # ANN-LSH signature width (16 buckets; ~n/16 candidates per probe)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH over the embedding column.
 
     Plane weights are DETERMINISTIC (md5 parity per (plane, dim)), vectors
-    are bucketed by their 12-bit sign signature, and the query (vec_id=0)
+    are bucketed by their sign signature, and the query (vec_id=0)
     is compared brute-force only against its own bucket — the candidate set
     an IVF/LSH index would visit. Approximate by construction -> rows-only
     driver check; the exact brute-force twin is q_embedding_topk.

@@ -54,6 +54,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=6000)
     ap.add_argument("--len", type=int, default=8192, dest="length")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--skip-compress", action="store_true")
+    ap.add_argument("--tag", default="")
     args = ap.parse_args()
 
     git_sha = subprocess.run(
@@ -61,7 +63,8 @@ def main() -> None:
     ).stdout.strip()
 
     results = {}
-    for compress in (False, True):
+    variants = (False,) if args.skip_compress else (False, True)
+    for compress in variants:
         for master, cores in (("local[8]", 8), ("local[32]", 32)):
             key = f"{'comp' if compress else 'nocomp'}-{cores}"
             results[key] = run_config(master, args.docs, args.length, args.runs, compress)
@@ -72,7 +75,7 @@ def main() -> None:
         return thr8, thr32, round(thr32 / thr8 / 4.0, 3)
 
     n8, n32, ne = eff("nocomp")
-    c8, c32, ce = eff("comp")
+    c8, c32, ce = eff("comp") if not args.skip_compress else (0, 0, 0)
     total_tokens = args.docs * args.length
 
     os.makedirs(REPO / "BENCH", exist_ok=True)
@@ -84,8 +87,13 @@ def main() -> None:
         "efficiency_nocompress": ne,
         "efficiency_compress": ce,
     }
-    with open(REPO / "BENCH" / "scaling.json", "w") as f:
+    out_name = f"scaling{('-' + args.tag) if args.tag else ''}.json"
+    with open(REPO / "BENCH" / out_name, "w") as f:
         json.dump(payload, f, indent=2)
+    if args.tag:
+        print(json.dumps(payload["configs"], indent=2)[:400])
+        print(f"eff nocompress: {ne}")
+        return
 
     md = f"""# BENCH/BASELINE.md — measured pipeline throughput + scaling evidence
 
