@@ -188,21 +188,34 @@ class ParquetManifestFormat:
         return snap_id
 
     def read_at(self, table: str, snapshot_id: int) -> DataFrame:
-        """S3: time-travel read of one snapshot."""
+        """S3: time-travel read of one snapshot.
+
+        A snapshot's live partitions generally span several immutable
+        ``snap-N`` data directories (each incremental commit rewrote only a
+        subset). Spark's partition discovery cannot infer ``part_hash``
+        through the non-partition ``snap-N`` level when paths mix snap dirs
+        (CONFLICTING_DIRECTORY_STRUCTURES), so each snap dir is read with
+        itself as ``basePath`` and the reads are unioned — a union of
+        scan nodes, one per historical commit that still owns live
+        partitions (bounded by commit count, exactly like an Iceberg
+        manifest listing one file set per surviving snapshot)."""
         manifest = self._load(table)
         snap = manifest["snapshots"].get(str(snapshot_id))
         if snap is None:
             raise ValueError(f"{table}: no snapshot {snapshot_id}")
-        paths = sorted(
-            {
-                os.path.join(d, f"part_hash={h}")
-                for h, d in snap["partitions"].items()
-            }
-        )
-        if not paths:
+        by_dir: dict[str, list[int]] = {}
+        for h, d in snap["partitions"].items():
+            by_dir.setdefault(d, []).append(int(h))
+        if not by_dir:
             raise ValueError(f"{table}@{snapshot_id} is empty")
-        base = os.path.join(self.warehouse, table)
-        return self.spark.read.option("basePath", base).parquet(*paths)
+        dfs = []
+        for d in sorted(by_dir):
+            paths = [os.path.join(d, f"part_hash={h}") for h in sorted(by_dir[d])]
+            dfs.append(self.spark.read.option("basePath", d).parquet(*paths))
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
 
     def read(self, table: str) -> DataFrame:
         return self.read_at(table, self.current_snapshot(table))

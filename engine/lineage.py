@@ -51,6 +51,7 @@ _ARROW_SCHEMA = pa.schema(
         ("tier", pa.string()),
         ("part_hash", pa.int64()),
         ("input_snapshot_id", pa.int64()),
+        ("output_snapshot_id", pa.int64()),
         ("in_rows", pa.int64()),
         ("out_rows", pa.int64()),
         ("checkpoint_epoch", pa.int64()),
@@ -69,10 +70,19 @@ def lineage_record(
     partition_stats: list[dict],
     input_snapshot_id: int,
     checkpoint_epoch: int,
+    output_snapshot_id: int = -1,
 ) -> int:
     """L1: append one lineage row per committed partition (AFTER the data
     commit — see the module-docstring state machine). Atomic: parquet file
-    is written to a temp name then renamed."""
+    is written to a temp name then renamed.
+
+    ``output_snapshot_id`` is the tier-table snapshot produced by the data
+    commit (A). Recording it makes the epoch -> snapshot mapping durable: a
+    reader serving epoch E time-travels to each partition's own output
+    snapshot, so a later epoch overwriting the same part_hash partitions can
+    never leak into an epoch-E query (engine/query.py::tier_fallback).
+    -1 = unknown (legacy writer); readers then fall back to the current
+    snapshot."""
     d = _lineage_path(warehouse)
     os.makedirs(d, exist_ok=True)
     now = int(time.time() * 1_000_000)
@@ -81,6 +91,7 @@ def lineage_record(
             "tier": [tier] * len(partition_stats),
             "part_hash": [int(s["part_hash"]) for s in partition_stats],
             "input_snapshot_id": [int(input_snapshot_id)] * len(partition_stats),
+            "output_snapshot_id": [int(output_snapshot_id)] * len(partition_stats),
             "in_rows": [int(s["in_rows"]) for s in partition_stats],
             "out_rows": [int(s["out_rows"]) for s in partition_stats],
             "checkpoint_epoch": [int(checkpoint_epoch)] * len(partition_stats),
@@ -99,14 +110,27 @@ def committed_partitions(warehouse: str, tier: str, checkpoint_epoch: int) -> se
     """L2 driver-side: the DONE set for (tier, epoch). The lineage table is
     tiny (one row per partition-commit), so reading it on the driver is the
     cheap path; the Spark-side anti-join variant is resume_filter()."""
+    return set(committed_partition_snapshots(warehouse, tier, checkpoint_epoch))
+
+
+def committed_partition_snapshots(
+    warehouse: str, tier: str, checkpoint_epoch: int
+) -> dict[int, int]:
+    """L2: committed part_hash -> output snapshot id for (tier, epoch).
+
+    A partition committed more than once inside one epoch (dirty-crash
+    recompute) keeps the LATEST output snapshot. -1 means the writer
+    predates output-snapshot recording (readers use the current snapshot)."""
     d = _lineage_path(warehouse)
     files = glob.glob(os.path.join(d, "commit-*.parquet"))
-    done: set[int] = set()
+    done: dict[int, int] = {}
     for f in files:
-        t = pq.read_table(f, columns=["tier", "part_hash", "checkpoint_epoch"])
+        t = pq.read_table(f)
         for row in t.to_pylist():
             if row["tier"] == tier and row["checkpoint_epoch"] == checkpoint_epoch:
-                done.add(int(row["part_hash"]))
+                p = int(row["part_hash"])
+                snap = int(row.get("output_snapshot_id", -1))
+                done[p] = max(done.get(p, -1), snap)
     return done
 
 

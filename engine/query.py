@@ -12,20 +12,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.io import ParquetManifestFormat, scan_tier
-from engine.lineage import committed_partitions
+from engine.lineage import committed_partition_snapshots
 from engine.rollup import cascade
 from engine.schema import DEFAULT_N_BUCKETS, TIER_ORDER, TIER_SECONDS
 
 
 def resolution_pick(resolution_seconds: int) -> str:
-    """Q1: coarsest tier whose bucket width still divides the requested
-    resolution — driver-side dict lookup, no data touched. Resolutions finer
-    than 60 s must be served from raw points (caller's choice); we return
-    '1m' and let the caller decide, matching 'serve the finest materialized
-    tier' semantics."""
+    """Q1: coarsest tier whose bucket width still DIVIDES the requested
+    resolution, so served buckets always align with the requested grid
+    (e.g. 5400 s -> '1m', not '1h': 3600 does not divide 5400) — driver-side
+    dict lookup, no data touched. If no tier divides (resolutions finer than
+    60 s or off-grid), we return '1m' and the caller decides whether to
+    serve raw points instead."""
     best = "1m"
     for tier in TIER_ORDER:  # finest -> coarsest
-        if TIER_SECONDS[tier] <= resolution_seconds:
+        if resolution_seconds % TIER_SECONDS[tier] == 0:
             best = tier
     return best
 
@@ -60,17 +61,35 @@ def tier_fallback(
 
     The committed set comes from lineage (the only source of truth — data
     files without lineage rows are invisible, see engine/lineage.py state
-    machine). The lineage table is tiny: the partition sets are computed
+    machine). Each partition is read AT ITS OWN recorded output snapshot
+    (lineage carries output_snapshot_id), so querying epoch E after a later
+    epoch has overwritten the same part_hash partitions still serves
+    epoch-E data — the epoch -> snapshot mapping is durable, not "whatever
+    is current". The lineage table is tiny: the partition sets are computed
     driver-side and pushed into IN-list filters, which prune part_hash
     partitions on the scan.
     """
-    done = committed_partitions(fmt.warehouse, tier, checkpoint_epoch)
+
+    def _scan_committed(t: str, snap_by_part: dict[int, int]) -> DataFrame:
+        """Union of per-snapshot scans, each pruned to the partitions that
+        lineage pinned to that snapshot (snapshot -1 = legacy row, current)."""
+        by_snap: dict[int, list[int]] = {}
+        for p, s in snap_by_part.items():
+            by_snap.setdefault(s, []).append(int(p))
+        pieces = []
+        for s in sorted(by_snap):
+            df = scan_tier(fmt, t, None if s < 0 else s)
+            pieces.append(df.where(F.col("part_hash").isin(by_snap[s])))
+        out = pieces[0]
+        for df in pieces[1:]:
+            out = out.unionByName(df)
+        return out
+
+    done = committed_partition_snapshots(fmt.warehouse, tier, checkpoint_epoch)
     holes = [p for p in range(n_buckets) if p not in done]
     parts: list[DataFrame] = []
     if done:
-        parts.append(
-            scan_tier(fmt, tier).where(F.col("part_hash").isin([int(p) for p in done]))
-        )
+        parts.append(_scan_committed(tier, done))
     if holes:
         idx = TIER_ORDER.index(tier)
         if idx == 0:
@@ -78,13 +97,13 @@ def tier_fallback(
                 f"tier {tier} has uncommitted partitions {holes[:5]}... and no finer tier to fall back to"
             )
         finer = TIER_ORDER[idx - 1]
-        finer_done = committed_partitions(fmt.warehouse, finer, checkpoint_epoch)
+        finer_done = committed_partition_snapshots(fmt.warehouse, finer, checkpoint_epoch)
         missing = [p for p in holes if p not in finer_done]
         if missing:
             raise ValueError(
                 f"partitions {missing[:5]}... committed in neither {tier} nor {finer}"
             )
-        fine_df = scan_tier(fmt, finer).where(F.col("part_hash").isin(holes))
+        fine_df = _scan_committed(finer, {p: finer_done[p] for p in holes})
         on_the_fly = cascade(fine_df.drop("part_hash"), finer, tier)
         from engine.skew import with_part_hash
 

@@ -81,6 +81,7 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("tier", T.StringType(), False),
         T.StructField("part_hash", T.LongType(), False),
         T.StructField("input_snapshot_id", T.LongType(), False),
+        T.StructField("output_snapshot_id", T.LongType(), False),
         T.StructField("in_rows", T.LongType(), False),
         T.StructField("out_rows", T.LongType(), False),
         T.StructField("checkpoint_epoch", T.LongType(), False),

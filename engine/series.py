@@ -28,9 +28,15 @@ GAP_POLICIES = ("ffill", "zero", "linear")
 
 
 def _floor_div(num: Column, den: Column) -> Column:
-    """Exact floor division on longs (Spark ``div`` truncates toward zero;
-    ``floor(a/b)`` goes through double and loses precision past 2^53)."""
-    return ((num - F.pmod(num, den)) / den).cast("long")
+    """Exact floor division, entirely in longs.
+
+    ``num - pmod(num, den)`` removes the non-negative floor remainder, so the
+    subsequent integral ``div`` (which truncates toward zero) divides an
+    exactly-divisible value — truncation == floor, no double round-trip
+    (``floor(a/b)`` and ``x / y`` both route through double and lose
+    precision past 2^53, reachable with int32 values times long gaps in
+    linear gap-fill)."""
+    return F.call_function("div", num - F.pmod(num, den), den)
 
 
 def explode_series(tokens_df: DataFrame) -> DataFrame:

@@ -49,6 +49,9 @@ def start_rollup_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # merge_docs: accumulate across micro-batches — a batch must never
+        # evict earlier batches' docs from shared part_hash partitions
+        rollup_kwargs.setdefault("merge_docs", True)
         run_rollup(
             spark, batch_df, warehouse, epoch=int(batch_id), **rollup_kwargs
         )

@@ -47,8 +47,17 @@ def run_rollup(
     input_snapshot_id: int = 0,
     compress: bool = True,
     stats_mode: str = "long",
+    merge_docs: bool = False,
 ) -> dict:
     """Run (or resume) the full cascade for one checkpoint epoch.
+
+    ``merge_docs=True`` gives ACCUMULATE semantics for incremental ingest
+    (streaming micro-batches): rows already in a touched partition are
+    carried over (copy-on-write merge, the Iceberg MERGE shape) instead of
+    being evicted by the partition overwrite, except rows for doc_ids
+    re-ingested by this batch — which makes a dirty-crash replay idempotent.
+    Assumes doc-level ingest granularity (a doc arrives whole in one batch).
+    Default False = REPLACE semantics (recompute of a static input).
 
     Returns per-tier metrics {tier: {partitions, out_rows, seconds}} (L3).
     """
@@ -87,6 +96,21 @@ def run_rollup(
                     "ts_dod", F.lit(None).cast("binary")
                 ).withColumn("v_gorilla", F.lit(None).cast("binary"))
             tier_df = with_part_hash(tier_df, n_buckets)
+            if merge_docs and fmt.current_snapshot("rollup_1m") > 0:
+                # touched set from the (cheap, column-pruned) token batch —
+                # never by executing the heavy stats pipeline twice
+                touched = [
+                    int(r["part_hash"])
+                    for r in with_part_hash(tokens_df, n_buckets)
+                    .select("part_hash").distinct().collect()
+                ]
+                batch_docs = tokens_df.select("doc_id").distinct()
+                carried = (
+                    fmt.read("rollup_1m")
+                    .where(F.col("part_hash").isin(touched))
+                    .join(batch_docs, "doc_id", "left_anti")
+                )
+                tier_df = tier_df.unionByName(carried)
             snapshot_for_lineage = input_snapshot_id
         else:
             finer = TIER_ORDER[TIER_ORDER.index(tier) - 1]
@@ -103,8 +127,10 @@ def run_rollup(
             tier_df = with_part_hash(coarse, n_buckets)
             snapshot_for_lineage = fine_snapshot
 
-        # (A) data commit — atomic manifest swap inside
-        fmt.overwrite_partitions(tier_df, f"rollup_{tier}")
+        # (A) data commit — atomic manifest swap inside; the returned
+        # snapshot id goes into lineage so epoch-E readers can time-travel
+        # to exactly this commit after later epochs overwrite the partitions
+        out_snapshot = fmt.overwrite_partitions(tier_df, f"rollup_{tier}")
         # (L3) per-partition counts from the written tier (cheap re-read of
         # the just-written parquet, no recompute of the pipeline)
         written = fmt.read(f"rollup_{tier}").where(F.col("part_hash").isin(pending_set))
@@ -119,7 +145,10 @@ def run_rollup(
             if p not in seen
         ]
         # (B) lineage commit — readers now see these partitions
-        lineage_record(warehouse, tier, stats, snapshot_for_lineage, epoch)
+        lineage_record(
+            warehouse, tier, stats, snapshot_for_lineage, epoch,
+            output_snapshot_id=out_snapshot,
+        )
 
         metrics[tier] = {
             "partitions": len(stats),

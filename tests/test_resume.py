@@ -87,8 +87,9 @@ def test_tier_fallback_serves_holes_from_finer_tier(spark, small_tokens, tmp_pat
 
     fine = fmt.read("rollup_1m").where("part_hash < 32")
     half = with_part_hash(cascade(fine.drop("part_hash"), "1m", "1h"))
-    fmt.overwrite_partitions(half, "rollup_1h")
-    lineage_record(wh, "1h", partition_stats_from_rollup(half), 1, 1)
+    snap = fmt.overwrite_partitions(half, "rollup_1h")
+    lineage_record(wh, "1h", partition_stats_from_rollup(half), 1, 1,
+                   output_snapshot_id=snap)
 
     served = tier_fallback(spark, fmt, "1h", 1)
     # fallback result must equal the full 1h cascade
@@ -96,6 +97,78 @@ def test_tier_fallback_serves_holes_from_finer_tier(spark, small_tokens, tmp_pat
     cols = ["doc_id", "bucket", "cnt", "vmin", "vmax", "vsum", "anom_cnt"]
     a, b = served.select(cols), full.select(cols)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_incremental_epochs_disjoint_docs(spark, tmp_path):
+    """Regression (round-2 ADVICE, high): a snapshot whose live partitions
+    span multiple snap-* directories must be readable. Epoch 2 ingests a
+    DISJOINT doc set (different partitions), so the current snapshot mixes
+    epoch-1 and epoch-2 data dirs — the exact shape every incremental /
+    streaming micro-batch run produces."""
+    wh = str(tmp_path / "inc")
+    docs_a = synth_tokens(spark, 6, seed=7, n_tok=128)
+    # disjoint ids: shift the generated doc numbers out of A's range
+    docs_b = synth_tokens(spark, 6, seed=9, n_tok=128).withColumn(
+        "doc_id", F.concat(F.lit("b_"), F.col("doc_id"))
+    )
+    run_rollup(spark, docs_a, wh, epoch=1)
+    # must not raise (used to die with CONFLICTING_DIRECTORY_STRUCTURES on
+    # the 1h cascade's read of rollup_1m)
+    run_rollup(spark, docs_b, wh, epoch=2)
+
+    fmt = ParquetManifestFormat(spark, wh)
+    got_docs = {
+        r["doc_id"]
+        for r in fmt.read("rollup_1m").select("doc_id").distinct().collect()
+    }
+    # overwrite-partition semantics: epoch 2 replaces exactly the partitions
+    # its docs hash into; epoch-1 docs in untouched partitions survive
+    from engine.skew import with_part_hash
+
+    b_parts = {
+        r["part_hash"]
+        for r in with_part_hash(docs_b, DEFAULT_N_BUCKETS)
+        .select("part_hash").distinct().collect()
+    }
+    a_kept = {
+        r["doc_id"]
+        for r in with_part_hash(docs_a, DEFAULT_N_BUCKETS)
+        .where(~F.col("part_hash").isin([int(p) for p in b_parts]))
+        .select("doc_id").collect()
+    }
+    b_all = {r["doc_id"] for r in docs_b.select("doc_id").collect()}
+    assert got_docs == a_kept | b_all
+
+
+def test_epoch_query_isolated_from_later_epochs(spark, tmp_path):
+    """Regression (round-2 ADVICE, medium): querying epoch 1 after epoch 2
+    overwrote the same partitions must serve epoch-1 data — lineage records
+    the output snapshot and tier_fallback time-travels to it."""
+    wh = str(tmp_path / "iso")
+    docs_v1 = synth_tokens(spark, 6, seed=7, n_tok=128)
+    # same doc_ids (same partitions), different values
+    docs_v2 = docs_v1.withColumn(
+        "tokens", F.transform("tokens", lambda v: v + F.lit(1))
+    )
+    run_rollup(spark, docs_v1, wh, epoch=1, tiers=["1m"])
+    fmt = ParquetManifestFormat(spark, wh)
+    v1_rows = sorted(
+        tuple(r) for r in tier_fallback(spark, fmt, "1m", 1)
+        .select("doc_id", "bucket", "vsum").collect()
+    )
+    run_rollup(spark, docs_v2, wh, epoch=2, tiers=["1m"])
+    # epoch-1 query after the epoch-2 commit: identical to before
+    again = sorted(
+        tuple(r) for r in tier_fallback(spark, fmt, "1m", 1)
+        .select("doc_id", "bucket", "vsum").collect()
+    )
+    assert again == v1_rows
+    # and epoch 2 serves the new values (every vsum shifted by its cnt)
+    v2_rows = sorted(
+        tuple(r) for r in tier_fallback(spark, fmt, "1m", 2)
+        .select("doc_id", "bucket", "vsum").collect()
+    )
+    assert v2_rows != v1_rows and len(v2_rows) == len(v1_rows)
 
 
 def test_downsample_flagship(spark, small_tokens, tmp_path):
@@ -108,6 +181,8 @@ def test_downsample_flagship(spark, small_tokens, tmp_path):
     assert resolution_pick(7200) == "1h"
     assert resolution_pick(86400) == "1d"
     assert resolution_pick(30) == "1m"
+    # divisibility, not <=: 5400 s does not align with the 1h grid
+    assert resolution_pick(5400) == "1m"
 
     df = downsample(
         spark, fmt, checkpoint_epoch=1, t0=0, t1=3600, resolution_seconds=60,

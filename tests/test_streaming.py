@@ -44,6 +44,14 @@ def test_stream_rollup_two_drops(spark, tmp_path):
     epochs2 = {r["checkpoint_epoch"] for r in read_lineage(spark, wh).select("checkpoint_epoch").distinct().collect()}
     assert len(epochs2) == len(epochs1) + 1
 
+    # accumulation (merge_docs): batch 2 reuses batch 1's doc_ids' partitions
+    # (same doc numbering), yet batch-1 rows must survive in the current tier
+    # view — the merge carried them over. Here the doc sets are identical, so
+    # the carried set is empty and rows simply reflect the latest batch; the
+    # disjoint-docs accumulation case is test_stream_accumulates_disjoint_docs.
+    rows2 = fmt.read("rollup_1m").count()
+    assert rows2 >= rows1
+
     # replay with the same checkpoint: nothing new to process
     q = start_rollup_stream(
         spark, f"{inbox}/*", wh, ckpt, available_now=True, compress=False
@@ -51,6 +59,37 @@ def test_stream_rollup_two_drops(spark, tmp_path):
     q.awaitTermination(300)
     epochs3 = {r["checkpoint_epoch"] for r in read_lineage(spark, wh).select("checkpoint_epoch").distinct().collect()}
     assert epochs3 == epochs2
+
+
+def test_stream_accumulates_disjoint_docs(spark, tmp_path):
+    """Two micro-batches with DISJOINT doc sets: the current tier must hold
+    the union (merge-append), not just the latest batch — regression for the
+    partition-eviction bug (round-2 ADVICE)."""
+    inbox = str(tmp_path / "inbox")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+
+    d1 = synth_tokens(spark, 5, seed=1, n_tok=128)
+    d2 = synth_tokens(spark, 5, seed=2, n_tok=128).withColumn(
+        "doc_id", F.concat(F.lit("b_"), F.col("doc_id"))
+    )
+    d1.write.parquet(f"{inbox}/drop1")
+    q = start_rollup_stream(spark, f"{inbox}/*", wh, ckpt,
+                            available_now=True, compress=False)
+    q.awaitTermination(300)
+    d2.write.parquet(f"{inbox}/drop2")
+    q = start_rollup_stream(spark, f"{inbox}/*", wh, ckpt,
+                            available_now=True, compress=False)
+    q.awaitTermination(300)
+
+    fmt = ParquetManifestFormat(spark, wh)
+    got = {
+        r["doc_id"]
+        for r in fmt.read("rollup_1m").select("doc_id").distinct().collect()
+    }
+    want = {r["doc_id"] for r in d1.unionByName(d2).select("doc_id").collect()}
+    assert got == want
 
 
 def test_windowed_event_counts_matches_batch(spark, tmp_path):
