@@ -307,6 +307,59 @@ def q_scalar_funcs(spark, sf_dir):
     )
 
 
+def q_map_props(spark, sf_dir):
+    """X10 map functions: build a map per row with map_from_entries, read it
+    back with element_at / map_keys (the only X10 sub-family previously
+    unexercised)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("et").alias("key"), F.col("event_type").alias("value")),
+            F.struct(
+                F.lit("k").alias("key"),
+                F.get_json_object("props", "$.k").alias("value"),
+            ),
+        )
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, F.lit("et")).alias("et"),
+        F.element_at(m, F.lit("k")).cast("long").alias("k"),
+        F.size(m).alias("nkeys"),
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+    )
+
+
+# X12 grouped-agg pandas UDF (UDAF): the one UDF shape round 1 lacked.
+# Arrow-batched per group — the Python kernel sees the whole group as
+# pandas Series, never row-at-a-time.
+def _make_wavg_udaf():
+    # explicit GROUPED_AGG: `from __future__ import annotations` stringifies
+    # type hints module-wide, which breaks pandas_udf signature inference
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(v, w):
+        tw = float(w.sum())
+        return float((v * w).sum() / tw) if tw else float("nan")
+
+    return wavg
+
+
+def q_udaf_weighted_chars(spark, sf_dir):
+    """Per-source token-weighted mean document length via a grouped-agg
+    pandas UDF (true UDAF), checked against the closed-form SQL oracle
+    sum(v*w)/sum(w)."""
+    d = _t(spark, sf_dir, "documents")
+    wavg = _make_wavg_udaf()
+    n_toks = F.size(F.split(F.col("text"), " ")).cast("double")
+    return (
+        d.select("source", F.col("n_chars").cast("double").alias("v"), n_toks.alias("w"))
+        .groupBy("source")
+        .agg(F.round(wavg(F.col("v"), F.col("w")), 4).alias("w_chars"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -449,9 +502,23 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
+MAX_LSH_BUCKET = 50  # cap: a (band, sig) bucket larger than this is a giant
+# near-dup cluster; its pair space is quadratic in bucket size, so it is
+# excluded from pair generation (flagged for cluster-level handling instead)
+
+
 def q_lsh_candidates(spark, sf_dir):
-    """LSH candidate pairs: docs sharing a band signature (band-join)."""
+    """LSH candidate pairs: docs sharing a band signature (band-join),
+    with a bucket-size cap so one giant near-dup cluster can never emit a
+    quadratic pair set."""
     sig = q_minhash_signatures(spark, sf_dir)
+    bucket_ok = (
+        sig.groupBy("band", "sig")
+        .agg(F.count("*").alias("_bsz"))
+        .where(F.col("_bsz") <= MAX_LSH_BUCKET)
+        .select("band", "sig")
+    )
+    sig = sig.join(bucket_ok, ["band", "sig"])
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -463,14 +530,25 @@ def q_lsh_candidates(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard for every pair sharing >= 1 shingle; top 20."""
+    """Exact n-gram Jaccard — verified ONLY over LSH candidate pairs; top 20.
+
+    The round-1 version self-joined shingles (a.shingle == b.shingle), which
+    is quadratic in the document frequency of hot shingles on a web corpus.
+    Now the (bounded) LSH candidate generator picks the pairs and the exact
+    verifier runs per candidate pair: cand x shingles(d1) is an equi-join on
+    d1, the intersection count an equi-join on (d2, shingle) — both linear
+    in |candidates| x shingles-per-doc, never in shingle document frequency.
+    This is the standard MinHash-LSH verify stage (candidates recall,
+    Jaccard precision)."""
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    cand = q_lsh_candidates(spark, sf_dir).select("d1", "d2")
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        cand.join(a, "d1")
+        .join(b, ["d2", "shingle"])
+        .groupBy("d1", "d2")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
@@ -516,52 +594,80 @@ def q_simhash(spark, sf_dir):
     return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-N_PLANES = 4  # ANN-LSH signature width (16 buckets; ~n/16 candidates per probe)
+# ANN-LSH index parameters. Planes per table scale with corpus size so the
+# expected bucket occupancy stays ~ANN_TARGET_BUCKET (round-1 hard-coded 4
+# planes = 16 buckets, which at 10^9 vectors would scan n/16 "candidates" —
+# not ANN). Multiple hash tables (banded multi-probe) buy recall back: a
+# true neighbor is a candidate if it matches the query's signature in ANY
+# table. At 10^9 vectors / target 32: ~25 planes per table, 2^25 buckets.
+ANN_TARGET_BUCKET = 32
+ANN_TABLES = 2
+
+
+def ann_planes(n_vectors: int, target_bucket: int = ANN_TARGET_BUCKET) -> int:
+    """Hyperplanes per hash table: log2(n / target bucket occupancy)."""
+    import math
+
+    return max(2, round(math.log2(max(n_vectors, 2 * target_bucket) / target_bucket)))
+
+
+def _plane_sign(p: int):
+    """Sign of plane p at dimension i: +1 iff md5('p|i') has an even first
+    nibble. Deterministic and identical in Spark and DuckDB, so the oracle
+    replays the exact index."""
+    return (
+        _nibble(F.md5(F.concat(F.lit(f"{p}|"), F.col("i").cast("string"))), 1) % 2 == 0
+    )
 
 
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH over the embedding column.
 
-    Plane weights are DETERMINISTIC (md5 parity per (plane, dim)), vectors
-    are bucketed by their sign signature, and the query (vec_id=0)
-    is compared brute-force only against its own bucket — the candidate set
-    an IVF/LSH index would visit. Approximate by construction -> rows-only
-    driver check; the exact brute-force twin is q_embedding_topk.
-
-    At 100 TB: signatures are one narrow int column; the bucket join is an
-    equi-join on it (shuffle on 2^12 keys), so candidate generation never
-    materializes the O(n^2) pair space.
+    Index build = one groupBy computing planes*tables signed sums per
+    vector (narrow int signatures). Candidate generation = one equi-join of
+    the (table, signature) long form against the query's signatures —
+    never the O(n^2) pair space; per-probe work is ~target-bucket-sized.
+    Exact cosine runs only inside the candidate set (the IVF/LSH visit
+    set); the exact brute-force twin is q_embedding_topk. Fully
+    deterministic (md5-parity planes), so the DuckDB oracle replays it
+    bit-for-bit — including the plane count, which is a pure function of
+    the corpus size (ann_planes: 500 vectors at sf0.01 -> 4 planes/table).
     """
     e = _t(spark, sf_dir, "embeddings")
+    planes = ann_planes(e.count())  # index-build-time statistic (driver scalar)
+    total = planes * ANN_TABLES
     pts = e.select("vec_id", F.posexplode("embedding").alias("i", "x")).withColumn(
         "x", F.col("x").cast("double")
     )
-    # sign of plane p at dim i: +1 iff md5("p|i") has an even first nibble
     dots = pts.groupBy("vec_id").agg(
         *[
-            F.sum(
-                F.when(
-                    _nibble(
-                        F.md5(F.concat(F.lit(f"{p}|"), F.col("i").cast("string"))), 1
-                    ) % 2
-                    == 0,
-                    F.col("x"),
-                ).otherwise(-F.col("x"))
-            ).alias(f"dot{p}")
-            for p in range(N_PLANES)
+            F.sum(F.when(_plane_sign(p), F.col("x")).otherwise(-F.col("x"))).alias(f"dot{p}")
+            for p in range(total)
         ]
     )
-    sig = None
-    for p in range(N_PLANES):
-        bit = F.when(F.col(f"dot{p}") > 0, F.lit(2**p)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    sigs = dots.select("vec_id", sig.alias("sig"))
-    qsig = sigs.where("vec_id = 0").select(F.col("sig").alias("qs"))
-    cands = sigs.join(F.broadcast(qsig), sigs.sig == F.col("qs")).where("vec_id != 0")
-    # brute-force cosine within the candidate bucket
+
+    def table_sig(t: int):
+        sig = F.lit(0)
+        for j in range(planes):
+            sig = sig + F.when(F.col(f"dot{t * planes + j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        return sig.cast("long")
+
+    # long form (vec_id, tbl, sig): candidate probing is an equi-join
+    sigs = None
+    for t in range(ANN_TABLES):
+        part = dots.select("vec_id", F.lit(t).alias("tbl"), table_sig(t).alias("sig"))
+        sigs = part if sigs is None else sigs.unionByName(part)
+    qsig = sigs.where("vec_id = 0").select("tbl", "sig")
+    cands = (
+        sigs.join(F.broadcast(qsig), ["tbl", "sig"])
+        .where("vec_id != 0")
+        .select("vec_id")
+        .distinct()
+    )
+    # exact cosine within the candidate set only
     qv = pts.where("vec_id = 0").select(F.col("i").alias("qi"), F.col("x").alias("qx"))
     sims = (
-        pts.join(cands.select("vec_id"), "vec_id")
+        pts.join(cands, "vec_id")
         .join(F.broadcast(qv), pts.i == F.col("qi"))
         .groupBy("vec_id")
         .agg(
@@ -584,27 +690,64 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_asof_order_before_event(spark, sf_dir):
-    """As-of join: for each event, the customer's most recent order with
-    o_orderdate <= ts (deterministic tie-break: latest date, then highest
-    orderkey). Window-based as-of — the idiomatic Spark form."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-    j = ev.join(F.broadcast(o), (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts))
-    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    """As-of join via UNION-AND-SORT (SURVEY.md §2.9 X4, the idiomatic
+    Spark form): for each event, the customer's most recent order with
+    o_orderdate <= ts (tie-break: latest date, then highest orderkey).
+
+    Orders and events are unioned, tagged, and sorted inside one
+    user-partitioned window; ``last(o_orderkey, ignorenulls)`` carries the
+    newest order forward onto each event row. ONE shuffle on user_id, no
+    join at all — the round-1 version broadcast the full orders fact table
+    (OOM at scale) and materialized |events| x avg-orders-per-customer
+    intermediate pairs before a per-event window cut them back down."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(1).alias("tag"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        F.lit(0).alias("tag"),  # 0 < 1: an order AT the event ts counts (<=)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = o.unionByName(ev).withColumn(
+        "asof_key", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("event_id", "user_id", "o_orderkey")
+        merged.where((F.col("tag") == 1) & F.col("asof_key").isNotNull())
+        .select("event_id", "user_id", F.col("asof_key").alias("o_orderkey"))
     )
 
 
 def q_event_pairs_within_minute(spark, sf_dir):
-    """Range self-join: pairs of events of the same user within 60s."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    a, b = ev.alias("a"), ev.alias("b")
+    """Range self-join, BOUNDED by minute-bucket equi-keys: pairs of events
+    of the same user within 60s.
+
+    b.ts in (a.ts, a.ts+60] implies b's minute bucket is a's or the next
+    one, so each a-row probes exactly two (user_id, bucket) keys and the
+    join is an equi-join whose per-key group is one user-minute of events —
+    never the unbounded per-user cross product (a hot user with dense
+    events made the raw theta self-join quadratic)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.expr("unix_timestamp(ts) DIV 60").alias("bucket")
+    )
+    a = ev.withColumn(
+        "probe", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1))
+    ).alias("a")
+    b = ev.alias("b")
     pairs = a.join(
         b,
         (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.bucket") == F.col("a.probe"))
         & (F.col("b.ts") > F.col("a.ts"))
         & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
     )
@@ -690,6 +833,61 @@ def q_lang_id(spark, sf_dir):
     return out.groupBy("lang", "pred").agg(F.count("*").alias("docs"))
 
 
+def _ann_oracle_sql() -> str:
+    """DuckDB replay of q_ann_lsh_topk. The driver's correctness gate runs
+    at sf0.01 (500 vectors), so the plane count is the same pure function of
+    that corpus size the Spark side computes (ann_planes(500) = 4/table).
+    generate_subscripts is 1-based; ``- 1`` aligns the md5 plane-sign inputs
+    with Spark's 0-based posexplode positions."""
+    planes = ann_planes(500)
+    total = planes * ANN_TABLES
+
+    def sign(p: int) -> str:
+        return (
+            f"(strpos('0123456789abcdef', substr(md5('{p}|' || "
+            f"CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0"
+        )
+
+    dot_exprs = ",\n           ".join(
+        f"sum(CASE WHEN {sign(p)} THEN x ELSE -x END) AS dot{p}" for p in range(total)
+    )
+
+    def sig_expr(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN dot{t * planes + j} > 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(planes)
+        )
+
+    sig_union = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS tbl, CAST({sig_expr(t)} AS BIGINT) AS sig FROM dots"
+        for t in range(ANN_TABLES)
+    )
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, i, CAST(x AS DOUBLE) AS x
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS i FROM embeddings)),
+    dots AS (
+      SELECT vec_id,
+           {dot_exprs}
+      FROM pts GROUP BY vec_id),
+    sigs AS (
+      {sig_union}),
+    qsig AS (SELECT tbl, sig FROM sigs WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT s.vec_id FROM sigs s
+      JOIN qsig q ON s.tbl = q.tbl AND s.sig = q.sig
+      WHERE s.vec_id != 0),
+    q AS (SELECT i AS qi, x AS qx FROM pts WHERE vec_id = 0),
+    sims AS (
+      SELECT vec_id, sum(x * qx) / (sqrt(sum(x * x)) * sqrt(sum(qx * qx))) AS c
+      FROM pts JOIN cand USING (vec_id) JOIN q ON pts.i = q.qi
+      GROUP BY vec_id)
+    SELECT vec_id, round(c, 4) AS cos_sim FROM sims
+    ORDER BY c DESC, vec_id LIMIT 10
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -724,6 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_aggs": q_distinct_aggs,
         "json_extract": q_json_extract,
         "scalar_funcs": q_scalar_funcs,
+        "map_props": q_map_props,
+        "udaf_weighted_chars": q_udaf_weighted_chars,
         "doc_fingerprint": q_doc_fingerprint,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -851,6 +1051,17 @@ def oracle_sql() -> dict[str, str]:
                n_chars % 7 AS mod7,
                concat_ws('|', lang, source) AS tag
         FROM documents""",
+        "map_props": """
+        SELECT event_id, event_type AS et,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(2 AS INT) AS nkeys,
+               'et,k' AS keys
+        FROM events""",
+        "udaf_weighted_chars": """
+        SELECT source,
+               round(sum(CAST(n_chars AS DOUBLE) * len(string_split(text, ' ')))
+                     / sum(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS w_chars
+        FROM documents GROUP BY source""",
         "doc_fingerprint": """
         SELECT doc_id, md5(text) AS content_hash,
                md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_hash
@@ -880,30 +1091,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, band,
                min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
         FROM sh CROSS JOIN bands GROUP BY doc_id, band""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
-        "lsh_candidates": """
+        "lsh_candidates": f"""
         WITH _WPOS_, _SH_,
         bands AS (SELECT unnest([0, 1, 2, 3]) AS band),
         sig AS (
           SELECT doc_id, band,
                  min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
-          FROM sh CROSS JOIN bands GROUP BY doc_id, band)
+          FROM sh CROSS JOIN bands GROUP BY doc_id, band),
+        ok AS (SELECT band, sig FROM sig GROUP BY band, sig
+               HAVING count(*) <= {MAX_LSH_BUCKET}),
+        sigf AS (SELECT s.* FROM sig s JOIN ok USING (band, sig))
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_bands
-        FROM sig a JOIN sig b
+        FROM sigf a JOIN sigf b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         GROUP BY 1, 2""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
-        "ngram_jaccard": """
+        "ngram_jaccard": f"""
         WITH _WPOS_, _SH_,
+        bands AS (SELECT unnest([0, 1, 2, 3]) AS band),
+        sig AS (
+          SELECT doc_id, band,
+                 min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+          FROM sh CROSS JOIN bands GROUP BY doc_id, band),
+        ok AS (SELECT band, sig FROM sig GROUP BY band, sig
+               HAVING count(*) <= {MAX_LSH_BUCKET}),
+        sigf AS (SELECT s.* FROM sig s JOIN ok USING (band, sig)),
+        cand AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM sigf a JOIN sigf b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
-          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-          FROM sh a JOIN sh b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          SELECT c.d1, c.d2, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.d1
+          JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
           GROUP BY 1, 2)
         SELECT d1, d2,
                round(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
         FROM inter JOIN sizes sa ON sa.doc_id = d1
                    JOIN sizes sb ON sb.doc_id = d2
         ORDER BY jaccard DESC, d1, d2 LIMIT 20""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "ann_lsh_topk": _ann_oracle_sql(),
         "simhash": """
         WITH w AS (
           SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h

@@ -75,16 +75,54 @@ def spark_pipeline(tokens_df, policy="ffill", exact_mode="decimal"):
 # ---------------------------------------------------------------------------
 
 
+def _oracle_tokens_df(spark, pdf):
+    """Oracle pandas frame (doc_id, tokens list) -> Spark df for R5."""
+    return spark.createDataFrame(
+        [(d, t) for d, t in zip(pdf["doc_id"], pdf["tokens"])],
+        "doc_id string, tokens array<int>",
+    )
+
+
 def test_gap_fill_ffill_token_array_equality(spark, tokens_df, token_rows, ora):
+    """R5 through the first-class operator (engine/parity.py): the gate IS
+    token_eq_check returning zero violations, not an ad-hoc dict compare."""
+    from engine.parity import token_eq_check
+
     filled = gap_fill(explode_series(tokens_df), "ffill")
-    got = {
-        r["doc_id"]: r["tokens"]
-        for r in reassemble_tokens(filled, tokens_df).collect()
+    got = reassemble_tokens(filled, tokens_df)
+    viol = token_eq_check(got, _oracle_tokens_df(spark, ora["filled"]))
+    assert viol.count() == 0, viol.limit(5).collect()
+
+
+def test_token_eq_check_reports_violations(spark, tokens_df, ora):
+    """Negative control for R5: a perturbed row, a dropped row and an extra
+    row each surface with the right reason."""
+    from engine.parity import token_eq_check
+
+    want = _oracle_tokens_df(spark, ora["filled"])
+    from pyspark.sql import functions as F
+
+    tampered = (
+        want.where("doc_id != 'doc_empty'")  # dropped row
+        .withColumn(
+            "tokens",
+            F.when(  # perturbed row: bump first element of doc_const
+                F.col("doc_id") == "doc_const",
+                F.concat(F.array(F.lit(999)), F.slice("tokens", 2, 1_000_000)),
+            ).otherwise(F.col("tokens")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("doc_extra", [1, 2, 3])], "doc_id string, tokens array<int>"
+            )
+        )
+    )
+    viol = {r["doc_id"]: r["reason"] for r in token_eq_check(tampered, want).collect()}
+    assert viol == {
+        "doc_const": "differs",
+        "doc_empty": "missing_in_got",
+        "doc_extra": "missing_in_expected",
     }
-    want = dict(zip(ora["filled"]["doc_id"], ora["filled"]["tokens"]))
-    assert got.keys() == want.keys()
-    for doc_id in want:
-        assert got[doc_id] == want[doc_id], f"{doc_id}: filled arrays differ"
 
 
 def test_gap_fill_zero_and_linear(spark, tokens_df, token_rows):
@@ -162,7 +200,8 @@ def _normalize_rollup(pdf: pd.DataFrame) -> pd.DataFrame:
 def test_rollup_and_cascade_parity(spark, tokens_df, token_rows, ora):
     r1m, r1h, r1d = _rollup_frames(spark, tokens_df)
     for tier, sdf in (("rollup_1m", r1m), ("rollup_1h", r1h), ("rollup_1d", r1d)):
-        got = _normalize_rollup(sdf.toPandas())
+        pdf = sdf.toPandas()
+        got = _normalize_rollup(pdf)
         want = _normalize_rollup(ora[tier])
         assert len(got) == len(want), f"{tier}: row count {len(got)} != {len(want)}"
         for col in ("doc_id", "bucket", "cnt", "anom_cnt"):
@@ -171,9 +210,9 @@ def test_rollup_and_cascade_parity(spark, tokens_df, token_rows, ora):
             assert got[col].tolist() == want[col].tolist(), f"{tier}.{col}"
         assert_float_col(
             f"{tier}.vmean",
-            got_mean := pd.Series(
+            pd.Series(
                 np.array(
-                    [np.nan if x is None else float(x) for x in sdf.toPandas().sort_values(["doc_id", "bucket"])["vmean"]]
+                    [np.nan if x is None else float(x) for x in pdf.sort_values(["doc_id", "bucket"])["vmean"]]
                 )
             ),
             pd.Series(

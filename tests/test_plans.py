@@ -75,6 +75,48 @@ def test_read_path_udf_free(spark, tokens_path, tmp_path):
     assert "EvalPython" not in plan  # no BatchEvalPython / ArrowEvalPython
 
 
+def test_asof_join_is_union_and_sort(spark):
+    """X4 as-of (round-2 rewrite): no broadcast of the orders fact table, no
+    nested-loop theta join, no join at all — one user-partitioned window
+    over the union."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_asof_order_before_event(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]  # union + window only
+    assert "Window [" in plan and "Union" in plan
+
+
+def test_ngram_jaccard_no_raw_shingle_selfjoin(spark):
+    """The exact-Jaccard verifier must run only over LSH candidate pairs.
+    The round-1 anti-pattern was a self-join keyed on `shingle` ALONE
+    (quadratic in hot-shingle document frequency); the rewrite's only
+    shingle join is compound-keyed (d2, shingle), bounded by the candidate
+    set. Cross joins in the plan are the deliberate 4-row band-replication
+    broadcasts, so we assert on the join KEYS, not the join strategy."""
+    import re
+
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_ngram_jaccard(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"Join \[shingle#\d+\], \[shingle#\d+\]", plan), (
+        "raw shingle-keyed self-join found:\n" + plan[:1500]
+    )
+
+
+def test_event_pairs_equi_join(spark):
+    """Range self-join is keyed on (user_id, minute bucket): the executed
+    join must be hash/merge (equi keys), not nested-loop."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_event_pairs_within_minute(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan[:1500]
+
+
 def test_detect_stays_in_codegen(spark, tokens_path):
     """R1-R4 must not fall out of whole-stage codegen into Python."""
     from engine.io import scan_tokens
