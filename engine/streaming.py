@@ -66,6 +66,79 @@ def start_rollup_stream(
     return writer.start()
 
 
+def stateful_detect_stream(
+    events_stream: DataFrame,
+    w: int = 30,
+    k: float = 3.0,
+) -> DataFrame:
+    """Custom stateful streaming operator (§2.10): the trailing-window
+    anomaly detector (R1-R4 semantics: inclusive window w, min_periods=w,
+    ddof=1, score = |v-ma|/sd, strict > k) running CONTINUOUSLY across
+    micro-batches via ``applyInPandasWithState``.
+
+    State per user = the last w-1 values (the window tail), so an event
+    early in batch N+1 is scored against a window that reaches back into
+    batch N — a batch-at-a-time recompute cannot do this without re-reading
+    history. The kernel is vectorized NumPy over Arrow batches (cumulative
+    sums, no per-row Python); state stays O(w) per key and survives
+    restarts through the streaming state store.
+
+    Within a batch, rows are ordered by (ts, event_id); correctness across
+    batches assumes event time is non-decreasing batch-over-batch (the
+    file-drop ingest pattern). Late data needs a watermark + buffer
+    variant, out of scope per SURVEY.md §2.10.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, event_id long, value double, score double, is_anom boolean"
+    )
+    state_schema = "tail array<double>"
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        tail = np.array(state.get[0], dtype=np.float64) if state.exists else np.empty(0)
+        outs = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            buf = np.concatenate([tail, vals])
+            n0 = buf.size - vals.size
+            c1 = np.concatenate([[0.0], np.cumsum(buf)])
+            c2 = np.concatenate([[0.0], np.cumsum(buf * buf)])
+            pos = np.arange(n0, buf.size)  # absolute index of each new point
+            full = pos + 1 >= w
+            lo = np.where(full, pos + 1 - w, 0)
+            s = c1[pos + 1] - c1[lo]
+            ss = c2[pos + 1] - c2[lo]
+            ma = s / w
+            var = np.maximum(ss - s * s / w, 0.0) / (w - 1)
+            sd = np.sqrt(var)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = np.abs(vals - ma) / sd
+            score = np.where(full & (sd > 0), score, np.nan)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": pdf["user_id"].to_numpy(),
+                        "event_id": pdf["event_id"].to_numpy(),
+                        "value": vals,
+                        "score": score,
+                        "is_anom": np.nan_to_num(score, nan=0.0) > k,
+                    }
+                )
+            )
+            tail = buf[-(w - 1):] if w > 1 else np.empty(0)
+        state.update((tail.tolist(),))
+        yield from outs
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 minute",

@@ -25,6 +25,32 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def _jvm_metrics(spark) -> dict:
+    """JVM-side counters for run-to-run variance diagnosis: cumulative GC
+    milliseconds and the driver JVM's process CPU seconds (utime+stime from
+    /proc — same process in local mode, where executors are threads)."""
+    jvm = spark._jvm
+    gc_ms = 0
+    for bean in jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans():
+        gc_ms += bean.getCollectionTime()
+    jvm_pid = int(
+        jvm.java.lang.ProcessHandle.current().pid()
+    )
+    with open(f"/proc/{jvm_pid}/stat") as f:
+        parts = f.read().split()
+    tick = os.sysconf("SC_CLK_TCK")
+    cpu_s = (int(parts[13]) + int(parts[14])) / tick
+    return {"gc_ms": gc_ms, "jvm_cpu_s": cpu_s}
+
+
+def _host_steal() -> float:
+    """Cumulative hypervisor steal seconds from /proc/stat (field 8)."""
+    with open("/proc/stat") as f:
+        first = f.readline().split()
+    tick = os.sysconf("SC_CLK_TCK")
+    return int(first[8]) / tick if len(first) > 8 else 0.0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=10_000)
@@ -65,14 +91,17 @@ def main() -> None:
         shutil.rmtree(wh, ignore_errors=True)
 
     results = []
+    all_recs: list[dict] = []
     for i in range(args.runs):
         wh = os.path.join(args.workdir, f"wh-run{i}")
         shutil.rmtree(wh, ignore_errors=True)
+        m0, s0 = _jvm_metrics(spark), _host_steal()
         t0 = time.monotonic()
         tiers = run_rollup(
             spark, tokens, wh, epoch=1, compress=not args.no_compress
         )
         wall = time.monotonic() - t0
+        m1, s1 = _jvm_metrics(spark), _host_steal()
         rec = {
             "run": i,
             "seconds": round(wall, 3),
@@ -83,9 +112,14 @@ def main() -> None:
             "len": args.length,
             "compress": not args.no_compress,
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            # variance diagnosis: where did the wall time go?
+            "gc_s": round((m1["gc_ms"] - m0["gc_ms"]) / 1000, 3),
+            "jvm_cpu_s": round(m1["jvm_cpu_s"] - m0["jvm_cpu_s"], 1),
+            "host_steal_s": round(s1 - s0, 1),
         }
         print(json.dumps(rec), flush=True)
         results.append(wall)
+        all_recs.append(rec)
         shutil.rmtree(wh, ignore_errors=True)
 
     med = sorted(results)[len(results) // 2]
@@ -97,9 +131,11 @@ def main() -> None:
                 "tokens_per_sec": round(total_tokens / med),
                 "cores": cores,
                 "runs": [round(r, 3) for r in results],
+                "runs_detail": all_recs,
                 "docs": args.docs,
                 "len": args.length,
                 "compress": not args.no_compress,
+                "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
             }
         ),
         flush=True,

@@ -92,6 +92,97 @@ def test_stream_accumulates_disjoint_docs(spark, tmp_path):
     assert got == want
 
 
+def test_stateful_detect_continues_across_batches(spark, tmp_path):
+    """applyInPandasWithState detector (engine/streaming.py): the per-user
+    window tail carried in state must let batch-2 events be scored against
+    batch-1 history — flags across two restarts (same checkpoint) equal the
+    pandas rolling oracle over the concatenated series."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.streaming import stateful_detect_stream
+
+    # self-inclusion ceiling (SURVEY.md §2.1a): max score = (w-1)/sqrt(w),
+    # so detection needs (w-1)/sqrt(w) > k — w=12, k=2.5 gives 3.18 > 2.5
+    w, k = 12, 2.5
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def mk(u, i):
+        # low-variance base so the injected spikes clear k decisively
+        return float(100 + ((u * 37 + i * 17) % 11))
+
+    n1, n2 = 16, 6
+    rows1, rows2 = [], []
+    for u in range(3):
+        for i in range(n1):
+            rows1.append((u * 100 + i, 1704067200 + i, u, mk(u, i)))
+        for j in range(n2):
+            i = n1 + j
+            # spike at the SECOND event of batch 2: its window reaches back
+            # into batch 1 (j=1 < w-1), so detection requires carried state
+            v = 500.0 if j == 1 else mk(u, i)
+            rows2.append((u * 100 + i, 1704067200 + i, u, v))
+
+    def write(rows, name):
+        spark.createDataFrame(
+            rows, "event_id long, epoch long, user_id long, value double"
+        ).select(
+            "event_id", F.timestamp_seconds("epoch").alias("ts"), "user_id", "value"
+        ).write.parquet(f"{src}/{name}")
+
+    outdir = str(tmp_path / "out")
+
+    def run():
+        # file sink (not memory): the second start must RECOVER the state
+        # store from the same checkpoint, which the memory sink cannot
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(f"{src}/*")
+        q = (
+            stateful_detect_stream(stream, w=w, k=k)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write(rows1, "d1")
+    run()
+    write(rows2, "d2")
+    run()
+    got = (
+        spark.read.parquet(outdir)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(rows1) + len(rows2)
+
+    # pandas oracle over the concatenated per-user series
+    full = pd.DataFrame(
+        [(e, u, v) for (e, _t, u, v) in rows1 + rows2],
+        columns=["event_id", "user_id", "value"],
+    ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    flags = []
+    for u, g in full.groupby("user_id"):
+        s = g["value"]
+        ma = s.rolling(w).mean()
+        sd = s.rolling(w).std(ddof=1)
+        score = (s - ma).abs() / sd
+        flags.append(score.fillna(0) > k)
+    want = pd.concat(flags).to_numpy()
+    assert (got["is_anom"].to_numpy() == want).all()
+    # the state-dependent spike (batch-2 position 1) must actually fire
+    spike_ids = {u * 100 + n1 + 1 for u in range(3)}
+    fired = set(got.loc[got["is_anom"], "event_id"].astype(int))
+    assert spike_ids <= fired
+
+
 def test_windowed_event_counts_matches_batch(spark, tmp_path):
     """The streaming window aggregate (availableNow over a file stream)
     must equal the same aggregate computed in batch."""

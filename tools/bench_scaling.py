@@ -22,18 +22,27 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
-def run_config(master: str, docs: int, length: int, runs: int, compress: bool) -> dict:
+def run_config(
+    master: str, docs: int, length: int, runs: int, compress: bool, warmup: int = 2
+) -> dict:
     cmd = [
         sys.executable,
         str(REPO / "jobs" / "bench_pipeline.py"),
         "--docs", str(docs), "--len", str(length),
-        "--master", master, "--runs", str(runs), "--warmup", "1",
+        "--master", master, "--runs", str(runs), "--warmup", str(warmup),
     ]
     if not compress:
         cmd.append("--no-compress")
+    # 16g heap, NOT 48g (round-2 diagnosis, BENCH/BASELINE.md): at 48g the
+    # window-stage sorters fill the heap before spilling and G1 young pauses
+    # reach 2.3 s (live set 16+ GB); at 16g GC is <5% of wall and the run-
+    # to-run spread collapses. The residual first-runs drift is JIT warm-up
+    # of generated code (10x CPU-seconds on a cold JVM), hence warmup=2
+    # FULL-SIZE untimed runs per JVM.
+    env = dict(os.environ, SPARK_DRIVER_MEMORY="16g")
     print(f"--- {master} compress={compress}: {' '.join(cmd)}", file=sys.stderr, flush=True)
     out = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, check=True
+        cmd, cwd=REPO, capture_output=True, text=True, check=True, env=env
     ).stdout
     summary = None
     for line in out.splitlines():
@@ -53,7 +62,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=6000)
     ap.add_argument("--len", type=int, default=8192, dest="length")
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--skip-compress", action="store_true")
     ap.add_argument("--tag", default="")
     args = ap.parse_args()
@@ -101,8 +110,10 @@ Input: deterministic synthetic token table, {args.docs} docs x {args.length}
 tokens = {total_tokens:,} tokens (seed=42, hash-of-id generation), written
 to parquet once (untimed). Timed job: full raw -> 1m -> 1h -> 1d rollup
 (gap-fill, rolling stats, detect, cascade, lineage commits) to a fresh
-warehouse. {args.runs} timed runs after 1 untimed warmup per JVM; median
-reported. git {git_sha}. shuffle partitions = core count. AQE on.
+warehouse. {args.runs} timed runs after 2 untimed FULL-SIZE warmups per
+JVM; MEDIAN reported (protocol in /root/repo/BASELINE.md). Driver heap 16g
+(see variance diagnosis below). git {git_sha}. shuffle partitions = core
+count. AQE on.
 
 ## Scaling (sandbox proxy for N -> 4N executors; BASELINE.json:14)
 
@@ -111,14 +122,33 @@ reported. git {git_sha}. shuffle partitions = core count. AQE on.
 | pipeline, no compression payloads | {n8:,} | {n32:,} | **{ne}** |
 | pipeline + Gorilla/DoD payloads | {c8:,} | {c32:,} | **{ce}** |
 
-Raw per-run data: BENCH/scaling.json.
+Raw per-run data (incl. per-run GC seconds, JVM CPU seconds and hypervisor
+steal seconds): BENCH/scaling.json `runs_detail`.
+
+## Variance diagnosis (round 2 — why round-1 numbers swung up to 7x)
+
+Measured with per-run JVM counters (jobs/bench_pipeline.py::_jvm_metrics,
+GC logs in /tmp/gc-*.log via tools/diag_gc.py):
+
+1. **48g driver heap was the amplifier.** The window-stage sorters consume
+   execution memory before spilling; at 48g the live heap during the 1m
+   stage exceeded 16 GB and G1 young pauses reached 2.3 s (plus RPC
+   heartbeat timeouts during pauses). At 16g the sorters spill to NVMe
+   instead and GC drops under 5% of wall. -> benches pin
+   SPARK_DRIVER_MEMORY=16g.
+2. **Cold generated code costs ~10x CPU, and one warmup was not enough.**
+   Same-input runs burned 3121 -> 585 -> 312 JVM CPU-seconds (measured,
+   g1_16g diagnosis) as C2 compiled the codegen'd stages. -> 2 untimed
+   FULL-SIZE warmups per JVM before the timed runs.
+3. **Intermittent hypervisor steal** (up to ~74 s per run observed) adds
+   external noise no config removes. -> 5 timed runs, MEDIAN per the
+   BASELINE.md protocol; per-run steal seconds recorded next to every
+   number so an outlier is attributable.
 
 Interpretation notes:
 - the cores-only delta is the honest sandbox proxy: same code, same input,
   same single NVMe — no network shuffle, so it measures CPU scaling of the
   window/agg/Arrow stages, which is the component the 0.8 target governs.
-- per-run medians; first-run JIT/codegen excluded via warmup (protocol in
-  /root/repo/BASELINE.md).
 """
     with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
         f.write(md)
