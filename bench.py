@@ -76,9 +76,11 @@ def main() -> None:
     # raw->1m->1h->1d rollup incl compression payloads
     tok_path = f"/tmp/bench_tokens-{PIPELINE_DOCS}x{PIPELINE_LEN}"
     if not os.path.exists(os.path.join(tok_path, "_SUCCESS")):
-        synth_tokens(spark, PIPELINE_DOCS, n_tok=PIPELINE_LEN).write.mode(
-            "overwrite"
-        ).parquet(tok_path)
+        # >= 64 files: fused-pipeline parallelism is bounded by row-group
+        # count (see jobs/bench_pipeline.py)
+        synth_tokens(spark, PIPELINE_DOCS, n_tok=PIPELINE_LEN).repartition(
+            64
+        ).write.mode("overwrite").parquet(tok_path)
     tokens = scan_tokens(spark, tok_path)
     # warm the pipeline path untimed at FULL size (Python workers, Arrow,
     # codegen and page cache spin up once per JVM — one-time cost a

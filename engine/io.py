@@ -187,6 +187,24 @@ class ParquetManifestFormat:
         self._store(table, manifest)
         return snap_id
 
+    def drop_partitions(self, table: str, part_hashes: list[int]) -> int:
+        """Metadata-only commit removing partitions from the CURRENT view
+        (Iceberg dropPartition shape — used by retention expiry). No data
+        file is touched: prior snapshots still reference the dirs, so time
+        travel to before the drop still serves the rows."""
+        manifest = self._load(table)
+        snap_id = int(manifest["current"]) + 1
+        parts = dict(manifest["snapshots"][str(manifest["current"])]["partitions"])
+        for h in part_hashes:
+            parts.pop(str(int(h)), None)
+        manifest["snapshots"][str(snap_id)] = {
+            "partitions": parts,
+            "committed_at_unix": time.time(),
+        }
+        manifest["current"] = snap_id
+        self._store(table, manifest)
+        return snap_id
+
     def read_at(self, table: str, snapshot_id: int) -> DataFrame:
         """S3: time-travel read of one snapshot.
 

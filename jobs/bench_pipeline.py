@@ -60,6 +60,7 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=1,
                     help="untimed JIT warmup runs before the timed ones")
     ap.add_argument("--no-compress", action="store_true")
+    ap.add_argument("--pipeline", default="fused", choices=["fused", "exploded"])
     ap.add_argument("--workdir", default="/tmp/bench_pipeline")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
@@ -78,16 +79,21 @@ def main() -> None:
 
     tok_path = os.path.join(args.workdir, f"tokens-{args.docs}x{args.length}")
     if not os.path.exists(os.path.join(tok_path, "_SUCCESS")):
-        synth_tokens(spark, args.docs, n_tok=args.length).write.mode(
-            "overwrite"
-        ).parquet(tok_path)
+        # >= 64 files: the fused pipeline's parallelism is bounded by parquet
+        # row-group count (row groups are unsplittable), so an input written
+        # at low parallelism silently caps every later scan. A real 100 TB
+        # table has orders of magnitude more files than cores; the bench
+        # input must not be the artificial bottleneck.
+        synth_tokens(spark, args.docs, n_tok=args.length).repartition(
+            64
+        ).write.mode("overwrite").parquet(tok_path)
     tokens = scan_tokens(spark, tok_path)
     total_tokens = args.docs * args.length
 
     for i in range(args.warmup):
         wh = os.path.join(args.workdir, f"wh-warm{i}")
         shutil.rmtree(wh, ignore_errors=True)
-        run_rollup(spark, tokens, wh, epoch=1, compress=not args.no_compress)
+        run_rollup(spark, tokens, wh, epoch=1, compress=not args.no_compress, pipeline=args.pipeline)
         shutil.rmtree(wh, ignore_errors=True)
 
     results = []
@@ -98,7 +104,8 @@ def main() -> None:
         m0, s0 = _jvm_metrics(spark), _host_steal()
         t0 = time.monotonic()
         tiers = run_rollup(
-            spark, tokens, wh, epoch=1, compress=not args.no_compress
+            spark, tokens, wh, epoch=1, compress=not args.no_compress,
+            pipeline=args.pipeline,
         )
         wall = time.monotonic() - t0
         m1, s1 = _jvm_metrics(spark), _host_steal()
@@ -111,6 +118,7 @@ def main() -> None:
             "docs": args.docs,
             "len": args.length,
             "compress": not args.no_compress,
+            "pipeline": args.pipeline,
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             # variance diagnosis: where did the wall time go?
             "gc_s": round((m1["gc_ms"] - m0["gc_ms"]) / 1000, 3),

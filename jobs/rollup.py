@@ -48,8 +48,24 @@ def run_rollup(
     compress: bool = True,
     stats_mode: str = "long",
     merge_docs: bool = False,
+    pipeline: str = "fused",
+    arrow_batch_rows: int = 2048,
 ) -> dict:
     """Run (or resume) the full cascade for one checkpoint epoch.
+
+    ``pipeline`` picks the 1m-tier physical strategy (identical results,
+    pinned by tests/test_fused.py):
+      - 'fused' (default, the scale path): one narrow mapInPandas pass over
+        the raw doc rows — gap-fill, stats, detect, bucket aggregates and
+        compression in a single Arrow kernel; NO shuffle or sort of raw
+        points (engine/fused.py). The only exchange is the part_hash
+        repartition of the ~60x smaller rollup output for the write.
+        ``arrow_batch_rows`` bounds the Arrow batch in DOC rows (a row is a
+        whole series; 2048 x 8192 tokens ~ 64 MB per batch).
+      - 'exploded': posexplode -> doc_id-windowed Catalyst stats -> groupBy
+        (engine/series.py + stats.py + rollup.py) — the semantic reference,
+        and the path for int32-extreme domains via stats_mode='decimal'
+        (the fused kernel fails loudly outside its exact-int64 domain).
 
     ``merge_docs=True`` gives ACCUMULATE semantics for incremental ingest
     (streaming micro-batches): rows already in a touched partition are
@@ -80,21 +96,45 @@ def run_rollup(
             toks = with_part_hash(tokens_df, n_buckets)
             if len(pending_set) < n_buckets:
                 toks = toks.where(F.col("part_hash").isin(pending_set))
-            # One doc_id-keyed shuffle serves explode -> gap-fill -> stats ->
-            # rollup (window partition key == groupBy prefix, SURVEY.md §3.1).
-            points = gap_fill(explode_series(toks.drop("part_hash")), policy)
-            flagged = detect(points, w, k, stats_mode)
-            if compress:
-                # fused A1+C1+C2: one Python pass computes aggregates AND
-                # payloads — avoids executing the window pipeline twice
-                # (engine/compression.py::rollup_1m_with_payloads)
-                from engine.compression import rollup_1m_with_payloads
+            if pipeline == "fused":
+                # scale path: narrow Arrow pass, zero raw-point shuffle
+                # (engine/fused.py). Batch sizing is in DOC rows here.
+                from engine.fused import fused_rollup_1m
 
-                tier_df = rollup_1m_with_payloads(flagged, "1m")
+                spark.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch",
+                    str(int(arrow_batch_rows)),
+                )
+                # With no exchange, parallelism == scan splits. The default
+                # 128 MB maxPartitionBytes packs a small-table scan into a
+                # handful of splits and idles the other cores; 16 MB keeps
+                # every core fed. (On a 100 TB cluster input the default
+                # already yields far more splits than cores — this only
+                # matters when input/cores < ~128 MB.)
+                spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+                tier_df = fused_rollup_1m(
+                    toks.drop("part_hash"), w, k, policy, compress
+                )
+            elif pipeline == "exploded":
+                # One doc_id-keyed shuffle serves explode -> gap-fill ->
+                # stats -> rollup (window key == groupBy prefix, §3.1).
+                points = gap_fill(explode_series(toks.drop("part_hash")), policy)
+                flagged = detect(points, w, k, stats_mode)
+                if compress:
+                    # fused A1+C1+C2: one Python pass computes aggregates AND
+                    # payloads — avoids executing the window pipeline twice
+                    # (engine/compression.py::rollup_1m_with_payloads)
+                    from engine.compression import rollup_1m_with_payloads
+
+                    tier_df = rollup_1m_with_payloads(flagged, "1m")
+                else:
+                    tier_df = rollup_from_points(flagged, "1m").withColumn(
+                        "ts_dod", F.lit(None).cast("binary")
+                    ).withColumn("v_gorilla", F.lit(None).cast("binary"))
             else:
-                tier_df = rollup_from_points(flagged, "1m").withColumn(
-                    "ts_dod", F.lit(None).cast("binary")
-                ).withColumn("v_gorilla", F.lit(None).cast("binary"))
+                raise ValueError(
+                    f"pipeline must be 'fused' or 'exploded', got {pipeline!r}"
+                )
             tier_df = with_part_hash(tier_df, n_buckets)
             if merge_docs and fmt.current_snapshot("rollup_1m") > 0:
                 # touched set from the (cheap, column-pruned) token batch —
@@ -179,6 +219,11 @@ def main() -> None:
     ap.add_argument("--stats-mode", default="long", choices=["long", "decimal"],
                     help="integer carrier for exact rolling stats; 'decimal' "
                          "for int32-extreme domains (see engine/stats.py)")
+    ap.add_argument("--pipeline", default="fused", choices=["fused", "exploded"],
+                    help="1m-tier strategy: fused narrow Arrow pass (scale "
+                         "path) or exploded Catalyst windows (reference path)")
+    ap.add_argument("--arrow-batch-rows", type=int, default=2048,
+                    help="Arrow batch size in DOC rows for the fused path")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -202,6 +247,8 @@ def main() -> None:
         stop_after_tier=args.stop_after_tier,
         compress=not args.no_compress,
         stats_mode=args.stats_mode,
+        pipeline=args.pipeline,
+        arrow_batch_rows=args.arrow_batch_rows,
     )
     for tier, m in metrics.items():
         print(f"tier={tier} {m}")
