@@ -117,22 +117,24 @@ def _anom_flags(vf: np.ndarray, w: int, k: float) -> np.ndarray:
     return anom
 
 
-def _doc_rollup_rows(
-    doc_id: str,
+def _doc_rollup_cols(
     vf: np.ndarray,
     anom: np.ndarray,
     b: int,
     compress: bool,
-    rows: list,
-) -> None:
-    """A1 (+C1/C2) over one gap-filled series; appends one tuple per bucket
+) -> tuple:
+    """A1 (+C1/C2) over one gap-filled series -> per-bucket column arrays
     (every bucket in [0, ceil(n/b)) is emitted, cnt=0 buckets included —
-    identical to the exploded groupBy, which sees the null points too)."""
+    identical to the exploded groupBy, which sees the null points too).
+
+    Returns typed NumPy columns, not row tuples: the batch assembler
+    concatenates them into columnar pandas (nullable Int arrays), so the
+    pandas -> Arrow trip back to the JVM never walks Python objects —
+    measured 3-5 s/task of per-cell conversion at 200k output rows
+    otherwise."""
     from engine.compression import dod_compress, gorilla_compress
 
     n = vf.size
-    if n == 0:
-        return
     valid = ~np.isnan(vf)
     starts = np.arange(0, n, b)
     cnts = np.add.reduceat(valid.astype(np.int64), starts)
@@ -142,32 +144,37 @@ def _doc_rollup_rows(
     firsts = np.minimum.reduceat(np.where(valid, np.arange(n), n), starts)
     lasts = np.maximum.reduceat(np.where(valid, np.arange(n), -1), starts)
     anoms = np.add.reduceat(anom.astype(np.int64), starts)
-    for j, s in enumerate(starts.tolist()):
-        cnt = int(cnts[j])
-        if compress:
+    empty = cnts == 0
+    # sums is exactly int; float64 division == Catalyst double(vsum)/cnt
+    with np.errstate(divide="ignore", invalid="ignore"):
+        vmeans = sums.astype(np.float64) / cnts.astype(np.float64)
+    safe_first = np.where(empty, 0, np.minimum(firsts, n - 1)).astype(np.int64)
+    safe_last = np.where(empty, 0, np.maximum(lasts, 0)).astype(np.int64)
+    payloads_t: list | None = None
+    payloads_v: list | None = None
+    if compress:
+        payloads_t, payloads_v = [], []
+        for s in starts.tolist():
             e = min(s + b, n)
             tv = np.flatnonzero(valid[s:e]) + s
-            ts_dod = dod_compress(tv)
-            v_gor = gorilla_compress(vf[tv].astype(np.int64))
-        else:
-            ts_dod = None
-            v_gor = None
-        rows.append(
-            (
-                doc_id,
-                j,
-                cnt,
-                int(vmins[j]) if cnt else None,
-                int(vmaxs[j]) if cnt else None,
-                int(sums[j]) if cnt else None,
-                float(int(sums[j])) / cnt if cnt else None,
-                int(anoms[j]),
-                int(vf[int(firsts[j])]) if cnt else None,
-                int(vf[int(lasts[j])]) if cnt else None,
-                ts_dod,
-                v_gor,
-            )
-        )
+            payloads_t.append(dod_compress(tv))
+            payloads_v.append(gorilla_compress(vf[tv].astype(np.int64)))
+    return (
+        np.arange(len(starts), dtype=np.int64),  # bucket
+        cnts,
+        np.where(empty, 0, vmins).astype(np.int64),
+        np.where(empty, 0, vmaxs).astype(np.int64),
+        sums,
+        vmeans,
+        anoms,
+        # empty buckets gather a NaN — zero it before the int cast (the
+        # value is masked out downstream; this only silences the cast)
+        np.where(empty, 0.0, vf[safe_first]).astype(np.int64),
+        np.where(empty, 0.0, vf[safe_last]).astype(np.int64),
+        empty,
+        payloads_t,
+        payloads_v,
+    )
 
 
 def fused_rollup_1m(
@@ -193,10 +200,14 @@ def fused_rollup_1m(
     w_, k_, policy_, compress_ = int(w), float(k), policy, bool(compress)
 
     def run_batches(batches):
-        rows: list = []
         for pdf in batches:
             docs = pdf["doc_id"].tolist()
             toks = pdf["tokens"].tolist()
+            doc_ids: list = []
+            nb_per_doc: list = []
+            cols: list[list] = [[] for _ in range(10)]
+            pay_t: list = []
+            pay_v: list = []
             for doc_id, arr in zip(docs, toks):
                 if arr is None:
                     continue
@@ -205,10 +216,45 @@ def fused_rollup_1m(
                     continue
                 vf = _gap_fill_np(vf, policy_)
                 anom = _anom_flags(vf, w_, k_)
-                _doc_rollup_rows(doc_id, vf, anom, b, compress_, rows)
-            if rows:
-                yield pd.DataFrame(rows, columns=_ROLLUP_COLS)
-                rows = []
+                out = _doc_rollup_cols(vf, anom, b, compress_)
+                doc_ids.append(doc_id)
+                nb_per_doc.append(out[0].size)
+                for i in range(10):
+                    cols[i].append(out[i])
+                if compress_:
+                    pay_t.extend(out[10])
+                    pay_v.extend(out[11])
+            if not doc_ids:
+                continue
+            bucket, cnt, vmin, vmax, vsum, vmean, anom_cnt, first_v, last_v, empty = (
+                np.concatenate(c) for c in cols
+            )
+
+            def nullable(vals, mask, dtype):
+                return pd.arrays.IntegerArray(vals.astype(dtype), mask.copy())
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        np.array(doc_ids, dtype=object), nb_per_doc
+                    ),
+                    "bucket": bucket,
+                    "cnt": cnt,
+                    "vmin": nullable(vmin, empty, np.int32),
+                    "vmax": nullable(vmax, empty, np.int32),
+                    "vsum": nullable(vsum, empty, np.int64),
+                    "vmean": np.where(empty, np.nan, vmean),
+                    "anom_cnt": anom_cnt,
+                    "first_v": nullable(first_v, empty, np.int32),
+                    "last_v": nullable(last_v, empty, np.int32),
+                    "ts_dod": pd.Series(pay_t, dtype=object)
+                    if compress_
+                    else pd.Series([None] * len(bucket), dtype=object),
+                    "v_gorilla": pd.Series(pay_v, dtype=object)
+                    if compress_
+                    else pd.Series([None] * len(bucket), dtype=object),
+                }
+            )
 
     out = tokens_df.select("doc_id", "tokens").mapInPandas(run_batches, _ROLLUP_DDL)
     return out.withColumn(

@@ -81,6 +81,13 @@ def run_rollup(
     tiers = tiers or TIER_ORDER
     metrics: dict = {}
 
+    # Token rows are WIDE (one row = a whole series array). The vectorized
+    # parquet reader sizes batches in ROWS (default 4096 = ~134 MB of column
+    # vectors at 8192-token docs), so 32 concurrent tasks OOM a sane heap.
+    # 128 rows ~ 4 MB per batch at 8192 tokens, 44 MB at the 86400 design
+    # max — bounded regardless of parallelism.
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+
     for tier in tiers:
         t_start = time.monotonic()
         pending = pending_partitions(warehouse, tier, epoch, n_buckets)
