@@ -63,6 +63,7 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=6000)
     ap.add_argument("--len", type=int, default=8192, dest="length")
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--skip-compress", action="store_true")
     ap.add_argument("--tag", default="")
     args = ap.parse_args()
@@ -76,7 +77,10 @@ def main() -> None:
     for compress in variants:
         for master, cores in (("local[8]", 8), ("local[32]", 32)):
             key = f"{'comp' if compress else 'nocomp'}-{cores}"
-            results[key] = run_config(master, args.docs, args.length, args.runs, compress)
+            results[key] = run_config(
+                master, args.docs, args.length, args.runs, compress,
+                warmup=args.warmup,
+            )
 
     def eff(compress_key: str) -> tuple[float, float, float]:
         thr8 = results[f"{compress_key}-8"]["tokens_per_sec"]
