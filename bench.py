@@ -38,8 +38,11 @@ HEADLINE = [
     "embedding_topk",
 ]
 
-PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000"))
-PIPELINE_LEN = int(os.environ.get("SPARK_GRAFT_BENCH_LEN", "4096"))
+# 49.2M tokens: big enough that the 3 fixed tier commits (~6 s) stop
+# dominating and the probe reflects pipeline throughput, small enough to
+# generate + run twice (warmup + timed) in ~1 min on local[32]
+PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "6000"))
+PIPELINE_LEN = int(os.environ.get("SPARK_GRAFT_BENCH_LEN", "8192"))
 
 
 def main() -> None:
