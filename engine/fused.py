@@ -97,10 +97,16 @@ def _anom_flags(vf: np.ndarray, w: int, k: float) -> np.ndarray:
         return anom
     iv = vf[fv:].astype(np.int64)
     maxabs = int(np.max(np.abs(iv))) if m else 0
-    if m * maxabs * maxabs >= 2**62:
+    # Two exact-int64 domain bounds (both must hold, both FAIL LOUDLY):
+    #   m*max^2   >= cumsum c2 (and c1 when max>=1)        -> < 2^62
+    #   (w*max)^2 >= both s1*s1 and w*s2 in num=w*s2-s1^2  -> < 2^63
+    # The second was missing in round 2 (ADVICE r02 medium): w=30 with
+    # |v|~3.9e8 passed the first bound yet s1^2 ~1.4e20 wrapped silently.
+    if m * maxabs * maxabs >= 2**62 or (w * maxabs) ** 2 >= 2**63:
         raise ValueError(
-            "fused kernel: n*max(v)^2 exceeds the exact int64 domain "
-            f"(n={m}, max|v|={maxabs}); rerun with pipeline='exploded' "
+            "fused kernel: exact int64 domain exceeded "
+            f"(n={m}, w={w}, max|v|={maxabs}: need n*max^2 < 2^62 and "
+            "(w*max)^2 < 2^63); rerun with pipeline='exploded' "
             "and stats_mode='decimal' (engine/stats.py)"
         )
     c1 = np.concatenate(([0], np.cumsum(iv)))

@@ -100,39 +100,44 @@ def stateful_detect_stream(
         import pandas as pd
 
         tail = np.array(state.get[0], dtype=np.float64) if state.exists else np.empty(0)
-        outs = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            vals = pdf["value"].to_numpy(dtype=np.float64)
-            buf = np.concatenate([tail, vals])
-            n0 = buf.size - vals.size
-            c1 = np.concatenate([[0.0], np.cumsum(buf)])
-            c2 = np.concatenate([[0.0], np.cumsum(buf * buf)])
-            pos = np.arange(n0, buf.size)  # absolute index of each new point
-            full = pos + 1 >= w
-            lo = np.where(full, pos + 1 - w, 0)
-            s = c1[pos + 1] - c1[lo]
-            ss = c2[pos + 1] - c2[lo]
-            ma = s / w
-            var = np.maximum(ss - s * s / w, 0.0) / (w - 1)
-            sd = np.sqrt(var)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                score = np.abs(vals - ma) / sd
-            score = np.where(full & (sd > 0), score, np.nan)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "user_id": pdf["user_id"].to_numpy(),
-                        "event_id": pdf["event_id"].to_numpy(),
-                        "value": vals,
-                        "score": score,
-                        "is_anom": np.nan_to_num(score, nan=0.0) > k,
-                    }
-                )
-            )
-            tail = buf[-(w - 1):] if w > 1 else np.empty(0)
+        # applyInPandasWithState delivers ONE KEY's batch rows as MULTIPLE
+        # Arrow chunks with no global order guarantee (chunk size follows
+        # arrow.maxRecordsPerBatch). Sorting each chunk independently
+        # (round-2 bug, ADVICE r02) mis-windows any batch larger than one
+        # chunk — so concatenate all chunks, sort ONCE, run the kernel once.
+        chunks = [pdf for pdf in pdf_iter]
+        if not chunks:
+            state.update((tail.tolist(),))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        buf = np.concatenate([tail, vals])
+        n0 = buf.size - vals.size
+        c1 = np.concatenate([[0.0], np.cumsum(buf)])
+        c2 = np.concatenate([[0.0], np.cumsum(buf * buf)])
+        pos = np.arange(n0, buf.size)  # absolute index of each new point
+        full = pos + 1 >= w
+        lo = np.where(full, pos + 1 - w, 0)
+        s = c1[pos + 1] - c1[lo]
+        ss = c2[pos + 1] - c2[lo]
+        ma = s / w
+        var = np.maximum(ss - s * s / w, 0.0) / (w - 1)
+        sd = np.sqrt(var)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = np.abs(vals - ma) / sd
+        score = np.where(full & (sd > 0), score, np.nan)
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "value": vals,
+                "score": score,
+                "is_anom": np.nan_to_num(score, nan=0.0) > k,
+            }
+        )
+        tail = buf[-(w - 1):] if w > 1 else np.empty(0)
         state.update((tail.tolist(),))
-        yield from outs
+        yield out
 
     return events_stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

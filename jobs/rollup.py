@@ -81,6 +81,16 @@ def run_rollup(
     tiers = tiers or TIER_ORDER
     metrics: dict = {}
 
+    # This job retunes session confs for wide-array rows; snapshot them so a
+    # shared session (bench queries, streaming operators, later exploded
+    # runs) gets its own settings back afterwards (ADVICE r02).
+    _tuned = [
+        "spark.sql.parquet.columnarReaderBatchSize",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+    ]
+    _saved = {c: spark.conf.get(c, None) for c in _tuned}
+
     # Token rows are WIDE (one row = a whole series array). The vectorized
     # parquet reader sizes batches in ROWS (default 4096 = ~134 MB of column
     # vectors at 8192-token docs), so 32 concurrent tasks OOM a sane heap.
@@ -88,6 +98,26 @@ def run_rollup(
     # max — bounded regardless of parallelism.
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
 
+    try:
+        _run_tiers(
+            spark, fmt, tokens_df, warehouse, epoch, w, k, policy, n_buckets,
+            tiers, stop_after_tier, input_snapshot_id, compress, stats_mode,
+            merge_docs, pipeline, arrow_batch_rows, metrics,
+        )
+    finally:
+        for c, v in _saved.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+    return metrics
+
+
+def _run_tiers(
+    spark, fmt, tokens_df, warehouse, epoch, w, k, policy, n_buckets,
+    tiers, stop_after_tier, input_snapshot_id, compress, stats_mode,
+    merge_docs, pipeline, arrow_batch_rows, metrics,
+) -> None:
     for tier in tiers:
         t_start = time.monotonic()
         pending = pending_partitions(warehouse, tier, epoch, n_buckets)
@@ -205,7 +235,6 @@ def run_rollup(
         }
         if stop_after_tier == tier:
             break
-    return metrics
 
 
 def main() -> None:

@@ -119,3 +119,18 @@ def test_run_rollup_pipelines_agree_end_to_end(spark, tmp_path):
             )
 
         assert norm(ff) == norm(fe), tier
+
+
+def test_fused_guard_catches_s1_squared_overflow():
+    """ADVICE r02 (medium): w=30 docs with |v|~2e8 pass the old
+    n*max^2 < 2^62 bound yet s1^2 wraps int64. The widened guard
+    ((w*max)^2 < 2^63) must raise, not silently corrupt sd/anom counts."""
+    import numpy as np
+
+    from engine.fused import _anom_flags
+
+    v = np.full(64, 2.0e8, dtype=np.float64)
+    m, maxabs = 64, int(2.0e8)
+    assert m * maxabs * maxabs < 2**62  # old guard would have passed this
+    with pytest.raises(ValueError, match="exact int64 domain"):
+        _anom_flags(v, 30, K)

@@ -223,3 +223,79 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_detect_multichunk_batch(spark, tmp_path):
+    """ADVICE r02: applyInPandasWithState delivers one key's batch as
+    MULTIPLE unordered Arrow chunks once rows exceed arrow
+    maxRecordsPerBatch. With the chunk size forced tiny (8) and the source
+    file written in shuffled row order, per-chunk sorting alone would
+    mis-window — the operator must concatenate chunks and sort once."""
+    import random
+
+    import pandas as pd
+
+    from engine.streaming import stateful_detect_stream
+
+    w, k = 12, 2.5
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    os.makedirs(src)
+
+    n = 64  # >> chunk size 8 -> ~8 chunks per user per batch
+    rows = []
+    for u in range(2):
+        for i in range(n):
+            v = 500.0 if i == 40 else float(100 + ((u * 37 + i * 17) % 11))
+            rows.append((u * 1000 + i, 1704067200 + i, u, v))
+    shuffled = rows[:]
+    random.Random(7).shuffle(shuffled)
+
+    spark.createDataFrame(
+        shuffled, "event_id long, epoch long, user_id long, value double"
+    ).select(
+        "event_id", F.timestamp_seconds("epoch").alias("ts"), "user_id", "value"
+    ).coalesce(1).write.parquet(f"{src}/d1")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(f"{src}/*")
+        q = (
+            stateful_detect_stream(stream, w=w, k=k)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = (
+        spark.read.parquet(outdir)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(rows)
+
+    full = pd.DataFrame(
+        [(e, u, v) for (e, _t, u, v) in rows],
+        columns=["event_id", "user_id", "value"],
+    ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    flags = []
+    for _u, g in full.groupby("user_id"):
+        s = g["value"]
+        score = (s - s.rolling(w).mean()).abs() / s.rolling(w).std(ddof=1)
+        flags.append(score.fillna(0) > k)
+    want = pd.concat(flags).to_numpy()
+    assert (got["is_anom"].to_numpy() == want).all()
+    assert {u * 1000 + 40 for u in range(2)} <= set(
+        got.loc[got["is_anom"], "event_id"].astype(int)
+    )
