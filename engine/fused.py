@@ -15,18 +15,32 @@ output for the partitioned write. This is exactly the sanctioned shape —
 "pyspark.sql DataFrame + vectorized pandas/Arrow UDFs (no per-row Python)
 throughout" (BASELINE.json:15).
 
+ROUND-3 SHAPE — flat SEGMENTED kernels, no per-doc Python loop: the batch's
+series are concatenated into ONE flat float64 array with per-doc segment
+offsets, and gap-fill / windowed stats / bucket rollup all run as single
+NumPy passes over the flat array (prefix scans clamped at segment starts;
+``np.*.reduceat`` at per-doc bucket boundaries). Round 2 looped Python per
+doc (~10-20 NumPy calls of fixed ~us overhead each per doc), which
+dominated at short docs — the regime most LLM training data lives in
+(<=256-token fragments). The only remaining per-element Python is the
+per-BUCKET compression loop when compress=True (the C1/C2 byte codecs are
+inherently sequential per payload).
+
 BIT-EXACTNESS: identical to the exploded path (pinned by
 tests/test_fused.py, which asserts row-set equality against
 rollup_from_points / rollup_1m_with_payloads on the parity fixture):
-  - same exact integer window sums (int64 cumsum differences);
+  - same exact integer window sums (int64 cumsum differences; the GLOBAL
+    cumsum over the flat batch may wrap int64, but two's-complement
+    wraparound cancels in the subtraction, so any window sum that itself
+    fits int64 — guaranteed by the per-doc guard — is exact);
   - same final float sequence ma = double(s1)/w,
     sd = sqrt(double(num)/(w*(w-1))), score = |v - ma|/sd
     (engine/stats.py docstring);
   - same compression kernels (engine/compression.py — single
     implementation).
-Overflow policy mirrors the 'long' stats carrier: the kernel checks
-n * max(v)^2 < 2^62 per doc and FAILS LOUDLY, directing the caller to the
-exploded pipeline with the decimal carrier (int32-extreme domains).
+Overflow policy mirrors the 'long' stats carrier, checked PER DOC and
+FAILING LOUDLY outside the exact-int64 domain (see _check_guard), directing
+the caller to the exploded pipeline with the decimal carrier.
 
 Arrow batch sizing: one row here is a whole series (n_tok values), so the
 caller must size spark.sql.execution.arrow.maxRecordsPerBatch in ROWS OF
@@ -52,24 +66,32 @@ _ROLLUP_DDL = (
 )
 
 
-def _gap_fill_np(vf: np.ndarray, policy: str) -> np.ndarray:
-    """Vectorized G1 over one series (float64, NaN = gap). Pinned semantics
-    of engine/series.py; all three policies leave NaN only as a PREFIX."""
+def _flat_gap_fill(vf: np.ndarray, pos_start: np.ndarray, pos_end: np.ndarray,
+                   policy: str) -> np.ndarray:
+    """Vectorized G1 over a FLAT batch of concatenated series (float64,
+    NaN = gap). ``pos_start``/``pos_end`` give each position's segment
+    bounds, which clamp the prefix scans so fills never cross docs. Pinned
+    semantics of engine/series.py; all three policies leave NaN only as a
+    per-doc PREFIX."""
     valid = ~np.isnan(vf)
     if policy == "zero":
         return np.where(valid, vf, 0.0)
     n = vf.size
     prev = np.where(valid, np.arange(n), -1)
     np.maximum.accumulate(prev, out=prev)
-    ff = np.where(prev >= 0, vf[np.maximum(prev, 0)], np.nan)
+    # a carried index before this doc's start is another doc's value -> NaN
+    in_seg = prev >= pos_start
+    ff = np.where(in_seg, vf[np.maximum(prev, 0)], np.nan)
     if policy == "ffill":
         return ff
     # linear: interior gaps get exact integer floor interpolation; leading
-    # stay NaN, trailing forward-fill (already in ff)
+    # stay NaN, trailing forward-fill (already in ff). Indices are global
+    # but only differences (q-i, i-p, q-p) enter the formula, so the
+    # segment offset cancels.
     nxt = np.where(valid, np.arange(n), n)
     nxt = np.minimum.accumulate(nxt[::-1])[::-1]
     out = ff
-    interior = (~valid) & (prev >= 0) & (nxt < n)
+    interior = (~valid) & in_seg & (nxt < pos_end)
     if interior.any():
         i = np.flatnonzero(interior)
         p, q = prev[i], nxt[i]
@@ -80,76 +102,110 @@ def _gap_fill_np(vf: np.ndarray, policy: str) -> np.ndarray:
     return out
 
 
-def _anom_flags(vf: np.ndarray, w: int, k: float) -> np.ndarray:
-    """Vectorized R1-R4 over one gap-filled series -> boolean flags.
-
-    Valid values are a contiguous suffix (gap-fill invariant), so the
-    min-periods mask is simply 'window start >= first valid index'.
-    """
-    n = vf.size
-    anom = np.zeros(n, dtype=bool)
-    valid = ~np.isnan(vf)
-    if not valid.any():
-        return anom
-    fv = int(np.argmax(valid))
-    m = n - fv
-    if m < w:
-        return anom
-    iv = vf[fv:].astype(np.int64)
-    maxabs = int(np.max(np.abs(iv))) if m else 0
-    # Two exact-int64 domain bounds (both must hold, both FAIL LOUDLY):
-    #   m*max^2   >= cumsum c2 (and c1 when max>=1)        -> < 2^62
-    #   (w*max)^2 >= both s1*s1 and w*s2 in num=w*s2-s1^2  -> < 2^63
-    # The second was missing in round 2 (ADVICE r02 medium): w=30 with
-    # |v|~3.9e8 passed the first bound yet s1^2 ~1.4e20 wrapped silently.
-    if m * maxabs * maxabs >= 2**62 or (w * maxabs) ** 2 >= 2**63:
+def _check_guard(m: np.ndarray, maxabs: np.ndarray, w: int) -> None:
+    """Per-doc exact-int64 domain bounds (both must hold, both FAIL LOUDLY):
+      m*max^2   >= per-doc sum-of-squares contribution          -> < 2^62
+      (w*max)^2 >= both s1*s1 and w*s2 in num = w*s2 - s1^2     -> < 2^63
+    The second was missing in round 2 (ADVICE r02 medium): w=30 with
+    |v|~2e8 passed the first bound yet s1^2 wrapped int64 silently."""
+    # exact Python-int arithmetic (object dtype): the guard products
+    # themselves exceed int64 for the very inputs they must reject, and a
+    # wrapped product would silently pass. O(docs-per-batch), not O(points).
+    m_o = m.astype(object)
+    x_o = maxabs.astype(object)
+    bad = ((m_o * x_o * x_o >= 2**62) | ((w * x_o) ** 2 >= 2**63)).astype(bool)
+    if bad.any():
+        j = int(np.argmax(bad))
         raise ValueError(
             "fused kernel: exact int64 domain exceeded "
-            f"(n={m}, w={w}, max|v|={maxabs}: need n*max^2 < 2^62 and "
-            "(w*max)^2 < 2^63); rerun with pipeline='exploded' "
-            "and stats_mode='decimal' (engine/stats.py)"
+            f"(n={int(m[j])}, w={w}, max|v|={int(maxabs[j])}: need "
+            "n*max^2 < 2^62 and (w*max)^2 < 2^63); rerun with "
+            "pipeline='exploded' and stats_mode='decimal' (engine/stats.py)"
         )
-    c1 = np.concatenate(([0], np.cumsum(iv)))
-    c2 = np.concatenate(([0], np.cumsum(iv * iv)))
-    s1 = c1[w:] - c1[:-w]
-    s2 = c2[w:] - c2[:-w]
+
+
+def _flat_anom_flags(vf: np.ndarray, seg_starts: np.ndarray,
+                     lengths: np.ndarray, pos_fv: np.ndarray,
+                     fv_seg: np.ndarray, w: int, k: float) -> np.ndarray:
+    """Vectorized R1-R4 over the flat gap-filled batch -> boolean flags.
+
+    Valid values are a contiguous per-doc suffix (gap-fill invariant), so
+    the min-periods mask is simply 'window start >= the doc's first valid
+    index' — which also keeps every summed window inside one doc, making
+    the single global cumsum segment-safe."""
+    n = vf.size
+    valid = ~np.isnan(vf)
+    iv0 = np.where(valid, vf, 0.0).astype(np.int64)
+    maxabs_seg = (
+        np.maximum.reduceat(np.abs(iv0), seg_starts)
+        if n
+        else np.zeros(0, dtype=np.int64)
+    )
+    m_seg = np.maximum(seg_starts + lengths - fv_seg, 0)
+    _check_guard(m_seg, maxabs_seg, w)
+    c1 = np.concatenate(([0], np.cumsum(iv0)))
+    c2 = np.concatenate(([0], np.cumsum(iv0 * iv0)))
+    pos = np.arange(n)
+    winstart = pos + 1 - w
+    full = winstart >= pos_fv
+    lo = np.where(full, winstart, 0)
+    s1 = c1[pos + 1] - c1[lo]
+    s2 = c2[pos + 1] - c2[lo]
     num = w * s2 - s1 * s1
     ma = s1.astype(np.float64) / float(w)
-    sd = np.sqrt(num.astype(np.float64) / float(w * (w - 1)))
-    cur = iv[w - 1 :].astype(np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        score = np.abs(cur - ma) / sd
-    anom[fv + w - 1 :] = (sd > 0) & (score > float(k))
-    return anom
+    # non-full positions carry garbage sums (lo clamped to 0) — every use
+    # below is masked by `full`; errstate covers the NaN comparisons too
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        sd = np.sqrt(num.astype(np.float64) / float(w * (w - 1)))
+        score = np.abs(np.where(valid, vf, 0.0) - ma) / sd
+        return full & (sd > 0) & (score > float(k))
 
 
-def _doc_rollup_cols(
-    vf: np.ndarray,
-    anom: np.ndarray,
-    b: int,
-    compress: bool,
-) -> tuple:
-    """A1 (+C1/C2) over one gap-filled series -> per-bucket column arrays
-    (every bucket in [0, ceil(n/b)) is emitted, cnt=0 buckets included —
+def _anom_flags(vf: np.ndarray, w: int, k: float) -> np.ndarray:
+    """One-series convenience wrapper over the flat kernel (tests)."""
+    n = vf.size
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    seg_starts = np.array([0], dtype=np.int64)
+    lengths = np.array([n], dtype=np.int64)
+    valid = ~np.isnan(vf)
+    fv = int(np.argmax(valid)) if valid.any() else n
+    fv_seg = np.array([fv], dtype=np.int64)
+    pos_fv = np.full(n, fv, dtype=np.int64)
+    return _flat_anom_flags(vf, seg_starts, lengths, pos_fv, fv_seg, w, k)
+
+
+def _flat_rollup_cols(vf: np.ndarray, anom: np.ndarray,
+                      seg_starts: np.ndarray, lengths: np.ndarray,
+                      b: int, compress: bool) -> tuple:
+    """A1 (+C1/C2) over the flat batch -> per-bucket column arrays (every
+    bucket in [0, ceil(len/b)) per doc is emitted, cnt=0 buckets included —
     identical to the exploded groupBy, which sees the null points too).
 
-    Returns typed NumPy columns, not row tuples: the batch assembler
-    concatenates them into columnar pandas (nullable Int arrays), so the
-    pandas -> Arrow trip back to the JVM never walks Python objects —
-    measured 3-5 s/task of per-cell conversion at 200k output rows
-    otherwise."""
+    Returns (nb_per_doc, bucket, cnt, vmin, vmax, vsum, vmean, anom_cnt,
+    first_v, last_v, empty_mask, payloads_t, payloads_v) as typed NumPy
+    columns, not row tuples: the batch assembler hands them to columnar
+    pandas (nullable Int arrays), so the pandas -> Arrow trip back to the
+    JVM never walks Python objects — measured 3-5 s/task of per-cell
+    conversion at 200k output rows otherwise."""
     from engine.compression import dod_compress, gorilla_compress
 
     n = vf.size
     valid = ~np.isnan(vf)
-    starts = np.arange(0, n, b)
-    cnts = np.add.reduceat(valid.astype(np.int64), starts)
-    sums = np.add.reduceat(np.where(valid, vf, 0.0).astype(np.int64), starts)
-    vmins = np.minimum.reduceat(np.where(valid, vf, np.inf), starts)
-    vmaxs = np.maximum.reduceat(np.where(valid, vf, -np.inf), starts)
-    firsts = np.minimum.reduceat(np.where(valid, np.arange(n), n), starts)
-    lasts = np.maximum.reduceat(np.where(valid, np.arange(n), -1), starts)
-    anoms = np.add.reduceat(anom.astype(np.int64), starts)
+    nb = -(-lengths // b)  # ceil
+    total_nb = int(nb.sum())
+    doc_of_bucket = np.repeat(np.arange(nb.size), nb)
+    nb0 = np.concatenate(([0], np.cumsum(nb)))[:-1]
+    bucket = np.arange(total_nb, dtype=np.int64) - np.repeat(nb0, nb)
+    bstarts = seg_starts[doc_of_bucket] + bucket * b
+
+    cnts = np.add.reduceat(valid.astype(np.int64), bstarts)
+    sums = np.add.reduceat(np.where(valid, vf, 0.0).astype(np.int64), bstarts)
+    vmins = np.minimum.reduceat(np.where(valid, vf, np.inf), bstarts)
+    vmaxs = np.maximum.reduceat(np.where(valid, vf, -np.inf), bstarts)
+    firsts = np.minimum.reduceat(np.where(valid, np.arange(n), n), bstarts)
+    lasts = np.maximum.reduceat(np.where(valid, np.arange(n), -1), bstarts)
+    anoms = np.add.reduceat(anom.astype(np.int64), bstarts)
     empty = cnts == 0
     # sums is exactly int; float64 division == Catalyst double(vsum)/cnt
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -159,14 +215,20 @@ def _doc_rollup_cols(
     payloads_t: list | None = None
     payloads_v: list | None = None
     if compress:
+        # per-bucket byte codecs (inherently sequential per payload);
+        # timestamps inside a payload are DOC-relative positions
+        seg_of_bucket = seg_starts[doc_of_bucket]
+        bends = np.minimum(bstarts + b, seg_of_bucket + lengths[doc_of_bucket])
         payloads_t, payloads_v = [], []
-        for s in starts.tolist():
-            e = min(s + b, n)
+        for s, e, off in zip(
+            bstarts.tolist(), bends.tolist(), seg_of_bucket.tolist()
+        ):
             tv = np.flatnonzero(valid[s:e]) + s
-            payloads_t.append(dod_compress(tv))
+            payloads_t.append(dod_compress(tv - off))
             payloads_v.append(gorilla_compress(vf[tv].astype(np.int64)))
     return (
-        np.arange(len(starts), dtype=np.int64),  # bucket
+        nb,
+        bucket,
         cnts,
         np.where(empty, 0, vmins).astype(np.int64),
         np.where(empty, 0, vmaxs).astype(np.int64),
@@ -207,43 +269,48 @@ def fused_rollup_1m(
 
     def run_batches(batches):
         for pdf in batches:
-            docs = pdf["doc_id"].tolist()
-            toks = pdf["tokens"].tolist()
-            doc_ids: list = []
-            nb_per_doc: list = []
-            cols: list[list] = [[] for _ in range(10)]
-            pay_t: list = []
-            pay_v: list = []
-            for doc_id, arr in zip(docs, toks):
-                if arr is None:
-                    continue
-                vf = np.asarray(arr, dtype=np.float64)
-                if vf.size == 0:
-                    continue
-                vf = _gap_fill_np(vf, policy_)
-                anom = _anom_flags(vf, w_, k_)
-                out = _doc_rollup_cols(vf, anom, b, compress_)
-                doc_ids.append(doc_id)
-                nb_per_doc.append(out[0].size)
-                for i in range(10):
-                    cols[i].append(out[i])
-                if compress_:
-                    pay_t.extend(out[10])
-                    pay_v.extend(out[11])
-            if not doc_ids:
-                continue
-            bucket, cnt, vmin, vmax, vsum, vmean, anom_cnt, first_v, last_v, empty = (
-                np.concatenate(c) for c in cols
+            toks = pdf["tokens"]
+            lengths = np.fromiter(
+                (0 if a is None else len(a) for a in toks),
+                dtype=np.int64,
+                count=len(toks),
             )
+            keep = lengths > 0
+            if not keep.any():
+                continue
+            docs = pdf["doc_id"].to_numpy(dtype=object)[keep]
+            lengths = lengths[keep]
+            # one flat array for the whole batch; Arrow already hands each
+            # series as an ndarray (float64 when the doc has null gaps)
+            vf = np.concatenate(
+                [a for a, k2 in zip(toks, keep) if k2]
+            ).astype(np.float64, copy=False)
+            n = vf.size
+            seg_starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+            pos_start = np.repeat(seg_starts, lengths)
+            pos_end = np.repeat(seg_starts + lengths, lengths)
+
+            vf = _flat_gap_fill(vf, pos_start, pos_end, policy_)
+            valid = ~np.isnan(vf)
+            fv_seg = np.minimum.reduceat(
+                np.where(valid, np.arange(n), n), seg_starts
+            )
+            pos_fv = np.repeat(fv_seg, lengths)
+            anom = _flat_anom_flags(
+                vf, seg_starts, lengths, pos_fv, fv_seg, w_, k_
+            )
+            (
+                nb, bucket, cnt, vmin, vmax, vsum, vmean, anom_cnt,
+                first_v, last_v, empty, pay_t, pay_v,
+            ) = _flat_rollup_cols(vf, anom, seg_starts, lengths, b, compress_)
 
             def nullable(vals, mask, dtype):
                 return pd.arrays.IntegerArray(vals.astype(dtype), mask.copy())
 
+            nbt = bucket.size
             yield pd.DataFrame(
                 {
-                    "doc_id": np.repeat(
-                        np.array(doc_ids, dtype=object), nb_per_doc
-                    ),
+                    "doc_id": np.repeat(docs, nb),
                     "bucket": bucket,
                     "cnt": cnt,
                     "vmin": nullable(vmin, empty, np.int32),
@@ -255,10 +322,10 @@ def fused_rollup_1m(
                     "last_v": nullable(last_v, empty, np.int32),
                     "ts_dod": pd.Series(pay_t, dtype=object)
                     if compress_
-                    else pd.Series([None] * len(bucket), dtype=object),
+                    else pd.Series([None] * nbt, dtype=object),
                     "v_gorilla": pd.Series(pay_v, dtype=object)
                     if compress_
-                    else pd.Series([None] * len(bucket), dtype=object),
+                    else pd.Series([None] * nbt, dtype=object),
                 }
             )
 
