@@ -21,16 +21,32 @@ positional token streams:
   - v_gorilla frame: u32 n | v0 as 64 bits | per point: x = u64(v) XOR
     u64(prev):
         '0'                      x == 0
-        '10' + meaningful bits   x fits the previous (leading, length) block
+        '10' + meaningful bits   x fits the previous window (see below)
         '11' + 6 bits leading + 6 bits (length-1) + meaningful bits
     (6-bit fields, not the paper's 5/6: our values are 64-bit lanes.)
+    Window rule (round-3 DELIBERATE variant of the paper): the reuse
+    window is the ACTUAL (leading, trailing) zero count of the PREVIOUS
+    NON-ZERO XOR — not the last '11' control block. The paper's rule
+    makes the control state a sequential fold over branch decisions; this
+    rule is a pure function of the xor sequence itself, so the whole
+    encoder vectorizes (prefix-scan for "previous non-zero xor", then
+    elementwise branch selection). The decoder recomputes the same window
+    from each decoded xor. Compression is within a control bit of the
+    paper's on our integer streams; the format is engine-internal (both
+    ends below, plus engine/oracle.py, share it).
 
 This module is THE single implementation: engine/oracle.py and the Spark
-``applyInPandas`` kernels both call compress/decompress below, so the
-roundtrip property (decompress(compress(x)) == x, §5.3) is tested once and
-holds everywhere. These are the only Python kernels in the engine, and they
-are Arrow-vectorized per group (BASELINE.json:15 "no per-row Python" — the
-arithmetic is NumPy; only the final bit-packing walks a precomputed array).
+kernels both call compress/decompress below, so the roundtrip property
+(decompress(compress(x)) == x, §5.3) is tested once and holds everywhere.
+Two encoder shapes exist per codec and are byte-identical (pinned by
+tests/test_compression.py):
+  - ``*_compress(frame)``: readable sequential reference for ONE frame;
+  - ``*_compress_many(flat, counts)``: the hot path — one flat array
+    holding MANY frames, all arithmetic and the bit-packing fully
+    vectorized (entry streams + reduceat scatter-OR into u64 words); the
+    only Python-level iteration is one slice per produced frame. This is
+    what "compression inside vectorized Arrow UDFs" (BASELINE.json:6)
+    demands at 10^12-sequence scale: per-POINT Python is gone.
 """
 
 from __future__ import annotations
@@ -178,26 +194,23 @@ def gorilla_compress(vs: np.ndarray) -> bytes:
     u = vs.view(np.uint64)
     w.write(int(u[0]), 64)
     xors = (u[1:] ^ u[:-1]).tolist() if n > 1 else []
-    lead_prev, len_prev = -1, -1
+    lead_prev, trail_prev = -1, -1
     for x in xors:
         if x == 0:
             w.write(0, 1)
             continue
         lead, trail = _clz64(x), _ctz64(x)
-        if (
-            lead_prev >= 0
-            and lead >= lead_prev
-            and trail >= 64 - lead_prev - len_prev
-        ):
+        if lead_prev >= 0 and lead >= lead_prev and trail >= trail_prev:
             w.write(0b10, 2)
-            w.write(x >> (64 - lead_prev - len_prev), len_prev)
+            w.write(x >> trail_prev, 64 - lead_prev - trail_prev)
         else:
             mlen = 64 - lead - trail
             w.write(0b11, 2)
             w.write(lead, 6)
             w.write(mlen - 1, 6)
             w.write(x >> trail, mlen)
-            lead_prev, len_prev = lead, mlen
+        # window = actual shape of the last non-zero xor (module docstring)
+        lead_prev, trail_prev = lead, trail
     return w.bytes()
 
 
@@ -210,23 +223,219 @@ def gorilla_decompress(frame: bytes) -> np.ndarray:
         return out.view(np.int64)
     cur = r.read(64)
     out[0] = cur
-    lead_prev, len_prev = -1, -1
+    lead_prev, trail_prev = -1, -1
     for i in range(1, n):
         if r.read(1) == 0:
             out[i] = cur
             continue
         if r.read(1) == 0:
-            meaningful = r.read(len_prev)
-            x = meaningful << (64 - lead_prev - len_prev)
+            meaningful = r.read(64 - lead_prev - trail_prev)
+            x = meaningful << trail_prev
         else:
             lead = r.read(6)
             mlen = r.read(6) + 1
             meaningful = r.read(mlen)
             x = meaningful << (64 - lead - mlen)
-            lead_prev, len_prev = lead, mlen
+        # mirror the encoder: window follows the decoded xor's actual shape
+        lead_prev, trail_prev = _clz64(x), _ctz64(x)
         cur ^= x
         out[i] = cur
     return out.view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized multi-frame encoders (the hot path; byte-identical to the
+# sequential references above — pinned by tests/test_compression.py)
+# ---------------------------------------------------------------------------
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _bitlen_arr(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length over u64 (0 -> 0)."""
+    x = x.copy()
+    bl = (x > 0).astype(np.int64)
+    for sh in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(sh))
+        bl[m] += sh
+        x[m] >>= np.uint64(sh)
+    return bl
+
+
+def _ctz_arr(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros over u64 (0 -> 64)."""
+    low = x & (~x + np.uint64(1))  # isolate lowest set bit
+    return np.where(x == 0, 64, _bitlen_arr(low) - 1)
+
+
+def _cumsum0(a: np.ndarray) -> np.ndarray:
+    return np.concatenate(([0], np.cumsum(a)))
+
+
+def _scatter_or(words: np.ndarray, idx: np.ndarray, contrib: np.ndarray) -> None:
+    """words[idx] |= contrib with idx SORTED (duplicates allowed): group by
+    run boundaries and OR each run via reduceat — no per-element Python and
+    no ufunc.at."""
+    if idx.size == 0:
+        return
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(idx)) + 1))
+    words[idx[starts]] |= np.bitwise_or.reduceat(contrib, starts)
+
+
+def _pack_frames(ev: np.ndarray, eb: np.ndarray, ec: np.ndarray) -> list:
+    """Bit-pack entry streams into per-frame byte strings.
+
+    ``ev``/``eb`` are (value, nbits<=64) entry arrays laid out frame-major
+    (MSB-first semantics identical to _BitWriter, zero-padded final byte);
+    ``ec`` is entries-per-frame. All arithmetic is vectorized; each entry's
+    bits land in at most two u64 words of one contiguous big-endian buffer
+    where every frame starts byte-aligned. Returns a list of bytes (one
+    slice per frame — the only per-frame Python)."""
+    estarts = _cumsum0(ec)[:-1]
+    fbits = np.add.reduceat(eb, estarts) if eb.size else np.zeros(0, np.int64)
+    fbytes = (fbits + 7) // 8
+    fboff = _cumsum0(fbytes)
+    cb = _cumsum0(eb)[:-1]
+    within = cb - np.repeat(cb[estarts], ec)
+    goff = np.repeat(fboff[:-1] * 8, ec) + within
+    words = np.zeros(int(fboff[-1]) // 8 + 2, dtype=np.uint64)
+
+    use = eb > 0
+    v = ev[use]
+    nb = eb[use].astype(np.uint64)
+    off = goff[use]
+    v = v & np.where(nb == 64, _M64, (np.uint64(1) << nb) - np.uint64(1))
+    w = off >> 6
+    o = (off & 63).astype(np.uint64)
+    end = o + nb
+    spill = end > 64
+    # main word holds the entry's high bits: left-align when it fits,
+    # right-shift the spilling low bits away otherwise (one shift is 0)
+    sh1 = np.where(spill, end - np.uint64(64), np.uint64(64) - end)
+    shr = np.where(spill, sh1, np.uint64(0))
+    shl = np.where(spill, np.uint64(0), sh1)
+    _scatter_or(words, w, (v >> shr) << shl)
+    if spill.any():
+        sv = v[spill]
+        sh2 = np.uint64(128) - end[spill]
+        _scatter_or(words, w[spill] + 1, (sv << sh2) & _M64)
+    buf = memoryview(words.astype(">u8").tobytes())
+    return [bytes(buf[fboff[f]: fboff[f + 1]]) for f in range(len(ec))]
+
+
+def _entry_layout(counts: np.ndarray) -> tuple:
+    """Shared frame-major entry layout: every frame gets 2 header slots
+    ((n,32) and, when n>=1, (first,64)); every later value gets exactly 2
+    slots (second possibly zero-width). Returns (ec, base, E, starts,
+    frame_of, local) for ``counts`` values per frame."""
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = _cumsum0(counts)[:-1]
+    ec = np.maximum(2 * counts, 2)
+    base = _cumsum0(ec)[:-1]
+    e_total = int(ec.sum())
+    frame_of = np.repeat(np.arange(counts.size), counts)
+    local = np.arange(int(counts.sum())) - np.repeat(starts, counts)
+    return ec, base, e_total, starts, frame_of, local
+
+
+def dod_compress_many(ts_flat: np.ndarray, counts: np.ndarray) -> list:
+    """Vectorized C1 over many frames: ``ts_flat`` holds every frame's
+    ascending int64 timestamps back-to-back; ``counts`` the per-frame
+    lengths. Byte-identical to dod_compress per frame."""
+    ts = np.asarray(ts_flat, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    ec, base, e_total, starts, frame_of, local = _entry_layout(counts)
+    ev = np.zeros(e_total, dtype=np.uint64)
+    eb = np.zeros(e_total, dtype=np.int64)
+    ev[base] = counts.astype(np.uint64)
+    eb[base] = 32
+    ne = counts > 0
+    ev[base[ne] + 1] = ts[starts[ne]].view(np.uint64)
+    eb[base[ne] + 1] = 64
+    i = np.flatnonzero(local >= 1)
+    if i.size:
+        d = ts[i] - ts[i - 1]
+        dall = np.zeros(ts.size, dtype=np.int64)
+        dall[i] = d
+        # dod: first delta's predecessor is 0 by definition
+        dod = np.where(local[i] >= 2, d - dall[i - 1], d)
+        e1 = np.repeat(base, counts)[i] + 2 * local[i]
+        v1 = np.zeros(i.size, dtype=np.uint64)
+        b1 = np.full(i.size, 1, dtype=np.int64)
+        v2 = np.zeros(i.size, dtype=np.uint64)
+        b2 = np.zeros(i.size, dtype=np.int64)
+        done = dod == 0
+        for hi, off, nbits, prefix, plen in _DOD_BUCKETS:
+            m = (~done) & (dod >= -hi + 1) & (dod <= hi)
+            v1[m] = (np.uint64(prefix) << np.uint64(nbits)) | (
+                (dod[m] + off).astype(np.uint64)
+            )
+            b1[m] = plen + nbits
+            done |= m
+        big = ~done
+        v1[big] = 0b1111
+        b1[big] = 4
+        v2[big] = dod[big].view(np.uint64)
+        b2[big] = 64
+        ev[e1], eb[e1], ev[e1 + 1], eb[e1 + 1] = v1, b1, v2, b2
+    return _pack_frames(ev, eb, ec)
+
+
+def gorilla_compress_many(vals_flat: np.ndarray, counts: np.ndarray) -> list:
+    """Vectorized C2 over many frames (format in module docstring).
+    Byte-identical to gorilla_compress per frame: the previous-non-zero-xor
+    window is a prefix scan clamped at frame starts, so every branch
+    decision is elementwise."""
+    vs = np.asarray(vals_flat, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    u = vs.view(np.uint64)
+    ec, base, e_total, starts, frame_of, local = _entry_layout(counts)
+    ev = np.zeros(e_total, dtype=np.uint64)
+    eb = np.zeros(e_total, dtype=np.int64)
+    ev[base] = counts.astype(np.uint64)
+    eb[base] = 32
+    ne = counts > 0
+    ev[base[ne] + 1] = u[starts[ne]]
+    eb[base[ne] + 1] = 64
+    i = np.flatnonzero(local >= 1)
+    if i.size:
+        n = u.size
+        x = u[i] ^ u[i - 1]
+        xall = np.zeros(n, dtype=np.uint64)
+        xall[i] = x
+        # position of the last non-zero xor at-or-before each position;
+        # frame starts hold no xor, so clamping to >= start+1 == same frame
+        nzpos = np.where(xall != 0, np.arange(n), -1)
+        np.maximum.accumulate(nzpos, out=nzpos)
+        prevnz = np.concatenate(([-1], nzpos[:-1]))[i]
+        fstart = np.repeat(starts, counts)[i]
+        has_prev = prevnz >= fstart + 1
+        px = xall[np.maximum(prevnz, 0)]
+        lead = 64 - _bitlen_arr(x)
+        trail = _ctz_arr(x)
+        plead = 64 - _bitlen_arr(px)
+        ptrail = _ctz_arr(px)
+        zero = x == 0
+        fits = has_prev & ~zero & (lead >= plead) & (trail >= ptrail)
+        fresh = ~zero & ~fits
+        pml = 64 - plead - ptrail          # '10' payload width
+        ml = 64 - lead - trail             # '11' payload width
+        v1 = np.zeros(i.size, dtype=np.uint64)
+        b1 = np.full(i.size, 1, dtype=np.int64)  # zero branch: '0'
+        v1[fits] = 0b10
+        b1[fits] = 2
+        v1[fresh] = (
+            (np.uint64(0b11) << np.uint64(12))
+            | (lead[fresh].astype(np.uint64) << np.uint64(6))
+            | (ml[fresh] - 1).astype(np.uint64)
+        )
+        b1[fresh] = 14
+        sh = np.where(fits, ptrail, np.where(fresh, trail, 0)).astype(np.uint64)
+        v2 = x >> np.minimum(sh, np.uint64(63))
+        b2 = np.where(fits, pml, np.where(fresh, ml, 0))
+        e1 = np.repeat(base, counts)[i] + 2 * local[i]
+        ev[e1], eb[e1], ev[e1 + 1], eb[e1 + 1] = v1, b1, v2, b2
+    return _pack_frames(ev, eb, ec)
 
 
 # ---------------------------------------------------------------------------
@@ -236,27 +445,22 @@ def gorilla_decompress(frame: bytes) -> np.ndarray:
 
 def _compress_batch_groups(pdf, out_rows: list) -> None:
     """Split one sorted pandas batch into (doc_id, bucket) runs with NumPy
-    boundary detection and compress each run — no per-group DataFrame
-    construction (the per-group overhead of applyInPandas measured ~1 ms;
-    this path is ~30x cheaper per group)."""
+    boundary detection and compress every run through the vectorized
+    multi-frame codecs — the only per-group Python is assembling the
+    output row tuples."""
     doc = pdf["doc_id"].to_numpy()
     buck = pdf["bucket"].to_numpy()
     t = pdf["t"].to_numpy(dtype=np.int64)
     v = pdf["v"].to_numpy(dtype=np.float64)  # NaN = null
     change = np.flatnonzero((doc[1:] != doc[:-1]) | (buck[1:] != buck[:-1])) + 1
     starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(pdf)]))
-    for s, e in zip(starts.tolist(), ends.tolist()):
-        vv = v[s:e]
-        mask = ~np.isnan(vv)
-        out_rows.append(
-            (
-                doc[s],
-                int(buck[s]),
-                dod_compress(t[s:e][mask]),
-                gorilla_compress(vv[mask].astype(np.int64)),
-            )
-        )
+    mask = ~np.isnan(v)
+    counts = np.add.reduceat(mask.astype(np.int64), starts) if len(pdf) else []
+    frames_t = dod_compress_many(t[mask], counts)
+    frames_v = gorilla_compress_many(v[mask].astype(np.int64), counts)
+    out_rows.extend(
+        zip(doc[starts], buck[starts].tolist(), frames_t, frames_v)
+    )
 
 
 def attach_compression(rollup_df, flagged_points, tier: str):
@@ -361,7 +565,13 @@ def rollup_1m_with_payloads(flagged_points, tier: str = "1m", presorted: bool = 
             change = np.flatnonzero((doc[1:] != doc[:-1]) | (buck[1:] != buck[:-1])) + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(pdf)]))
-            for s, e in zip(starts.tolist(), ends.tolist()):
+            mask_all = ~np.isnan(v)
+            counts = np.add.reduceat(mask_all.astype(np.int64), starts)
+            frames_t = dod_compress_many(t[mask_all], counts)
+            frames_v = gorilla_compress_many(
+                v[mask_all].astype(np.int64), counts
+            )
+            for g, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
                 vv = v[s:e]
                 mask = ~np.isnan(vv)
                 nn = vv[mask].astype(np.int64)
@@ -379,8 +589,8 @@ def rollup_1m_with_payloads(flagged_points, tier: str = "1m", presorted: bool = 
                         int(anom[s:e].sum()),
                         int(nn[0]) if cnt else None,
                         int(nn[-1]) if cnt else None,
-                        dod_compress(t[s:e][mask]),
-                        gorilla_compress(nn),
+                        frames_t[g],
+                        frames_v[g],
                     )
                 )
 

@@ -188,7 +188,7 @@ def _flat_rollup_cols(vf: np.ndarray, anom: np.ndarray,
     pandas (nullable Int arrays), so the pandas -> Arrow trip back to the
     JVM never walks Python objects — measured 3-5 s/task of per-cell
     conversion at 200k output rows otherwise."""
-    from engine.compression import dod_compress, gorilla_compress
+    from engine.compression import dod_compress_many, gorilla_compress_many
 
     n = vf.size
     valid = ~np.isnan(vf)
@@ -215,17 +215,16 @@ def _flat_rollup_cols(vf: np.ndarray, anom: np.ndarray,
     payloads_t: list | None = None
     payloads_v: list | None = None
     if compress:
-        # per-bucket byte codecs (inherently sequential per payload);
-        # timestamps inside a payload are DOC-relative positions
-        seg_of_bucket = seg_starts[doc_of_bucket]
-        bends = np.minimum(bstarts + b, seg_of_bucket + lengths[doc_of_bucket])
-        payloads_t, payloads_v = [], []
-        for s, e, off in zip(
-            bstarts.tolist(), bends.tolist(), seg_of_bucket.tolist()
-        ):
-            tv = np.flatnonzero(valid[s:e]) + s
-            payloads_t.append(dod_compress(tv - off))
-            payloads_v.append(gorilla_compress(vf[tv].astype(np.int64)))
+        # vectorized multi-frame codecs: the valid points, taken in global
+        # order, are already grouped by bucket (buckets are contiguous
+        # position ranges), so per-bucket counts ARE the frame lengths.
+        # Timestamps inside a payload are DOC-relative positions.
+        tv_global = np.flatnonzero(valid)
+        seg_of_point = np.repeat(seg_starts[doc_of_bucket], cnts)
+        payloads_t = dod_compress_many(tv_global - seg_of_point, cnts)
+        payloads_v = gorilla_compress_many(
+            vf[tv_global].astype(np.int64), cnts
+        )
     return (
         nb,
         bucket,

@@ -18,6 +18,7 @@ import argparse
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -69,11 +70,27 @@ def main() -> None:
     from engine.session import get_spark
     from jobs.rollup import run_rollup
 
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if args.master and args.master.startswith("local-cluster"):
+        # local-cluster[n,cores,mem_mb]: true multi-JVM executors (the
+        # sandbox's closest shape to an N-executor cluster). Executor heap
+        # must fit inside the worker memory from the master string, and the
+        # engine package must ship to the executor Python workers exactly
+        # like a real cluster run: spark-submit --py-files dist/engine.zip.
+        mem_mb = int(args.master.rstrip("]").split(",")[-1])
+        extra["spark.executor.memory"] = f"{max(mem_mb - 512, 1024)}m"
+        repo = Path(__file__).resolve().parents[1]
+        zip_path = repo / "dist" / "engine.zip"
+        subprocess.run(
+            [sys.executable, str(repo / "tools" / "package.py")],
+            check=True, capture_output=True,
+        )
+        extra["spark.submit.pyFiles"] = str(zip_path)
     spark = get_spark(
         app_name="bench-pipeline",
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=extra,
     )
     cores = spark.sparkContext.defaultParallelism
 
@@ -109,10 +126,17 @@ def main() -> None:
         )
         wall = time.monotonic() - t0
         m1, s1 = _jvm_metrics(spark), _host_steal()
+        # Amdahl split (run_rollup phase timers): parallel compute+write
+        # wall vs fixed latency-bound costs (pending reads, tiny stats
+        # jobs, serial lineage/manifest commits)
+        par_s = sum(m.get("write_s", 0.0) for m in tiers.values())
+        fix_s = sum(m.get("fixed_s", 0.0) for m in tiers.values())
         rec = {
             "run": i,
             "seconds": round(wall, 3),
             "tiers": {t: m["seconds"] for t, m in tiers.items()},
+            "parallel_s": round(par_s, 3),
+            "fixed_s": round(fix_s, 3),
             "tokens_per_sec": round(total_tokens / wall),
             "cores": cores,
             "docs": args.docs,
@@ -131,11 +155,16 @@ def main() -> None:
         shutil.rmtree(wh, ignore_errors=True)
 
     med = sorted(results)[len(results) // 2]
+    med_par = sorted(r["parallel_s"] for r in all_recs)[len(all_recs) // 2]
+    med_fix = sorted(r["fixed_s"] for r in all_recs)[len(all_recs) // 2]
     print(
         json.dumps(
             {
                 "summary": True,
                 "median_seconds": round(med, 3),
+                "median_parallel_seconds": round(med_par, 3),
+                "median_fixed_seconds": round(med_fix, 3),
+                "parallel_tokens_per_sec": round(total_tokens / med_par) if med_par else None,
                 "tokens_per_sec": round(total_tokens / med),
                 "cores": cores,
                 "runs": [round(r, 3) for r in results],

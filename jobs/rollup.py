@@ -207,9 +207,12 @@ def _run_tiers(
         # (A) data commit — atomic manifest swap inside; the returned
         # snapshot id goes into lineage so epoch-E readers can time-travel
         # to exactly this commit after later epochs overwrite the partitions
+        t_write = time.monotonic()
         out_snapshot = fmt.overwrite_partitions(tier_df, f"rollup_{tier}")
+        write_s = time.monotonic() - t_write
         # (L3) per-partition counts from the written tier (cheap re-read of
         # the just-written parquet, no recompute of the pipeline)
+        t_stats = time.monotonic()
         written = fmt.read(f"rollup_{tier}").where(F.col("part_hash").isin(pending_set))
         stats = partition_stats_from_rollup(written)
         # Partitions attempted but empty (no doc hashes into them at this
@@ -221,17 +224,31 @@ def _run_tiers(
             for p in pending_set
             if p not in seen
         ]
+        stats_s = time.monotonic() - t_stats
         # (B) lineage commit — readers now see these partitions
+        t_commit = time.monotonic()
         lineage_record(
             warehouse, tier, stats, snapshot_for_lineage, epoch,
             output_snapshot_id=out_snapshot,
         )
+        commit_s = time.monotonic() - t_commit
 
+        total_s = time.monotonic() - t_start
         metrics[tier] = {
             "partitions": len(stats),
             "out_rows": int(sum(s["out_rows"] for s in stats)),
-            "seconds": round(time.monotonic() - t_start, 3),
+            "seconds": round(total_s, 3),
             "skipped": False,
+            # Amdahl accounting for the scaling bench: 'write_s' is the
+            # parallel compute+write action (the only phase whose wall
+            # should shrink with cores/executors); 'fixed_s' is everything
+            # latency-bound — pending-partition read, the tiny per-tier
+            # stats re-read job, and the serial lineage/manifest commits —
+            # a per-tier cost that is constant in input size and cores.
+            "write_s": round(write_s, 3),
+            "fixed_s": round(total_s - write_s, 3),
+            "stats_s": round(stats_s, 3),
+            "commit_s": round(commit_s, 3),
         }
         if stop_after_tier == tier:
             break

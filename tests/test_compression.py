@@ -111,3 +111,50 @@ def test_fused_rollup_matches_catalyst(spark, tokens_df):
     catalyst = rollup_from_points(flagged, "1m").select(cols)
     assert fused.exceptAll(catalyst).count() == 0
     assert catalyst.exceptAll(fused).count() == 0
+
+
+def test_vectorized_many_byte_identical_to_sequential():
+    """The hot-path multi-frame encoders must produce BYTE-IDENTICAL frames
+    to the sequential references, across step patterns, value ranges
+    (incl. int64 extremes), and empty/singleton frames."""
+    import numpy as np
+
+    from engine.compression import (
+        dod_compress_many,
+        gorilla_compress_many,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        nf = int(rng.integers(1, 12))
+        counts = rng.integers(0, 40, nf)
+        ts_frames, v_frames = [], []
+        for c in counts:
+            c = int(c)
+            steps = rng.choice([1, 1, 1, 2, 60, 5000, int(1e10)], size=max(c, 1))[: max(c - 1, 0)]
+            t0 = int(rng.integers(-(2**40), 2**40))
+            ts = (
+                np.concatenate(([t0], t0 + np.cumsum(steps)))
+                if c
+                else np.empty(0, np.int64)
+            )
+            ts_frames.append(ts.astype(np.int64)[:c])
+            kind = int(rng.integers(0, 4))
+            if kind == 0:
+                v = rng.integers(0, 50000, c)
+            elif kind == 1:
+                v = np.full(c, int(rng.integers(-(2**62), 2**62)))
+            elif kind == 2:
+                v = rng.integers(-(2**63), 2**63, c, dtype=np.int64)
+            else:
+                v = rng.integers(0, 3, c)
+            v_frames.append(v.astype(np.int64))
+        ts_flat = np.concatenate(ts_frames)
+        v_flat = np.concatenate(v_frames)
+        many_t = dod_compress_many(ts_flat, counts)
+        many_v = gorilla_compress_many(v_flat, counts)
+        for f in range(nf):
+            assert many_t[f] == dod_compress(ts_frames[f])
+            assert many_v[f] == gorilla_compress(v_frames[f])
+            assert (dod_decompress(many_t[f]) == ts_frames[f]).all()
+            assert (gorilla_decompress(many_v[f]) == v_frames[f]).all()
