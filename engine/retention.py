@@ -85,6 +85,13 @@ def apply_retention(
             if r["bmin"] < cutoff <= r["bmax"]
         ]
         m["rows_dropped"] = int(sum(r["n_exp"] for r in ranges))
+        # per-partition expiry detail so the expiry commit can be recorded
+        # in lineage (jobs/retention.py): {part_hash: rows expired}
+        m["expired_by_partition"] = {
+            int(r["part_hash"]): int(r["n_exp"])
+            for r in ranges
+            if int(r["n_exp"]) > 0
+        }
         # (2) metadata-only drop of fully-expired partitions
         if fully:
             fmt.drop_partitions(table, fully)

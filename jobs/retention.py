@@ -1,0 +1,120 @@
+"""Retention job (the third leg of the north star: rollup + downsample +
+RETENTION — BASELINE.json:6), drivable end-to-end:
+
+    python jobs/retention.py --warehouse /path/wh \
+        --retain-1m 7d --retain-1h 90d --now-t 1000000 --epoch 42
+    spark-submit --py-files engine.zip jobs/retention.py ...
+
+Durations accept s/m/h/d suffixes (plain integers = seconds). Tiers with
+no flag are kept forever.
+
+Resume safety (same contract as jobs/rollup.py): each tier's expiry is
+recorded AFTER its manifest commits as lineage rows with the synthetic
+tier name ``expire_<tier>`` — one row per partition that lost rows
+(in_rows = rows expired there, out_rows = 0), part_hash -1 when a tier
+expired nothing (so the no-op is durable too). Re-running the same
+``--epoch`` finds those rows and skips the tier entirely; a crash between
+the manifest commit and the lineage append re-runs expiry, which is
+idempotent (the cutoff re-derives, already-dropped partitions are gone
+from the current view, straddlers rewrite to the same retained rows).
+
+Time travel is unaffected by design: drops are metadata-only commits and
+rewrites create new snapshots, so ``fmt.read_at(pre_expiry_snapshot)``
+still serves the expired rows until snapshots are vacuumed (Iceberg
+expire-snapshots model). Pinned by tests/test_retention.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from engine.io import ParquetManifestFormat
+from engine.lineage import lineage_record, read_lineage
+from engine.retention import apply_retention
+from engine.schema import TIER_ORDER
+from engine.session import get_spark
+
+_DUR = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def parse_duration(text: str) -> int:
+    m = re.fullmatch(r"(\d+)([smhd]?)", text.strip())
+    if not m:
+        raise ValueError(f"bad duration {text!r} (use e.g. 3600, 30m, 12h, 7d)")
+    return int(m.group(1)) * _DUR.get(m.group(2) or "s", 1)
+
+
+def run_retention(
+    spark,
+    warehouse: str,
+    policy: dict[str, int],
+    now_t: int,
+    epoch: int,
+) -> dict:
+    """Apply *policy* tier by tier with per-tier resume via lineage."""
+    fmt = ParquetManifestFormat(spark, warehouse)
+    lineage = read_lineage(spark, warehouse)
+    metrics: dict = {}
+    for tier, retain_seconds in policy.items():
+        marker = f"expire_{tier}"
+        done = (
+            lineage.where(
+                (F.col("tier") == marker) & (F.col("checkpoint_epoch") == epoch)
+            ).limit(1).count()
+            > 0
+        )
+        if done:
+            metrics[tier] = {"skipped": True}
+            continue
+        pre_snapshot = fmt.current_snapshot(f"rollup_{tier}")
+        m = apply_retention(fmt, {tier: retain_seconds}, now_t)[tier]
+        post_snapshot = fmt.current_snapshot(f"rollup_{tier}")
+        stats = [
+            {"part_hash": p, "in_rows": n, "out_rows": 0}
+            for p, n in sorted(m.pop("expired_by_partition", {}).items())
+        ] or [{"part_hash": -1, "in_rows": 0, "out_rows": 0}]
+        lineage_record(
+            warehouse, marker, stats, pre_snapshot, epoch,
+            output_snapshot_id=post_snapshot,
+        )
+        m.update({"skipped": False, "pre_snapshot": pre_snapshot,
+                  "post_snapshot": post_snapshot})
+        metrics[tier] = m
+    return metrics
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", required=True)
+    for tier in TIER_ORDER:
+        ap.add_argument(f"--retain-{tier}", default=None,
+                        help=f"retention window for the {tier} tier (e.g. 7d)")
+    ap.add_argument("--now-t", type=int, required=True,
+                    help="current event time (seconds in the bucket domain)")
+    ap.add_argument("--epoch", type=int, required=True,
+                    help="checkpoint epoch of this expiry run (resume key)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    policy = {
+        tier: parse_duration(v)
+        for tier in TIER_ORDER
+        if (v := getattr(args, f"retain_{tier}")) is not None
+    }
+    if not policy:
+        ap.error("no --retain-<tier> flag given; nothing to do")
+    spark = get_spark(app_name="retention-job", master=args.master)
+    metrics = run_retention(spark, args.warehouse, policy, args.now_t, args.epoch)
+    for tier, m in metrics.items():
+        print(f"tier={tier} {m}")
+
+
+if __name__ == "__main__":
+    main()

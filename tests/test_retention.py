@@ -62,3 +62,56 @@ def test_retention_expires_and_preserves_history(spark, tmp_path):
     m2 = apply_retention(fmt, policy, now_t=4096)
     assert m2["1m"]["rows_dropped"] == 0
     assert m2["1m"]["dropped_partitions"] == 0 and m2["1m"]["rewritten_partitions"] == 0
+
+
+def test_retention_cli_resume_and_time_travel(spark, tmp_path):
+    """jobs/retention.py end-to-end: drop + straddler rewrite through the
+    CLI surface, expiry recorded in lineage, same-epoch re-run is a no-op,
+    and time travel to the pre-expiry snapshot still serves expired rows."""
+    from pyspark.sql import functions as F
+
+    from engine.lineage import read_lineage
+    from jobs.retention import parse_duration, run_retention
+
+    assert parse_duration("7d") == 7 * 86400
+    assert parse_duration("30m") == 1800
+    assert parse_duration("3600") == 3600
+
+    wh = str(tmp_path / "retcli")
+    run_rollup(spark, synth_tokens(spark, 40, seed=42), wh, epoch=1)
+    fmt = ParquetManifestFormat(spark, wh)
+    pre_rows = {
+        (r["doc_id"], r["bucket"])
+        for r in fmt.read("rollup_1m").select("doc_id", "bucket").collect()
+    }
+    snap_pre = fmt.current_snapshot("rollup_1m")
+
+    m = run_retention(spark, wh, {"1m": parse_duration("30m")}, now_t=4096, epoch=7)
+    assert not m["1m"]["skipped"]
+    assert m["1m"]["rows_dropped"] > 0
+    assert m["1m"]["post_snapshot"] > m["1m"]["pre_snapshot"] == snap_pre
+
+    cutoff = m["1m"]["cutoff_bucket"]
+    kept = {
+        (r["doc_id"], r["bucket"])
+        for r in fmt.read("rollup_1m").select("doc_id", "bucket").collect()
+    }
+    assert kept == {(d, b) for d, b in pre_rows if b >= cutoff}
+
+    # expiry commit is durable lineage
+    lin = read_lineage(spark, wh).where("tier = 'expire_1m'")
+    assert lin.where("checkpoint_epoch = 7").count() > 0
+    assert lin.agg(F.sum("in_rows")).collect()[0][0] == m["1m"]["rows_dropped"]
+
+    # same-epoch re-run: resume short-circuit, no new snapshot
+    snap_after = fmt.current_snapshot("rollup_1m")
+    m2 = run_retention(spark, wh, {"1m": parse_duration("30m")}, now_t=4096, epoch=7)
+    assert m2["1m"] == {"skipped": True}
+    assert fmt.current_snapshot("rollup_1m") == snap_after
+
+    # time travel to before the expiry still serves every pre-expiry row
+    old = {
+        (r["doc_id"], r["bucket"])
+        for r in fmt.read_at("rollup_1m", snap_pre).select("doc_id", "bucket").collect()
+    }
+    assert old == pre_rows

@@ -90,6 +90,8 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--mode", default="both", choices=["cores", "cluster", "both"])
     ap.add_argument("--skip-compress", action="store_true")
+    ap.add_argument("--variant", default=None, choices=["nocomp", "comp"],
+                    help="run only one compression variant")
     ap.add_argument("--tag", default="")
     args = ap.parse_args()
 
@@ -100,6 +102,8 @@ def main() -> None:
     modes = ["cores", "cluster"] if args.mode == "both" else [args.mode]
     results: dict = {}
     variants = (False,) if args.skip_compress else (False, True)
+    if args.variant:
+        variants = (args.variant == "comp",)
     for mode in modes:
         for compress in variants:
             for master, cores in MASTERS[mode]:
