@@ -650,13 +650,20 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     Index build = one groupBy computing planes*tables signed sums per
     vector (narrow int signatures). Candidate generation = one equi-join of
-    the (table, signature) long form against the query's signatures —
-    never the O(n^2) pair space; per-probe work is ~target-bucket-sized.
-    Exact cosine runs only inside the candidate set (the IVF/LSH visit
-    set); the exact brute-force twin is q_embedding_topk. Fully
-    deterministic (md5-parity planes), so the DuckDB oracle replays it
-    bit-for-bit — including the plane count, which is a pure function of
-    the corpus size (ann_planes: 500 vectors at sf0.01 -> 4 planes/table).
+    the (table, signature) long form against the query's MULTI-PROBE
+    signature set — the exact signature plus every Hamming-distance-1
+    neighbor per table (Lv et al., "Multi-Probe LSH", VLDB 2007): near
+    vectors that land one flipped hyperplane away are still visited, which
+    at 2 tables x 4 planes lifts recall@10 from ~0.3 to ~0.7+ while the
+    probe list stays (planes+1)*tables rows (broadcast) and the index
+    stays tables*n — the lever that matters at 10^9 vectors, where more
+    hash tables would multiply index size. Never the O(n^2) pair space;
+    per-probe work is ~target-bucket-sized. Exact cosine runs only inside
+    the candidate set; the exact brute-force twin is q_embedding_topk
+    (recall floor pinned by tests/test_quality.py). Fully deterministic
+    (md5-parity planes), so the DuckDB oracle replays it bit-for-bit —
+    including the plane count, a pure function of the corpus size read
+    from table metadata (ann_planes: 500 vectors at sf0.01 -> 4/table).
     """
     e = _t(spark, sf_dir, "embeddings")
     # Corpus size from table METADATA (parquet footer / Iceberg snapshot
@@ -686,7 +693,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     for t in range(ANN_TABLES):
         part = dots.select("vec_id", F.lit(t).alias("tbl"), table_sig(t).alias("sig"))
         sigs = part if sigs is None else sigs.unionByName(part)
-    qsig = sigs.where("vec_id = 0").select("tbl", "sig")
+    # multi-probe expansion: the query's own bucket + each 1-bit flip
+    probe_flips = F.array(
+        F.lit(0), *[F.lit(2**j) for j in range(planes)]
+    )
+    qsig = (
+        sigs.where("vec_id = 0")
+        .select("tbl", F.explode(probe_flips).alias("flip"), "sig")
+        .select("tbl", F.expr("sig ^ flip").alias("sig"))
+    )
     cands = (
         sigs.join(F.broadcast(qsig), ["tbl", "sig"])
         .where("vec_id != 0")
@@ -889,6 +904,7 @@ def _ann_oracle_sql() -> str:
             for j in range(planes)
         )
 
+    flips = "".join(f", {2 ** j}" for j in range(planes))
     sig_union = "\n      UNION ALL\n      ".join(
         f"SELECT vec_id, {t} AS tbl, CAST({sig_expr(t)} AS BIGINT) AS sig FROM dots"
         for t in range(ANN_TABLES)
@@ -904,7 +920,11 @@ def _ann_oracle_sql() -> str:
       FROM pts GROUP BY vec_id),
     sigs AS (
       {sig_union}),
-    qsig AS (SELECT tbl, sig FROM sigs WHERE vec_id = 0),
+    -- multi-probe: exact bucket + every Hamming-1 flip (matches Spark)
+    qsig AS (
+      SELECT tbl, xor(sig, f.flip) AS sig
+      FROM sigs, (SELECT unnest([0{flips}]) AS flip) f
+      WHERE vec_id = 0),
     cand AS (
       SELECT DISTINCT s.vec_id FROM sigs s
       JOIN qsig q ON s.tbl = q.tbl AND s.sig = q.sig

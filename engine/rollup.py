@@ -111,6 +111,11 @@ def tier_summary(rollup: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def approx_distinct_docs(rollup: DataFrame) -> DataFrame:
-    """A4: HLL++ cardinality of series per tier (monitoring; rows-only check)."""
-    return rollup.agg(F.approx_count_distinct("doc_id").alias("approx_docs"))
+def approx_distinct_docs(rollup: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """A4: HLL++ cardinality of series per tier (monitoring; rows-only
+    check). rsd=0.02 sizes the sketch (~2.6k registers, still tiny) so the
+    observed relative error stays under 2% — pinned by
+    tests/test_quality.py (Spark's 0.05 default measured 2.2% at n=500)."""
+    return rollup.agg(
+        F.approx_count_distinct("doc_id", rsd).alias("approx_docs")
+    )

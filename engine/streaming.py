@@ -144,6 +144,166 @@ def stateful_detect_stream(
     )
 
 
+def stateful_detect_stream_late(
+    events_stream: DataFrame,
+    w: int = 30,
+    k: float = 3.0,
+    reorder_seconds: int = 60,
+    flush_after_ms: int | None = None,
+) -> DataFrame:
+    """Late-data variant of :func:`stateful_detect_stream` (round-2 gap:
+    the plain operator assumes event time is non-decreasing across
+    batches).
+
+    Semantics — bounded out-of-order buffer, TSDB-style:
+      - per user, events are HELD BACK until the user's high watermark
+        (max ts seen) has advanced past ``ts + reorder_seconds``; held
+        events are kept sorted in state, so any late event arriving within
+        the reorder window lands in its correct window position before
+        scoring. Output is therefore delayed by up to the reorder window
+        but scored exactly as if the stream had been in order.
+      - an event arriving LATER than the reorder window (its slot already
+        emitted) cannot be retro-inserted: it is emitted immediately with
+        ``is_late = true`` and a NULL score, never silently dropped.
+      - ``flush_after_ms`` (ProcessingTimeTimeout) flushes a user's
+        remaining buffer after that much processing-time silence — the
+        stream-end story; None disables.
+
+    State per user: O(w + events-in-reorder-window). Scoring reuses the
+    vectorized cumulative-sum kernel. Exactness vs the pandas oracle over
+    the fully-ordered series is pinned by tests/test_streaming.py.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, event_id long, value double, score double, "
+        "is_anom boolean, is_late boolean"
+    )
+    state_schema = (
+        "tail array<double>, buf_ts array<long>, buf_eid array<long>, "
+        "buf_val array<double>, emitted_until long"
+    )
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            tail0, bts, beid, bval, emitted_until = state.get
+            tail = np.asarray(tail0, dtype=np.float64)
+            buf = (
+                np.asarray(bts, dtype=np.int64),
+                np.asarray(beid, dtype=np.int64),
+                np.asarray(bval, dtype=np.float64),
+            )
+        else:
+            tail = np.empty(0)
+            buf = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
+            emitted_until = -(2**62)
+
+        chunks = [pdf for pdf in pdf_iter]
+        uid = int(key[0])
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            ts = (pdf["ts"].astype("int64") // 10**9).to_numpy()
+            eid = pdf["event_id"].to_numpy(dtype=np.int64)
+            val = pdf["value"].to_numpy(dtype=np.float64)
+        else:
+            ts = np.empty(0, np.int64)
+            eid = np.empty(0, np.int64)
+            val = np.empty(0)
+
+        # events whose slot has already been emitted: flag, never insert
+        too_late = ts < emitted_until
+        late_out = (eid[too_late], val[too_late])
+        ts, eid, val = ts[~too_late], eid[~too_late], val[~too_late]
+
+        # merge new events into the sorted hold-back buffer
+        all_ts = np.concatenate([buf[0], ts])
+        all_eid = np.concatenate([buf[1], eid])
+        all_val = np.concatenate([buf[2], val])
+        order = np.lexsort((all_eid, all_ts))
+        all_ts, all_eid, all_val = all_ts[order], all_eid[order], all_val[order]
+
+        flushing = bool(getattr(state, "hasTimedOut", False)) or (
+            chunks == [] and flush_after_ms is not None
+        )
+        if flushing:
+            horizon = 2**62  # emit everything
+        else:
+            hi = int(all_ts.max()) if all_ts.size else emitted_until
+            horizon = hi - int(reorder_seconds)
+        ready = all_ts <= horizon
+        n_ready = int(np.count_nonzero(ready))
+
+        outs = []
+        if n_ready:
+            vals = all_val[:n_ready]
+            buf2 = np.concatenate([tail, vals])
+            n0 = buf2.size - vals.size
+            c1 = np.concatenate([[0.0], np.cumsum(buf2)])
+            c2 = np.concatenate([[0.0], np.cumsum(buf2 * buf2)])
+            pos = np.arange(n0, buf2.size)
+            full = pos + 1 >= w
+            lo = np.where(full, pos + 1 - w, 0)
+            s = c1[pos + 1] - c1[lo]
+            ss = c2[pos + 1] - c2[lo]
+            ma = s / w
+            sd = np.sqrt(np.maximum(ss - s * s / w, 0.0) / (w - 1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = np.abs(vals - ma) / sd
+            score = np.where(full & (sd > 0), score, np.nan)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(n_ready, uid, dtype=np.int64),
+                        "event_id": all_eid[:n_ready],
+                        "value": vals,
+                        "score": score,
+                        "is_anom": np.nan_to_num(score, nan=0.0) > k,
+                        "is_late": np.zeros(n_ready, dtype=bool),
+                    }
+                )
+            )
+            tail = buf2[-(w - 1):] if w > 1 else np.empty(0)
+            emitted_until = int(all_ts[n_ready - 1]) + 1
+        if late_out[0].size:
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(late_out[0].size, uid, dtype=np.int64),
+                        "event_id": late_out[0],
+                        "value": late_out[1],
+                        "score": np.full(late_out[0].size, np.nan),
+                        "is_anom": np.zeros(late_out[0].size, dtype=bool),
+                        "is_late": np.ones(late_out[0].size, dtype=bool),
+                    }
+                )
+            )
+
+        state.update(
+            (
+                tail.tolist(),
+                all_ts[n_ready:].tolist(),
+                all_eid[n_ready:].tolist(),
+                all_val[n_ready:].tolist(),
+                int(emitted_until),
+            )
+        )
+        if flush_after_ms is not None and not flushing:
+            state.setTimeoutDuration(int(flush_after_ms))
+        yield from outs
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_after_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout_conf
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 minute",

@@ -299,3 +299,80 @@ def test_stateful_detect_multichunk_batch(spark, tmp_path):
     assert {u * 1000 + 40 for u in range(2)} <= set(
         got.loc[got["is_anom"], "event_id"].astype(int)
     )
+
+
+def test_stateful_detect_late_data(spark, tmp_path):
+    """Late-data detector (engine/streaming.py): an out-of-order event
+    arriving in batch 2 but timestamped inside batch 1's tail must land in
+    its correct window slot (scores == pandas oracle over the fully sorted
+    series); an event older than the reorder window is emitted flagged
+    is_late with NULL score, not silently dropped."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.streaming import stateful_detect_stream_late
+
+    w, k, reorder = 12, 2.5, 30
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    os.makedirs(src)
+    t0 = 1704067200
+
+    def mk(i):
+        return float(100 + ((i * 17) % 11))
+
+    # batch 1: t = 0..39 EXCEPT 25 (arrives late); batch 2: the late event
+    # at t=25 (within reorder of batch-1 max 39), a spike at 55, and a
+    # TOO-late event at t=2 (horizon after batch 1 = 39-30 = 9 > 2)
+    b1 = [(i, t0 + i, 0, mk(i)) for i in range(40) if i != 25]
+    b2 = [(25, t0 + 25, 0, 555.0), (2000 + 2, t0 + 2, 0, mk(2)),
+          *[(i, t0 + i, 0, (500.0 if i == 55 else mk(i))) for i in range(40, 70)]]
+
+    def write(rows, name):
+        spark.createDataFrame(
+            rows, "event_id long, epoch long, user_id long, value double"
+        ).select(
+            "event_id", F.timestamp_seconds("epoch").alias("ts"), "user_id", "value"
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(f"{src}/*")
+        q = (
+            stateful_detect_stream_late(stream, w=w, k=k, reorder_seconds=reorder)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write(b1, "d1")
+    run()
+    write(b2, "d2")
+    run()
+    got = spark.read.parquet(outdir).toPandas().sort_values("event_id").reset_index(drop=True)
+
+    # too-late event: present, flagged, null score
+    late_row = got[got["event_id"] == 2002]
+    assert len(late_row) == 1
+    assert bool(late_row["is_late"].iloc[0]) and not bool(late_row["is_anom"].iloc[0])
+    assert np.isnan(late_row["score"].iloc[0])
+
+    # emitted in-order rows: horizon after batch 2 = 69-30 = 39 -> events
+    # t<=39 emitted, INCLUDING the late t=25 in its proper slot
+    emitted = got[~got["is_late"]]
+    assert set(emitted["event_id"]) == set(range(40))
+
+    # oracle over the fully sorted series (t = 0..39)
+    s = pd.Series([555.0 if i == 25 else mk(i) for i in range(40)])
+    score = (s - s.rolling(w).mean()).abs() / s.rolling(w).std(ddof=1)
+    want = (score.fillna(0) > k).to_numpy()
+    em = emitted.sort_values("event_id")
+    assert (em["is_anom"].to_numpy() == want).all()
+    # the late spike itself must have fired
+    assert bool(em[em["event_id"] == 25]["is_anom"].iloc[0])
