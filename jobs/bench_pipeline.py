@@ -64,6 +64,8 @@ def main() -> None:
     ap.add_argument("--pipeline", default="fused", choices=["fused", "exploded"])
     ap.add_argument("--workdir", default="/tmp/bench_pipeline")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--arrow-batch-rows", type=int, default=None,
+                    help="override the cache-blocked default (docs per Arrow batch)")
     args = ap.parse_args()
 
     from engine.io import scan_tokens, synth_tokens
@@ -110,7 +112,8 @@ def main() -> None:
     for i in range(args.warmup):
         wh = os.path.join(args.workdir, f"wh-warm{i}")
         shutil.rmtree(wh, ignore_errors=True)
-        run_rollup(spark, tokens, wh, epoch=1, compress=not args.no_compress, pipeline=args.pipeline)
+        run_rollup(spark, tokens, wh, epoch=1, compress=not args.no_compress,
+                   pipeline=args.pipeline, arrow_batch_rows=args.arrow_batch_rows)
         shutil.rmtree(wh, ignore_errors=True)
 
     results = []
@@ -122,7 +125,7 @@ def main() -> None:
         t0 = time.monotonic()
         tiers = run_rollup(
             spark, tokens, wh, epoch=1, compress=not args.no_compress,
-            pipeline=args.pipeline,
+            pipeline=args.pipeline, arrow_batch_rows=args.arrow_batch_rows,
         )
         wall = time.monotonic() - t0
         m1, s1 = _jvm_metrics(spark), _host_steal()

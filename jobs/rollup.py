@@ -49,7 +49,8 @@ def run_rollup(
     stats_mode: str = "long",
     merge_docs: bool = False,
     pipeline: str = "fused",
-    arrow_batch_rows: int = 2048,
+    arrow_batch_rows: int | None = None,
+    arrow_batch_bytes: int = 2 << 20,
 ) -> dict:
     """Run (or resume) the full cascade for one checkpoint epoch.
 
@@ -66,6 +67,16 @@ def run_rollup(
         (engine/series.py + stats.py + rollup.py) — the semantic reference,
         and the path for int32-extreme domains via stats_mode='decimal'
         (the fused kernel fails loudly outside its exact-int64 domain).
+
+    ``arrow_batch_rows=None`` (default) sizes the fused path's Arrow batch
+    by BYTES (``arrow_batch_bytes``, default 2 MB) instead of rows — cache
+    blocking: the flat kernel makes ~15 vectorized passes over each batch,
+    so a batch that fits L2/L3 keeps those passes out of DRAM and the
+    job's memory traffic collapses to ~2 passes (scan + emit). On hosts
+    where memory bandwidth, not CPU, is the ceiling (any host, at enough
+    cores), this is what lets the narrow plan keep scaling with cores
+    (see BENCH/BASELINE.md). The row count derives from max(n_tok) via
+    parquet aggregate pushdown — footer statistics, no data scan.
 
     ``merge_docs=True`` gives ACCUMULATE semantics for incremental ingest
     (streaming micro-batches): rows already in a touched partition are
@@ -98,6 +109,11 @@ def run_rollup(
     # max — bounded regardless of parallelism.
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
 
+    if arrow_batch_rows is None and pipeline == "fused":
+        arrow_batch_rows = _cache_blocked_rows(
+            spark, tokens_df, arrow_batch_bytes
+        )
+
     try:
         _run_tiers(
             spark, fmt, tokens_df, warehouse, epoch, w, k, policy, n_buckets,
@@ -111,6 +127,31 @@ def run_rollup(
             else:
                 spark.conf.set(c, v)
     return metrics
+
+
+def _cache_blocked_rows(spark, tokens_df, batch_bytes: int) -> int:
+    """Doc rows per Arrow batch so one batch's float64 series stay cache-
+    resident for the flat kernel's passes: batch_bytes / (8 * max n_tok).
+
+    max(n_tok) comes from parquet FOOTER statistics via aggregate pushdown
+    (spark.sql.parquet.aggregatePushdown) — a metadata read, not a scan;
+    the one-row job itself is milliseconds. Falls back to the 4096 synth
+    bulk length if the column is missing or the pushdown path errors."""
+    max_tok = 4096
+    if "n_tok" in tokens_df.columns:
+        saved = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+        try:
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+            from pyspark.sql import functions as _F
+
+            row = tokens_df.agg(_F.max("n_tok")).collect()[0]
+            if row[0] is not None:
+                max_tok = int(row[0])
+        except Exception:
+            pass
+        finally:
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", saved)
+    return int(min(8192, max(16, batch_bytes // (8 * max(max_tok, 1)))))
 
 
 def _run_tiers(
@@ -275,8 +316,11 @@ def main() -> None:
     ap.add_argument("--pipeline", default="fused", choices=["fused", "exploded"],
                     help="1m-tier strategy: fused narrow Arrow pass (scale "
                          "path) or exploded Catalyst windows (reference path)")
-    ap.add_argument("--arrow-batch-rows", type=int, default=2048,
-                    help="Arrow batch size in DOC rows for the fused path")
+    ap.add_argument("--arrow-batch-rows", type=int, default=None,
+                    help="Arrow batch size in DOC rows for the fused path "
+                         "(default: cache-blocked from --arrow-batch-bytes)")
+    ap.add_argument("--arrow-batch-bytes", type=int, default=2 << 20,
+                    help="target bytes of series data per Arrow batch")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -302,6 +346,7 @@ def main() -> None:
         stats_mode=args.stats_mode,
         pipeline=args.pipeline,
         arrow_batch_rows=args.arrow_batch_rows,
+        arrow_batch_bytes=args.arrow_batch_bytes,
     )
     for tier, m in metrics.items():
         print(f"tier={tier} {m}")
