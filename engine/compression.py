@@ -9,7 +9,14 @@ positional token streams:
   - One frame compresses the NON-NULL (t, v) points of one (doc_id, bucket)
     group, t ascending. Nulls are simply absent points — the t delta stream
     encodes the gap, so no presence bitmap is needed.
-  - ts_dod frame:  u32 n | t0 as 64 bits | per point: dod = d_i - d_{i-1}
+  - Every frame starts with ONE MAGIC/VERSION BYTE (0xD1 for ts_dod, 0xA1
+    for v_gorilla, both meaning format v1 — the round-3 window-rule variant
+    below). Decoders FAIL LOUDLY on any other first byte. Round-3 and
+    earlier payloads carry no magic (their first byte is the top byte of
+    u32 n, i.e. 0x00 for every realistic n), so a legacy frame is reliably
+    rejected instead of silently desyncing; legacy v0 payloads must be
+    rewritten (re-run the rollup epoch) — there is no v0 reader.
+  - ts_dod frame:  u8 magic | u32 n | t0 as 64 bits | per point: dod = d_i - d_{i-1}
     (d_0 := 0) encoded with the paper's bucket prefixes
         '0'                      dod == 0
         '10'   + 7  bits         dod in [-63, 64]       (stored dod+63)
@@ -18,7 +25,7 @@ positional token streams:
         '1111' + 64 bits         otherwise (two's complement)
     Gap-filled series have d == 1 everywhere, so after the first two points
     every timestamp costs 1 bit.
-  - v_gorilla frame: u32 n | v0 as 64 bits | per point: x = u64(v) XOR
+  - v_gorilla frame: u8 magic | u32 n | v0 as 64 bits | per point: x = u64(v) XOR
     u64(prev):
         '0'                      x == 0
         '10' + meaningful bits   x fits the previous window (see below)
@@ -47,6 +54,16 @@ tests/test_compression.py):
     only Python-level iteration is one slice per produced frame. This is
     what "compression inside vectorized Arrow UDFs" (BASELINE.json:6)
     demands at 10^12-sequence scale: per-POINT Python is gone.
+
+The READ path has the same two shapes (round 4): ``*_decompress(frame)``
+sequential reference, and ``*_decompress_many(frames)`` — a TRANSPOSED
+vectorized decode: round k decodes point index k of EVERY still-active
+frame in a handful of NumPy gathers (a bitstream is sequential per frame,
+but the frames of one Arrow batch are independent — so the loop runs over
+point INDEX, not points, and its trip count is max frame length amortized
+over the whole batch). A short straggler tail (< _TAIL_MIN active frames)
+finishes on the sequential bit-reader so one long frame never degrades to
+near-scalar NumPy rounds.
 """
 
 from __future__ import annotations
@@ -54,6 +71,26 @@ from __future__ import annotations
 import numpy as np
 
 _U64 = np.uint64
+
+# Frame magic/version bytes (module docstring): v1 = the round-3
+# window-rule variant. Legacy (round-3 and earlier) frames have no magic —
+# their first byte is n's top byte (0x00) — and are rejected loudly.
+DOD_MAGIC = 0xD1
+GOR_MAGIC = 0xA1
+
+# Transposed decoders hand the last few straggler frames to the sequential
+# bit-reader once fewer than this many frames remain active (below it, the
+# fixed ~us cost of each NumPy round exceeds per-point Python).
+_TAIL_MIN = 24
+
+
+def _bad_magic(got: int, want: int, name: str) -> ValueError:
+    return ValueError(
+        f"{name} frame magic mismatch: got 0x{got:02X}, want 0x{want:02X}. "
+        "A 0x00 first byte means a legacy v0 (pre-magic) payload — v0 "
+        "frames cannot be read by this engine version; rewrite them by "
+        "re-running the rollup epoch (see module docstring)."
+    )
 
 
 class _BitWriter:
@@ -117,6 +154,7 @@ def dod_compress(ts: np.ndarray) -> bytes:
     ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
     w = _BitWriter()
+    w.write(DOD_MAGIC, 8)
     w.write(n, 32)
     if n == 0:
         return w.bytes()
@@ -143,8 +181,11 @@ def dod_compress(ts: np.ndarray) -> bytes:
 
 
 def dod_decompress(frame: bytes) -> np.ndarray:
-    """C3 inverse of dod_compress."""
+    """C3 inverse of dod_compress (sequential reference)."""
     r = _BitReader(frame)
+    magic = r.read(8)
+    if magic != DOD_MAGIC:
+        raise _bad_magic(magic, DOD_MAGIC, "ts_dod")
     n = r.read(32)
     out = np.empty(n, dtype=np.int64)
     if n == 0:
@@ -188,6 +229,7 @@ def gorilla_compress(vs: np.ndarray) -> bytes:
     vs = np.asarray(vs, dtype=np.int64)
     n = len(vs)
     w = _BitWriter()
+    w.write(GOR_MAGIC, 8)
     w.write(n, 32)
     if n == 0:
         return w.bytes()
@@ -215,8 +257,11 @@ def gorilla_compress(vs: np.ndarray) -> bytes:
 
 
 def gorilla_decompress(frame: bytes) -> np.ndarray:
-    """C3 inverse of gorilla_compress."""
+    """C3 inverse of gorilla_compress (sequential reference)."""
     r = _BitReader(frame)
+    magic = r.read(8)
+    if magic != GOR_MAGIC:
+        raise _bad_magic(magic, GOR_MAGIC, "v_gorilla")
     n = r.read(32)
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
@@ -324,13 +369,13 @@ def _pack_frames(ev: np.ndarray, eb: np.ndarray, ec: np.ndarray) -> list:
 
 
 def _entry_layout(counts: np.ndarray) -> tuple:
-    """Shared frame-major entry layout: every frame gets 2 header slots
-    ((n,32) and, when n>=1, (first,64)); every later value gets exactly 2
-    slots (second possibly zero-width). Returns (ec, base, E, starts,
-    frame_of, local) for ``counts`` values per frame."""
+    """Shared frame-major entry layout: every frame gets 3 header slots
+    ((magic,8), (n,32) and, when n>=1, (first,64)); every later value gets
+    exactly 2 slots (second possibly zero-width). Returns (ec, base, E,
+    starts, frame_of, local) for ``counts`` values per frame."""
     counts = np.asarray(counts, dtype=np.int64)
     starts = _cumsum0(counts)[:-1]
-    ec = np.maximum(2 * counts, 2)
+    ec = np.maximum(2 * counts, 2) + 1
     base = _cumsum0(ec)[:-1]
     e_total = int(ec.sum())
     frame_of = np.repeat(np.arange(counts.size), counts)
@@ -347,11 +392,13 @@ def dod_compress_many(ts_flat: np.ndarray, counts: np.ndarray) -> list:
     ec, base, e_total, starts, frame_of, local = _entry_layout(counts)
     ev = np.zeros(e_total, dtype=np.uint64)
     eb = np.zeros(e_total, dtype=np.int64)
-    ev[base] = counts.astype(np.uint64)
-    eb[base] = 32
+    ev[base] = DOD_MAGIC
+    eb[base] = 8
+    ev[base + 1] = counts.astype(np.uint64)
+    eb[base + 1] = 32
     ne = counts > 0
-    ev[base[ne] + 1] = ts[starts[ne]].view(np.uint64)
-    eb[base[ne] + 1] = 64
+    ev[base[ne] + 2] = ts[starts[ne]].view(np.uint64)
+    eb[base[ne] + 2] = 64
     i = np.flatnonzero(local >= 1)
     if i.size:
         d = ts[i] - ts[i - 1]
@@ -359,7 +406,7 @@ def dod_compress_many(ts_flat: np.ndarray, counts: np.ndarray) -> list:
         dall[i] = d
         # dod: first delta's predecessor is 0 by definition
         dod = np.where(local[i] >= 2, d - dall[i - 1], d)
-        e1 = np.repeat(base, counts)[i] + 2 * local[i]
+        e1 = np.repeat(base, counts)[i] + 1 + 2 * local[i]
         v1 = np.zeros(i.size, dtype=np.uint64)
         b1 = np.full(i.size, 1, dtype=np.int64)
         v2 = np.zeros(i.size, dtype=np.uint64)
@@ -392,11 +439,13 @@ def gorilla_compress_many(vals_flat: np.ndarray, counts: np.ndarray) -> list:
     ec, base, e_total, starts, frame_of, local = _entry_layout(counts)
     ev = np.zeros(e_total, dtype=np.uint64)
     eb = np.zeros(e_total, dtype=np.int64)
-    ev[base] = counts.astype(np.uint64)
-    eb[base] = 32
+    ev[base] = GOR_MAGIC
+    eb[base] = 8
+    ev[base + 1] = counts.astype(np.uint64)
+    eb[base + 1] = 32
     ne = counts > 0
-    ev[base[ne] + 1] = u[starts[ne]]
-    eb[base[ne] + 1] = 64
+    ev[base[ne] + 2] = u[starts[ne]]
+    eb[base[ne] + 2] = 64
     i = np.flatnonzero(local >= 1)
     if i.size:
         n = u.size
@@ -433,9 +482,204 @@ def gorilla_compress_many(vals_flat: np.ndarray, counts: np.ndarray) -> list:
         sh = np.where(fits, ptrail, np.where(fresh, trail, 0)).astype(np.uint64)
         v2 = x >> np.minimum(sh, np.uint64(63))
         b2 = np.where(fits, pml, np.where(fresh, ml, 0))
-        e1 = np.repeat(base, counts)[i] + 2 * local[i]
+        e1 = np.repeat(base, counts)[i] + 1 + 2 * local[i]
         ev[e1], eb[e1], ev[e1 + 1], eb[e1 + 1] = v1, b1, v2, b2
     return _pack_frames(ev, eb, ec)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized multi-frame decoders (the C3 hot path — round 4; transposed
+# decode, see module docstring; bit-exact vs the sequential decoders, pinned
+# by tests/test_compression.py)
+# ---------------------------------------------------------------------------
+
+
+def _concat_frames(frames: list, magic: int, name: str) -> tuple:
+    """Concatenate frame byte strings into one big-endian u64 word buffer.
+
+    Validates every frame's magic byte in one vectorized gather. Returns
+    (words, buf, frame_bit_offsets); ``buf`` (the raw bytes) feeds the
+    sequential straggler tail, ``words`` the vectorized rounds. Padded so
+    a 64-bit window read at any in-frame bit offset stays in bounds."""
+    lens = np.fromiter((len(f) for f in frames), dtype=np.int64, count=len(frames))
+    if lens.size and int(lens.min()) < 5:
+        raise ValueError(f"{name} frame shorter than the 5-byte v1 header")
+    boff = _cumsum0(lens)
+    buf = b"".join(frames)
+    barr = np.frombuffer(buf, dtype=np.uint8)
+    firsts = barr[boff[:-1]]
+    if (firsts != magic).any():
+        bad = int(firsts[firsts != magic][0])
+        raise _bad_magic(bad, magic, name)
+    pad = (-len(buf)) % 8 + 16
+    words = np.frombuffer(buf + b"\x00" * pad, dtype=">u8").astype(np.uint64)
+    return words, buf, boff[:-1] * 8
+
+
+def _read_bits_vec(words: np.ndarray, pos: np.ndarray, nbits) -> np.ndarray:
+    """Gather ``nbits[i]`` bits (0..64) starting at absolute bit offset
+    ``pos[i]`` — one 128-bit window per element, fully vectorized."""
+    w = (pos >> 6).astype(np.int64)
+    o = (pos & 63).astype(np.uint64)
+    hi = (words[w] << o) & _M64
+    lo = words[w + 1] >> ((np.uint64(64) - o) & np.uint64(63))
+    window = hi | np.where(o == 0, np.uint64(0), lo)
+    nb = np.asarray(nbits, dtype=np.uint64)
+    shifted = window >> ((np.uint64(64) - nb) & np.uint64(63))
+    return np.where(nb == 0, np.uint64(0), shifted)
+
+
+def _dod_finish(buf: bytes, bitpos: int, t: int, delta: int,
+                out: np.ndarray, o: int, m: int) -> None:
+    """Sequential tail: decode the remaining ``m`` points of one ts_dod
+    frame from mid-stream state (same branch structure as dod_decompress)."""
+    r = _BitReader(buf, bitpos)
+    for _ in range(m):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            dod = _to_signed64(r.read(64))
+        delta += dod
+        t += delta
+        out[o] = t
+        o += 1
+
+
+def dod_decompress_many(frames: list) -> tuple:
+    """Vectorized C3 over many ts_dod frames -> (flat int64 points, counts).
+
+    Transposed decode: round k decodes point index k of every frame with
+    n > k in ~10 NumPy gathers; control-prefix classification is a 4-bit
+    peek (reading past a short entry is harmless — only the bits the prefix
+    dictates are consumed). Stragglers finish sequentially (_TAIL_MIN)."""
+    nf = len(frames)
+    if nf == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    words, buf, fbit = _concat_frames(frames, DOD_MAGIC, "ts_dod")
+    pos = fbit + 8
+    counts = _read_bits_vec(words, pos, np.full(nf, 32)).astype(np.int64)
+    pos = pos + 32
+    obase = _cumsum0(counts)[:-1]
+    out = np.empty(int(counts.sum()), dtype=np.int64)
+    t = np.zeros(nf, dtype=np.int64)
+    delta = np.zeros(nf, dtype=np.int64)
+    ne = np.flatnonzero(counts >= 1)
+    t[ne] = _read_bits_vec(words, pos[ne], np.full(ne.size, 64)).view(np.int64)
+    pos[ne] += 64
+    out[obase[ne]] = t[ne]
+    idx = np.flatnonzero(counts >= 2)
+    k = 1
+    while idx.size:
+        if idx.size < _TAIL_MIN:
+            for f in idx.tolist():
+                _dod_finish(buf, int(pos[f]), int(t[f]), int(delta[f]),
+                            out, int(obase[f]) + k, int(counts[f]) - k)
+            break
+        p = pos[idx]
+        c4 = _read_bits_vec(words, p, np.full(idx.size, 4)).astype(np.int64)
+        b0 = c4 < 8                      # '0'
+        b1 = (c4 >> 2) == 0b10           # '10'   + 7
+        b2 = (c4 >> 1) == 0b110          # '110'  + 9
+        b3 = c4 == 0b1110                # '1110' + 12
+        b4 = c4 == 0b1111                # '1111' + 64
+        ctl = np.select([b0, b1, b2, b3, b4], [1, 2, 3, 4, 4])
+        pbits = np.select([b0, b1, b2, b3, b4], [0, 7, 9, 12, 64])
+        pv = _read_bits_vec(words, p + ctl, pbits).view(np.int64)
+        dod = np.select([b0, b1, b2, b3, b4],
+                        [0, pv - 63, pv - 255, pv - 2047, pv])
+        pos[idx] = p + ctl + pbits
+        delta[idx] += dod
+        t[idx] += delta[idx]
+        out[obase[idx] + k] = t[idx]
+        k += 1
+        idx = idx[counts[idx] > k]
+    return out, counts
+
+
+def _gor_finish(buf: bytes, bitpos: int, cur: int, plead: int, ptrail: int,
+                out_u: np.ndarray, o: int, m: int) -> None:
+    """Sequential tail for one v_gorilla frame from mid-stream state."""
+    r = _BitReader(buf, bitpos)
+    for _ in range(m):
+        if r.read(1) == 0:
+            out_u[o] = cur
+            o += 1
+            continue
+        if r.read(1) == 0:
+            x = r.read(64 - plead - ptrail) << ptrail
+        else:
+            lead = r.read(6)
+            mlen = r.read(6) + 1
+            x = r.read(mlen) << (64 - lead - mlen)
+        plead, ptrail = _clz64(x), _ctz64(x)
+        cur ^= x
+        out_u[o] = cur
+        o += 1
+
+
+def gorilla_decompress_many(frames: list) -> tuple:
+    """Vectorized C3 over many v_gorilla frames -> (flat int64, counts).
+
+    Same transposed shape as dod_decompress_many; the per-frame reuse
+    window (plead/ptrail of the last non-zero xor — module docstring) is
+    per-frame STATE carried across rounds, updated only where x != 0,
+    exactly mirroring the sequential decoder."""
+    nf = len(frames)
+    if nf == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    words, buf, fbit = _concat_frames(frames, GOR_MAGIC, "v_gorilla")
+    pos = fbit + 8
+    counts = _read_bits_vec(words, pos, np.full(nf, 32)).astype(np.int64)
+    pos = pos + 32
+    obase = _cumsum0(counts)[:-1]
+    out_u = np.empty(int(counts.sum()), dtype=np.uint64)
+    cur = np.zeros(nf, dtype=np.uint64)
+    plead = np.zeros(nf, dtype=np.int64)
+    ptrail = np.zeros(nf, dtype=np.int64)
+    ne = np.flatnonzero(counts >= 1)
+    cur[ne] = _read_bits_vec(words, pos[ne], np.full(ne.size, 64))
+    pos[ne] += 64
+    out_u[obase[ne]] = cur[ne]
+    idx = np.flatnonzero(counts >= 2)
+    k = 1
+    while idx.size:
+        if idx.size < _TAIL_MIN:
+            for f in idx.tolist():
+                _gor_finish(buf, int(pos[f]), int(cur[f]), int(plead[f]),
+                            int(ptrail[f]), out_u, int(obase[f]) + k,
+                            int(counts[f]) - k)
+            break
+        p = pos[idx]
+        c2 = _read_bits_vec(words, p, np.full(idx.size, 2)).astype(np.int64)
+        bz = c2 < 2          # '0'  : repeat
+        bw = c2 == 2         # '10' : previous window
+        bf = c2 == 3         # '11' : fresh window header (6+6)
+        pml = np.where(bw, 64 - plead[idx] - ptrail[idx], 0)
+        hdr = _read_bits_vec(words, p + 2, np.where(bf, 12, 0)).astype(np.int64)
+        lead = hdr >> 6
+        mlen = (hdr & 63) + 1
+        pbits = np.select([bz, bw, bf], [0, pml, mlen])
+        poff = np.select([bz, bw, bf], [1, 2, 14])
+        payload = _read_bits_vec(words, p + poff, pbits)
+        shift = np.select([bz, bw, bf],
+                          [0, ptrail[idx], 64 - lead - mlen]).astype(np.uint64)
+        x = np.where(bz, np.uint64(0), payload << shift)
+        nz = x != np.uint64(0)
+        sub = idx[nz]
+        plead[sub] = 64 - _bitlen_arr(x[nz])
+        ptrail[sub] = _ctz_arr(x[nz])
+        cur[idx] ^= x
+        out_u[obase[idx] + k] = cur[idx]
+        pos[idx] = p + poff + pbits
+        k += 1
+        idx = idx[counts[idx] > k]
+    return out_u.view(np.int64), counts
 
 
 # ---------------------------------------------------------------------------
@@ -642,24 +886,43 @@ def rollup_1m_with_payloads(flagged_points, tier: str = "1m", presorted: bool = 
     )
 
 
-def decompress_columns(compressed_df):
-    """C3 as a scalar Arrow UDF: (ts_dod, v_gorilla) -> point arrays."""
+def _decode_series(frames, decoder):
+    """One Arrow batch of frames -> pandas Series of int64 point arrays,
+    via the vectorized multi-frame decoder (NULL frames stay NULL). The
+    only per-frame Python is the bytes() view and the flat-array split."""
     import pandas as pd
+
+    mask = frames.notna().to_numpy()
+    fl = [bytes(b) for b, m in zip(frames, mask) if m]
+    vals = np.empty(len(frames), dtype=object)
+    if fl:
+        flat, counts = decoder(fl)
+        parts = np.split(flat, np.cumsum(counts)[:-1])
+        po = np.empty(len(parts), dtype=object)
+        po[:] = parts
+        vals[np.flatnonzero(mask)] = po
+    return pd.Series(vals, index=frames.index)
+
+
+def decompress_columns(compressed_df):
+    """C3 as a scalar Arrow UDF: (ts_dod, v_gorilla) -> point arrays.
+
+    Round 4: routed through the TRANSPOSED vectorized decoders
+    (dod_decompress_many / gorilla_decompress_many) — one NumPy round per
+    point index across the whole Arrow batch's frames, mirroring the
+    round-3 encoder vectorization. Per-point Python is gone from the read
+    path."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, LongType
 
     # lambdas, not annotated defs: `from __future__ import annotations` turns
     # hints into strings pyspark cannot resolve inside a nested scope
     _ts = F.pandas_udf(
-        lambda frames: frames.map(
-            lambda b: dod_decompress(bytes(b)).tolist() if b is not None else None
-        ),
+        lambda frames: _decode_series(frames, dod_decompress_many),
         ArrayType(LongType()),
     )
     _vs = F.pandas_udf(
-        lambda frames: frames.map(
-            lambda b: gorilla_decompress(bytes(b)).tolist() if b is not None else None
-        ),
+        lambda frames: _decode_series(frames, gorilla_decompress_many),
         ArrayType(LongType()),
     )
 

@@ -36,16 +36,35 @@ def test_dod_dense_series_compresses_to_about_one_bit():
     timestamp must cost ~1 bit (the whole point of delta-of-delta)."""
     ts = np.arange(10_000, dtype=np.int64)
     frame = dod_compress(ts)
-    # 4B header + 8B t0 + ~2B for the first dod + n/8 bytes of '0' bits
-    assert len(frame) < 4 + 8 + 2 + 10_000 // 8 + 2
+    # 1B magic + 4B n + 8B t0 + ~2B first dod + n/8 bytes of '0' bits
+    assert len(frame) < 1 + 4 + 8 + 2 + 10_000 // 8 + 2
     assert dod_decompress(frame).tolist() == ts.tolist()
 
 
 def test_gorilla_constant_series_one_bit_per_point():
     vs = np.full(10_000, 123456, dtype=np.int64)
     frame = gorilla_compress(vs)
-    assert len(frame) < 4 + 8 + 10_000 // 8 + 2
+    assert len(frame) < 1 + 4 + 8 + 10_000 // 8 + 2
     assert gorilla_decompress(frame).tolist() == vs.tolist()
+
+
+def test_legacy_v0_frames_rejected_loudly():
+    """A pre-magic (round-3) frame starts with n's top byte (0x00) — every
+    decoder entry point must raise, never silently desync (ADVICE r03)."""
+    import pytest
+
+    from engine.compression import (
+        dod_decompress_many,
+        gorilla_decompress_many,
+    )
+
+    legacy = dod_compress(np.arange(5, dtype=np.int64))[1:]  # strip magic
+    for fn in (dod_decompress, gorilla_decompress):
+        with pytest.raises(ValueError, match="magic"):
+            fn(legacy)
+    for fn in (dod_decompress_many, gorilla_decompress_many):
+        with pytest.raises(ValueError, match="magic"):
+            fn([legacy])
 
 
 def test_empty_and_singleton():
@@ -121,7 +140,9 @@ def test_vectorized_many_byte_identical_to_sequential():
 
     from engine.compression import (
         dod_compress_many,
+        dod_decompress_many,
         gorilla_compress_many,
+        gorilla_decompress_many,
     )
 
     rng = np.random.default_rng(7)
@@ -158,3 +179,43 @@ def test_vectorized_many_byte_identical_to_sequential():
             assert many_v[f] == gorilla_compress(v_frames[f])
             assert (dod_decompress(many_t[f]) == ts_frames[f]).all()
             assert (gorilla_decompress(many_v[f]) == v_frames[f]).all()
+        # the transposed many-decoders must invert the many-encoders exactly
+        dt_flat, dt_counts = dod_decompress_many(many_t)
+        dv_flat, dv_counts = gorilla_decompress_many(many_v)
+        assert dt_counts.tolist() == counts.tolist() == dv_counts.tolist()
+        assert (dt_flat == ts_flat).all()
+        assert (dv_flat == v_flat).all()
+
+
+def test_many_decoders_straggler_tail_and_mixed_lengths():
+    """Mix of many short frames + a few very long ones exercises both the
+    vectorized rounds and the sequential straggler tail (_TAIL_MIN)."""
+    import numpy as np
+
+    from engine.compression import (
+        dod_compress_many,
+        dod_decompress_many,
+        gorilla_compress_many,
+        gorilla_decompress_many,
+    )
+
+    rng = np.random.default_rng(42)
+    counts = np.concatenate(
+        [rng.integers(0, 8, 200), [5000, 3000], rng.integers(0, 60, 50)]
+    ).astype(np.int64)
+    ts_frames, v_frames = [], []
+    for c in counts:
+        c = int(c)
+        steps = rng.choice([1, 1, 2, 60], size=max(c - 1, 0))
+        ts = np.concatenate(([7], 7 + np.cumsum(steps)))[:c].astype(np.int64)
+        ts_frames.append(ts)
+        v_frames.append(rng.integers(-(2**40), 2**40, c).astype(np.int64))
+    ts_flat = np.concatenate(ts_frames) if len(ts_frames) else np.empty(0, np.int64)
+    v_flat = np.concatenate(v_frames)
+    ft = dod_compress_many(ts_flat, counts)
+    fv = gorilla_compress_many(v_flat, counts)
+    dt, ct = dod_decompress_many(ft)
+    dv, cv = gorilla_decompress_many(fv)
+    assert ct.tolist() == counts.tolist() == cv.tolist()
+    assert (dt == ts_flat).all()
+    assert (dv == v_flat).all()
