@@ -798,50 +798,64 @@ def rollup_1m_with_payloads(flagged_points, tier: str = "1m", presorted: bool = 
 
     def rollup_partition(batches):
         carry = None
-        rows: list = []
 
         def emit(pdf):
+            """(doc_id, bucket) runs -> one COLUMNAR rollup frame: every
+            aggregate is a reduceat over run boundaries (exactly the
+            engine/fused.py:_flat_rollup_cols treatment — round 4 removed
+            the per-group Python loop here too); the codecs are the
+            vectorized multi-frame kernels. Only payload list assembly and
+            the pandas construction remain Python-level, both per-GROUP."""
             doc = pdf["doc_id"].to_numpy()
             buck = pdf["bucket"].to_numpy()
             t = pdf["t"].to_numpy(dtype=np.int64)
             v = pdf["v"].to_numpy(dtype=np.float64)
             anom = pdf["is_anom"].to_numpy(dtype=np.bool_)
+            n = len(pdf)
             change = np.flatnonzero((doc[1:] != doc[:-1]) | (buck[1:] != buck[:-1])) + 1
             starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(pdf)]))
-            mask_all = ~np.isnan(v)
-            counts = np.add.reduceat(mask_all.astype(np.int64), starts)
-            frames_t = dod_compress_many(t[mask_all], counts)
-            frames_v = gorilla_compress_many(
-                v[mask_all].astype(np.int64), counts
-            )
-            for g, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
-                vv = v[s:e]
-                mask = ~np.isnan(vv)
-                nn = vv[mask].astype(np.int64)
-                cnt = int(nn.size)
-                vsum = int(nn.sum()) if cnt else None
-                rows.append(
-                    (
-                        doc[s],
-                        int(buck[s]),
-                        cnt,
-                        int(nn.min()) if cnt else None,
-                        int(nn.max()) if cnt else None,
-                        vsum,
-                        float(vsum) / cnt if cnt else None,
-                        int(anom[s:e].sum()),
-                        int(nn[0]) if cnt else None,
-                        int(nn[-1]) if cnt else None,
-                        frames_t[g],
-                        frames_v[g],
-                    )
-                )
+            mask = ~np.isnan(v)
+            counts = np.add.reduceat(mask.astype(np.int64), starts)
+            frames_t = dod_compress_many(t[mask], counts)
+            frames_v = gorilla_compress_many(v[mask].astype(np.int64), counts)
+            iv = np.where(mask, v, 0.0).astype(np.int64)
+            vsum = np.add.reduceat(iv, starts)
+            vmin = np.minimum.reduceat(np.where(mask, v, np.inf), starts)
+            vmax = np.maximum.reduceat(np.where(mask, v, -np.inf), starts)
+            firsts = np.minimum.reduceat(np.where(mask, np.arange(n), n), starts)
+            lasts = np.maximum.reduceat(np.where(mask, np.arange(n), -1), starts)
+            anoms = np.add.reduceat(anom.astype(np.int64), starts)
+            empty = counts == 0
+            # vsum is exactly int; float64 division == double(vsum)/cnt
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vmean = vsum.astype(np.float64) / counts.astype(np.float64)
+            sf = np.where(empty, 0, np.minimum(firsts, n - 1)).astype(np.int64)
+            sl = np.where(empty, 0, np.maximum(lasts, 0)).astype(np.int64)
 
-        cols = [
-            "doc_id", "bucket", "cnt", "vmin", "vmax", "vsum", "vmean",
-            "anom_cnt", "first_v", "last_v", "ts_dod", "v_gorilla",
-        ]
+            def nullable(vals, dtype):
+                return pd.arrays.IntegerArray(vals.astype(dtype), empty.copy())
+
+            def frames_col(frames):
+                s = pd.Series(frames, dtype=object)
+                return s
+
+            return pd.DataFrame(
+                {
+                    "doc_id": doc[starts],
+                    "bucket": buck[starts],
+                    "cnt": counts,
+                    "vmin": nullable(np.where(empty, 0, vmin), np.int32),
+                    "vmax": nullable(np.where(empty, 0, vmax), np.int32),
+                    "vsum": nullable(vsum, np.int64),
+                    "vmean": np.where(empty, np.nan, vmean),
+                    "anom_cnt": anoms,
+                    "first_v": nullable(np.where(empty, 0.0, v[sf]), np.int32),
+                    "last_v": nullable(np.where(empty, 0.0, v[sl]), np.int32),
+                    "ts_dod": frames_col(frames_t),
+                    "v_gorilla": frames_col(frames_v),
+                }
+            )
+
         for pdf in batches:
             if carry is not None and len(carry):
                 pdf = pd.concat([carry, pdf], ignore_index=True)
@@ -854,15 +868,10 @@ def rollup_1m_with_payloads(flagged_points, tier: str = "1m", presorted: bool = 
                 carry = pdf
                 continue
             cut = int(last_change[-1]) + 1
-            emit(pdf.iloc[:cut])
+            yield emit(pdf.iloc[:cut])
             carry = pdf.iloc[cut:].reset_index(drop=True)
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
-                rows = []
         if carry is not None and len(carry):
-            emit(carry)
-        if rows:
-            yield pd.DataFrame(rows, columns=cols)
+            yield emit(carry)
 
     pts = flagged_points.withColumn("bucket", F.expr(f"t DIV {b}")).select(
         "doc_id", "bucket", "t", "v", "is_anom"

@@ -107,13 +107,22 @@ def _check_guard(m: np.ndarray, maxabs: np.ndarray, w: int) -> None:
       m*max^2   >= per-doc sum-of-squares contribution          -> < 2^62
       (w*max)^2 >= both s1*s1 and w*s2 in num = w*s2 - s1^2     -> < 2^63
     The second was missing in round 2 (ADVICE r02 medium): w=30 with
-    |v|~2e8 passed the first bound yet s1^2 wrapped int64 silently."""
+    |v|~2e8 passed the first bound yet s1^2 wrapped int64 silently.
+
+    Docs with fewer than w valid points are EXEMPT (ADVICE r03): no window
+    is ever computed for them, so their extreme values can't reach a sum —
+    and the global cumsum they pollute cancels exactly in any other doc's
+    window subtraction (two's-complement wraparound, module docstring).
+    This matches the round-2 kernel's early-return semantics."""
     # exact Python-int arithmetic (object dtype): the guard products
     # themselves exceed int64 for the very inputs they must reject, and a
     # wrapped product would silently pass. O(docs-per-batch), not O(points).
     m_o = m.astype(object)
     x_o = maxabs.astype(object)
-    bad = ((m_o * x_o * x_o >= 2**62) | ((w * x_o) ** 2 >= 2**63)).astype(bool)
+    bad = (
+        (m >= w)
+        & ((m_o * x_o * x_o >= 2**62) | ((w * x_o) ** 2 >= 2**63)).astype(bool)
+    )
     if bad.any():
         j = int(np.argmax(bad))
         raise ValueError(

@@ -56,6 +56,7 @@ _ARROW_SCHEMA = pa.schema(
         ("out_rows", pa.int64()),
         ("checkpoint_epoch", pa.int64()),
         ("committed_at", pa.timestamp("us", tz="UTC")),
+        ("pipeline", pa.string()),
     ]
 )
 
@@ -71,6 +72,7 @@ def lineage_record(
     input_snapshot_id: int,
     checkpoint_epoch: int,
     output_snapshot_id: int = -1,
+    pipeline: str = "",
 ) -> int:
     """L1: append one lineage row per committed partition (AFTER the data
     commit — see the module-docstring state machine). Atomic: parquet file
@@ -82,7 +84,12 @@ def lineage_record(
     snapshot, so a later epoch overwriting the same part_hash partitions can
     never leak into an epoch-E query (engine/query.py::tier_fallback).
     -1 = unknown (legacy writer); readers then fall back to the current
-    snapshot."""
+    snapshot.
+
+    ``pipeline`` records the physical strategy that produced the rows
+    ("fused", "exploded", "exploded-decimal-fallback", "cascade", ...) so
+    an auto-degraded epoch (the fused guard tripping on an int32-extreme
+    source, jobs/rollup.py) is visible to operators. "" = unrecorded."""
     d = _lineage_path(warehouse)
     os.makedirs(d, exist_ok=True)
     now = int(time.time() * 1_000_000)
@@ -96,6 +103,7 @@ def lineage_record(
             "out_rows": [int(s["out_rows"]) for s in partition_stats],
             "checkpoint_epoch": [int(checkpoint_epoch)] * len(partition_stats),
             "committed_at": pa.array([now] * len(partition_stats), pa.timestamp("us", tz="UTC")),
+            "pipeline": [pipeline] * len(partition_stats),
         },
         schema=_ARROW_SCHEMA,
     )

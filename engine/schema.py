@@ -86,6 +86,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("out_rows", T.LongType(), False),
         T.StructField("checkpoint_epoch", T.LongType(), False),
         T.StructField("committed_at", T.TimestampType(), False),
+        # physical strategy that produced the partition ("fused", "exploded",
+        # "exploded-decimal-fallback", "cascade", ...; "" = unrecorded) — lets
+        # an operator see when the fused guard auto-degraded an epoch
+        T.StructField("pipeline", T.StringType(), True),
     ]
 )
 

@@ -154,6 +154,46 @@ def _cache_blocked_rows(spark, tokens_df, batch_bytes: int) -> int:
     return int(min(8192, max(16, batch_bytes // (8 * max(max_tok, 1)))))
 
 
+def _build_1m(spark, toks, w, k, policy, compress, stats_mode, pipeline,
+              arrow_batch_rows):
+    """The 1m-tier physical strategy (docstring of run_rollup). Factored out
+    so the fused-guard auto-fallback can rebuild the plan with
+    pipeline='exploded', stats_mode='decimal'."""
+    if pipeline == "fused":
+        # scale path: narrow Arrow pass, zero raw-point shuffle
+        # (engine/fused.py). Batch sizing is in DOC rows here.
+        from engine.fused import fused_rollup_1m
+
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(int(arrow_batch_rows)),
+        )
+        # With no exchange, parallelism == scan splits. The default
+        # 128 MB maxPartitionBytes packs a small-table scan into a
+        # handful of splits and idles the other cores; 16 MB keeps
+        # every core fed. (On a 100 TB cluster input the default
+        # already yields far more splits than cores — this only
+        # matters when input/cores < ~128 MB.)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+        return fused_rollup_1m(toks, w, k, policy, compress)
+    if pipeline == "exploded":
+        # One doc_id-keyed shuffle serves explode -> gap-fill ->
+        # stats -> rollup (window key == groupBy prefix, §3.1).
+        points = gap_fill(explode_series(toks), policy)
+        flagged = detect(points, w, k, stats_mode)
+        if compress:
+            # fused A1+C1+C2: one Python pass computes aggregates AND
+            # payloads — avoids executing the window pipeline twice
+            # (engine/compression.py::rollup_1m_with_payloads)
+            from engine.compression import rollup_1m_with_payloads
+
+            return rollup_1m_with_payloads(flagged, "1m")
+        return rollup_from_points(flagged, "1m").withColumn(
+            "ts_dod", F.lit(None).cast("binary")
+        ).withColumn("v_gorilla", F.lit(None).cast("binary"))
+    raise ValueError(f"pipeline must be 'fused' or 'exploded', got {pipeline!r}")
+
+
 def _run_tiers(
     spark, fmt, tokens_df, warehouse, epoch, w, k, policy, n_buckets,
     tiers, stop_after_tier, input_snapshot_id, compress, stats_mode,
@@ -174,61 +214,33 @@ def _run_tiers(
             toks = with_part_hash(tokens_df, n_buckets)
             if len(pending_set) < n_buckets:
                 toks = toks.where(F.col("part_hash").isin(pending_set))
-            if pipeline == "fused":
-                # scale path: narrow Arrow pass, zero raw-point shuffle
-                # (engine/fused.py). Batch sizing is in DOC rows here.
-                from engine.fused import fused_rollup_1m
+            toks_pruned = toks.drop("part_hash")
 
-                spark.conf.set(
-                    "spark.sql.execution.arrow.maxRecordsPerBatch",
-                    str(int(arrow_batch_rows)),
+            def _mk_1m(p, sm):
+                df = with_part_hash(
+                    _build_1m(spark, toks_pruned, w, k, policy, compress,
+                              sm, p, arrow_batch_rows),
+                    n_buckets,
                 )
-                # With no exchange, parallelism == scan splits. The default
-                # 128 MB maxPartitionBytes packs a small-table scan into a
-                # handful of splits and idles the other cores; 16 MB keeps
-                # every core fed. (On a 100 TB cluster input the default
-                # already yields far more splits than cores — this only
-                # matters when input/cores < ~128 MB.)
-                spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
-                tier_df = fused_rollup_1m(
-                    toks.drop("part_hash"), w, k, policy, compress
-                )
-            elif pipeline == "exploded":
-                # One doc_id-keyed shuffle serves explode -> gap-fill ->
-                # stats -> rollup (window key == groupBy prefix, §3.1).
-                points = gap_fill(explode_series(toks.drop("part_hash")), policy)
-                flagged = detect(points, w, k, stats_mode)
-                if compress:
-                    # fused A1+C1+C2: one Python pass computes aggregates AND
-                    # payloads — avoids executing the window pipeline twice
-                    # (engine/compression.py::rollup_1m_with_payloads)
-                    from engine.compression import rollup_1m_with_payloads
+                if merge_docs and fmt.current_snapshot("rollup_1m") > 0:
+                    # touched set from the (cheap, column-pruned) token batch
+                    # — never by executing the heavy stats pipeline twice
+                    touched = [
+                        int(r["part_hash"])
+                        for r in with_part_hash(tokens_df, n_buckets)
+                        .select("part_hash").distinct().collect()
+                    ]
+                    batch_docs = tokens_df.select("doc_id").distinct()
+                    carried = (
+                        fmt.read("rollup_1m")
+                        .where(F.col("part_hash").isin(touched))
+                        .join(batch_docs, "doc_id", "left_anti")
+                    )
+                    df = df.unionByName(carried)
+                return df
 
-                    tier_df = rollup_1m_with_payloads(flagged, "1m")
-                else:
-                    tier_df = rollup_from_points(flagged, "1m").withColumn(
-                        "ts_dod", F.lit(None).cast("binary")
-                    ).withColumn("v_gorilla", F.lit(None).cast("binary"))
-            else:
-                raise ValueError(
-                    f"pipeline must be 'fused' or 'exploded', got {pipeline!r}"
-                )
-            tier_df = with_part_hash(tier_df, n_buckets)
-            if merge_docs and fmt.current_snapshot("rollup_1m") > 0:
-                # touched set from the (cheap, column-pruned) token batch —
-                # never by executing the heavy stats pipeline twice
-                touched = [
-                    int(r["part_hash"])
-                    for r in with_part_hash(tokens_df, n_buckets)
-                    .select("part_hash").distinct().collect()
-                ]
-                batch_docs = tokens_df.select("doc_id").distinct()
-                carried = (
-                    fmt.read("rollup_1m")
-                    .where(F.col("part_hash").isin(touched))
-                    .join(batch_docs, "doc_id", "left_anti")
-                )
-                tier_df = tier_df.unionByName(carried)
+            tier_df = _mk_1m(pipeline, stats_mode)
+            used_pipeline = pipeline
             snapshot_for_lineage = input_snapshot_id
         else:
             finer = TIER_ORDER[TIER_ORDER.index(tier) - 1]
@@ -243,13 +255,39 @@ def _run_tiers(
                 "v_gorilla", F.lit(None).cast("binary")
             )
             tier_df = with_part_hash(coarse, n_buckets)
+            used_pipeline = "cascade"
             snapshot_for_lineage = fine_snapshot
 
         # (A) data commit — atomic manifest swap inside; the returned
         # snapshot id goes into lineage so epoch-E readers can time-travel
         # to exactly this commit after later epochs overwrite the partitions
         t_write = time.monotonic()
-        out_snapshot = fmt.overwrite_partitions(tier_df, f"rollup_{tier}")
+        try:
+            out_snapshot = fmt.overwrite_partitions(tier_df, f"rollup_{tier}")
+        except Exception as e:
+            # The fused kernel FAILS LOUDLY outside its exact-int64 domain
+            # (engine/fused.py::_check_guard) — surfacing here, at the first
+            # action. An unattended 100 TB job should DEGRADE, not die, on
+            # one int32-extreme source: rebuild this tier on the exploded
+            # pipeline with the decimal stats carrier (bit-exact semantics,
+            # engine/stats.py) and retry once. The lineage row records the
+            # degraded strategy so operators can see it.
+            if not (tier == "1m" and pipeline == "fused"
+                    and "exact int64 domain exceeded" in str(e)):
+                raise
+            print(
+                "rollup: fused guard tripped "
+                "-> falling back to exploded/decimal for tier 1m "
+                f"(epoch {epoch}): {str(e).splitlines()[0][:200]}",
+                file=sys.stderr,
+            )
+            # point-stream batches again, not doc-row batches
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", "100000"
+            )
+            used_pipeline = "exploded-decimal-fallback"
+            tier_df = _mk_1m("exploded", "decimal")
+            out_snapshot = fmt.overwrite_partitions(tier_df, f"rollup_{tier}")
         write_s = time.monotonic() - t_write
         # (L3) per-partition counts from the written tier (cheap re-read of
         # the just-written parquet, no recompute of the pipeline)
@@ -270,7 +308,7 @@ def _run_tiers(
         t_commit = time.monotonic()
         lineage_record(
             warehouse, tier, stats, snapshot_for_lineage, epoch,
-            output_snapshot_id=out_snapshot,
+            output_snapshot_id=out_snapshot, pipeline=used_pipeline,
         )
         commit_s = time.monotonic() - t_commit
 
@@ -280,6 +318,7 @@ def _run_tiers(
             "out_rows": int(sum(s["out_rows"] for s in stats)),
             "seconds": round(total_s, 3),
             "skipped": False,
+            "pipeline": used_pipeline,
             # Amdahl accounting for the scaling bench: 'write_s' is the
             # parallel compute+write action (the only phase whose wall
             # should shrink with cores/executors); 'fixed_s' is everything

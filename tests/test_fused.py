@@ -121,6 +121,61 @@ def test_run_rollup_pipelines_agree_end_to_end(spark, tmp_path):
         assert norm(ff) == norm(fe), tier
 
 
+def test_fused_guard_exempts_docs_shorter_than_window(spark):
+    """ADVICE r03 (low): a doc with fewer than w valid points never computes
+    a window, so int32-extreme values in it must NOT trip the guard (the
+    round-2 kernel's early-return semantics) — and the fused aggregates must
+    still match the exploded/decimal reference."""
+    import numpy as np
+
+    from engine.fused import _anom_flags
+
+    # pure-kernel check: 5 extreme points, w=30 -> no window, no raise
+    v = np.array([-2**31, 2**31 - 1, -2**31, 2**31 - 1, -1], dtype=np.float64)
+    assert _anom_flags(v, 30, K).tolist() == [False] * 5
+
+    # end-to-end: short-extreme doc through the fused pipeline == exploded
+    short = spark.createDataFrame(
+        [("doc_short_extreme", [-(2**31), 2**31 - 1, None, -(2**31)], 4, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    fused = fused_rollup_1m(short, W, K, "ffill", compress=False)
+    exploded = rollup_from_points(
+        detect(gap_fill(explode_series(short), "ffill"), W, K, "decimal"), "1m"
+    )
+    assert _rows(fused, AGG_COLS) == _rows(exploded, AGG_COLS)
+
+
+def test_run_rollup_auto_fallback_on_guard_trip(spark, tokens_df, tmp_path):
+    """An unattended job must DEGRADE, not die, when the fused guard trips:
+    run_rollup(pipeline='fused') on an int32-extreme source transparently
+    reruns the 1m tier as exploded/decimal, the lineage row records the
+    degraded strategy, and the tiers match a clean exploded/decimal run."""
+    from engine.io import ParquetManifestFormat
+    from engine.lineage import read_lineage
+    from jobs.rollup import run_rollup
+
+    whf, whe = str(tmp_path / "fb"), str(tmp_path / "ref")
+    m1 = run_rollup(spark, tokens_df, whf, epoch=1, pipeline="fused")
+    assert m1["1m"]["pipeline"] == "exploded-decimal-fallback"
+    run_rollup(spark, tokens_df, whe, epoch=1, pipeline="exploded",
+               stats_mode="decimal")
+    lin = read_lineage(spark, whf).where("tier = '1m'")
+    assert {r["pipeline"] for r in lin.select("pipeline").distinct().collect()} \
+        == {"exploded-decimal-fallback"}
+    ff, fe = ParquetManifestFormat(spark, whf), ParquetManifestFormat(spark, whe)
+    for tier in ("1m", "1h", "1d"):
+        cols = AGG_COLS + (["ts_dod", "v_gorilla"] if tier == "1m" else [])
+
+        def norm(fmt):
+            return sorted(
+                tuple(bytes(x) if isinstance(x, (bytearray, bytes)) else x for x in r)
+                for r in fmt.read(f"rollup_{tier}").select(cols).collect()
+            )
+
+        assert norm(ff) == norm(fe), tier
+
+
 def test_fused_guard_catches_s1_squared_overflow():
     """ADVICE r02 (medium): w=30 docs with |v|~2e8 pass the old
     n*max^2 < 2^62 bound yet s1^2 wraps int64. The widened guard
