@@ -611,6 +611,34 @@ def ann_planes(n_vectors: int, target_bucket: int = ANN_TARGET_BUCKET) -> int:
     return max(2, round(math.log2(max(n_vectors, 2 * target_bucket) / target_bucket)))
 
 
+# Probe radius (Hamming distance over signature bits). Radius 2 (round 4)
+# visits C(planes,2) extra buckets per table on top of radius 1's
+# `planes`: at 4 planes that is 11 probes/table instead of 5, still a
+# broadcast-sized list, and lifts measured recall@10 on the sf0.01 fixture
+# from ~0.7 to >=0.8 (tests/test_quality.py). The trade-off lever: probes
+# per table = 1 + planes + C(planes,2) ~ planes^2/2, each probe costing one
+# ~target-bucket-sized candidate read — index SIZE stays tables*n, which is
+# the constraint that matters at 10^9 vectors (a third hash table would
+# multiply the index instead; radius-2 probing buys the same recall for
+# read-amplification only).
+ANN_PROBE_HAMMING = 2
+
+
+def _ann_probe_flips(planes: int, hamming: int = ANN_PROBE_HAMMING) -> list[int]:
+    """XOR masks for the multi-probe set: exact bucket + every signature
+    within the given Hamming radius (Lv et al., Multi-Probe LSH, VLDB'07).
+    Shared by the Spark query and the DuckDB oracle so both replay the
+    identical probe set."""
+    flips = [0]
+    if hamming >= 1:
+        flips += [2**j for j in range(planes)]
+    if hamming >= 2:
+        flips += [
+            2**j | 2**l for j in range(planes) for l in range(j + 1, planes)
+        ]
+    return flips
+
+
 def _table_rows_from_metadata(sf_dir: str, name: str) -> int | None:
     """Row count from the parquet FOOTER (pyarrow metadata) — the
     sandbox stand-in for Iceberg manifest statistics. O(footer bytes), no
@@ -651,13 +679,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     Index build = one groupBy computing planes*tables signed sums per
     vector (narrow int signatures). Candidate generation = one equi-join of
     the (table, signature) long form against the query's MULTI-PROBE
-    signature set — the exact signature plus every Hamming-distance-1
-    neighbor per table (Lv et al., "Multi-Probe LSH", VLDB 2007): near
-    vectors that land one flipped hyperplane away are still visited, which
-    at 2 tables x 4 planes lifts recall@10 from ~0.3 to ~0.7+ while the
-    probe list stays (planes+1)*tables rows (broadcast) and the index
-    stays tables*n — the lever that matters at 10^9 vectors, where more
-    hash tables would multiply index size. Never the O(n^2) pair space;
+    signature set — the exact signature plus every Hamming-distance-<=2
+    neighbor per table (Lv et al., "Multi-Probe LSH", VLDB 2007; radius 2
+    since round 4, see ANN_PROBE_HAMMING): near vectors that land one or
+    two flipped hyperplanes away are still visited, which at 2 tables x 4
+    planes lifts recall@10 from ~0.3 (exact bucket) to >=0.8 (asserted,
+    tests/test_quality.py) while the probe list stays
+    (1+planes+C(planes,2))*tables rows (broadcast) and the index stays
+    tables*n — the lever that matters at 10^9 vectors, where more hash
+    tables would multiply index size. Never the O(n^2) pair space;
     per-probe work is ~target-bucket-sized. Exact cosine runs only inside
     the candidate set; the exact brute-force twin is q_embedding_topk
     (recall floor pinned by tests/test_quality.py). Fully deterministic
@@ -693,9 +723,9 @@ def q_ann_lsh_topk(spark, sf_dir):
     for t in range(ANN_TABLES):
         part = dots.select("vec_id", F.lit(t).alias("tbl"), table_sig(t).alias("sig"))
         sigs = part if sigs is None else sigs.unionByName(part)
-    # multi-probe expansion: the query's own bucket + each 1-bit flip
+    # multi-probe expansion: the query's own bucket + every Hamming-<=2 flip
     probe_flips = F.array(
-        F.lit(0), *[F.lit(2**j) for j in range(planes)]
+        *[F.lit(v) for v in _ann_probe_flips(planes)]
     )
     qsig = (
         sigs.where("vec_id = 0")
@@ -877,14 +907,21 @@ def q_lang_id(spark, sf_dir):
     return out.groupBy("lang", "pred").agg(F.count("*").alias("docs"))
 
 
-def _ann_oracle_sql() -> str:
-    """DuckDB replay of q_ann_lsh_topk. The driver's correctness gate runs
-    at sf0.01, so the plane count here is the same pure function of that
-    fixture's corpus size the Spark side computes — read from the parquet
-    footer, NOT hardcoded (ADVICE r02: a 500 literal broke parity at any
-    other scale). generate_subscripts is 1-based; ``- 1`` aligns the md5
-    plane-sign inputs with Spark's 0-based posexplode positions."""
-    n = _table_rows_from_metadata("/root/testdata/sf0.01", "embeddings")
+def _ann_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB replay of q_ann_lsh_topk. The plane count is the same pure
+    function of the GATE fixture's corpus size the Spark side computes —
+    read from that fixture's parquet footer, NOT hardcoded (ADVICE r02: a
+    500 literal broke parity at any other scale; ADVICE r03: the fixture
+    path itself is now a parameter / env override rather than a pin, so a
+    gate at any scale stays in parity — set SPARK_GRAFT_ORACLE_SF to the
+    gate's sf dir if it is not the default sf0.01).
+    generate_subscripts is 1-based; ``- 1`` aligns the md5 plane-sign
+    inputs with Spark's 0-based posexplode positions."""
+    import os
+
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    n = _table_rows_from_metadata(sf_dir, "embeddings")
     planes = ann_planes(n if n is not None else 500)
     total = planes * ANN_TABLES
 
@@ -904,7 +941,7 @@ def _ann_oracle_sql() -> str:
             for j in range(planes)
         )
 
-    flips = "".join(f", {2 ** j}" for j in range(planes))
+    flips = "".join(f", {v}" for v in _ann_probe_flips(planes)[1:])
     sig_union = "\n      UNION ALL\n      ".join(
         f"SELECT vec_id, {t} AS tbl, CAST({sig_expr(t)} AS BIGINT) AS sig FROM dots"
         for t in range(ANN_TABLES)
@@ -920,7 +957,7 @@ def _ann_oracle_sql() -> str:
       FROM pts GROUP BY vec_id),
     sigs AS (
       {sig_union}),
-    -- multi-probe: exact bucket + every Hamming-1 flip (matches Spark)
+    -- multi-probe: exact bucket + every Hamming-<=2 flip (matches Spark)
     qsig AS (
       SELECT tbl, xor(sig, f.flip) AS sig
       FROM sigs, (SELECT unnest([0{flips}]) AS flip) f
