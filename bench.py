@@ -75,10 +75,7 @@ def main() -> None:
     force(qs["rolling_mean"](spark, sf_dir))
     force(qs["pricing_summary"](spark, sf_dir))
 
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        m = len(s) // 2
-        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+    from engine.util import median
 
     # Run-major order (full pass 1, then pass 2, ...) rather than
     # query-major, so one transient stall (GC, hypervisor steal) lands in

@@ -134,7 +134,13 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
         px = rows.reshape(-1, 3)[:, ::-1]  # BGR -> RGB
         return _image_features(px, width, height)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        i, sr, nch, bps, samples = 12, 0, 1, 16, None
+        # Pass 1: walk ALL chunks, recording fmt fields and the data
+        # chunk's location; interpret samples only after the walk, so a
+        # 'data' chunk that precedes 'fmt ' (legal RIFF ordering) still
+        # gets the real channel count / bit depth (ADVICE r03: defaults
+        # would mis-reshape stereo and skip the PCM16 guard).
+        i, sr, nch, bps = 12, 0, None, None
+        data_span = None
         while i + 8 <= len(data):
             cid = data[i : i + 4]
             clen = int.from_bytes(data[i + 4 : i + 8], "little")
@@ -145,12 +151,16 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
                 sr = int.from_bytes(data[i + 12 : i + 16], "little")
                 bps = int.from_bytes(data[i + 22 : i + 24], "little")
             elif cid == b"data":
-                if bps != 16:
-                    raise NotImplementedError("only 16-bit PCM supported")
-                samples = np.frombuffer(data, "<i2", count=clen // 2, offset=i + 8)
+                data_span = (i + 8, clen)
             i += 8 + clen + (clen & 1)
-        if samples is None:
+        if data_span is None:
             raise ValueError("WAV without data chunk")
+        if nch is None or bps is None:
+            raise ValueError("WAV without fmt chunk")
+        if bps != 16:
+            raise NotImplementedError("only 16-bit PCM supported")
+        off, clen = data_span
+        samples = np.frombuffer(data, "<i2", count=clen // 2, offset=off)
         mono = samples.reshape(-1, nch).mean(axis=1) / 32768.0
         f = np.zeros(FEATURE_DIM, dtype=np.float32)
         f[0] = sr / 48000.0

@@ -157,9 +157,11 @@ def main() -> None:
         all_recs.append(rec)
         shutil.rmtree(wh, ignore_errors=True)
 
-    med = sorted(results)[len(results) // 2]
-    med_par = sorted(r["parallel_s"] for r in all_recs)[len(all_recs) // 2]
-    med_fix = sorted(r["fixed_s"] for r in all_recs)[len(all_recs) // 2]
+    from engine.util import median
+
+    med = median(results)
+    med_par = median(r["parallel_s"] for r in all_recs)
+    med_fix = median(r["fixed_s"] for r in all_recs)
     print(
         json.dumps(
             {

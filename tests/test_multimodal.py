@@ -122,6 +122,42 @@ def test_decode_real_ppm_bmp_wav():
         decode_real(b"\x89PNG\r\n\x1a\n....", "image/png")
 
 
+def test_decode_real_wav_data_chunk_before_fmt():
+    """Legal RIFF ordering puts 'data' before 'fmt ' — fmt fields must
+    still apply (ADVICE r03: one-pass walk used mono/16-bit defaults, so
+    stereo mis-reshaped and the PCM16 guard was skipped)."""
+    from engine.multimodal import decode_real
+
+    # stereo: L channel constant +8192, R channel constant -8192 -> after
+    # correct de-interleave the mono mix is exactly 0
+    frames = np.array([8192, -8192] * 200, "<i2")
+    data = frames.tobytes()
+    fmt = ((1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+           + (4).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    wav_data_first = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+    )
+    f = decode_real(wav_data_first, "audio/wav")
+    assert np.isclose(f[0], 8000 / 48000)
+    assert np.isclose(f[2], 0.0, atol=1e-9)   # stereo mix cancels exactly
+    assert np.isclose(f[3], 0.0, atol=1e-9)   # constant mix -> zero std
+
+    # and a data-first NON-16-bit file must hit the guard, not decode
+    fmt8 = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    wav8 = (
+        b"RIFF" + (36 + 4).to_bytes(4, "little") + b"WAVE"
+        + b"data" + (4).to_bytes(4, "little") + b"\x80\x80\x80\x80"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt8
+    )
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_real(wav8, "audio/wav")
+
+
 def test_extract_features_with_real_decoder(spark):
     """The Spark plumbing runs decode_real end-to-end on real payloads."""
     from engine.multimodal import MEDIA_SCHEMA, decode_real, extract_features

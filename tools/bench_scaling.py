@@ -19,7 +19,10 @@ compute+write wall from the fixed latency-bound costs: pending-partition
 reads, tiny per-tier stats jobs, serial lineage/manifest commits — the
 Amdahl term a real cluster pays once per job regardless of size).
 
-Writes BENCH/BASELINE.md and BENCH/scaling*.json.
+Writes BENCH/scaling*.json (one file per --tag). BENCH/BASELINE.md is
+HAND-MAINTAINED prose that cites these json files — this script does not
+regenerate it (ADVICE r03: the docstring used to claim otherwise); update
+the markdown when a re-run changes a headline number.
 
 Usage:
   python tools/bench_scaling.py [--docs 24000 --len 8192 --runs 3]
