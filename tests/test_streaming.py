@@ -376,3 +376,73 @@ def test_stateful_detect_late_data(spark, tmp_path):
     assert (em["is_anom"].to_numpy() == want).all()
     # the late spike itself must have fired
     assert bool(em[em["event_id"] == 25]["is_anom"].iloc[0])
+
+
+def test_stream_detect_cli_end_to_end(spark, tmp_path):
+    """jobs/stream_detect.py (round-3 verdict #8): the streaming leg is
+    drivable from the CLI like rollup/retention — two REAL process
+    invocations (kill/restart story: separate JVMs, shared checkpoint).
+    Run 1 drains drop 1; run 2 (a restart) drains drop 2; the late event
+    lands in its proper slot via state carried through the checkpoint and
+    the too-late event comes out flagged, exactly as the in-process
+    operator test above."""
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+    import pandas as pd
+
+    w, k, reorder = 12, 2.5, 30
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    os.makedirs(src)
+    t0 = 1704067200
+
+    def mk(i):
+        return float(100 + ((i * 17) % 11))
+
+    b1 = [(i, t0 + i, 0, mk(i)) for i in range(40) if i != 25]
+    b2 = [(25, t0 + 25, 0, 555.0), (2000 + 2, t0 + 2, 0, mk(2)),
+          *[(i, t0 + i, 0, (500.0 if i == 55 else mk(i))) for i in range(40, 70)]]
+
+    def write(rows, name):
+        spark.createDataFrame(
+            rows, "event_id long, epoch long, user_id long, value double"
+        ).select(
+            "event_id", F.timestamp_seconds("epoch").alias("ts"), "user_id", "value"
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_cli():
+        cmd = [
+            _sys.executable, os.path.join(repo, "jobs", "stream_detect.py"),
+            "--events", f"{src}/*", "--out", outdir, "--checkpoint", ckpt,
+            "--w", str(w), "--k", str(k), "--reorder-seconds", str(reorder),
+            "--master", "local[2]", "--timeout", "300",
+        ]
+        env = dict(os.environ, SPARK_DRIVER_MEMORY="2g")
+        r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
+                           env=env, timeout=420)
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "sink rows=" in r.stdout, r.stdout
+
+    write(b1, "d1")
+    run_cli()
+    write(b2, "d2")
+    run_cli()
+
+    got = spark.read.parquet(outdir).toPandas().sort_values("event_id").reset_index(drop=True)
+    late_row = got[got["event_id"] == 2002]
+    assert len(late_row) == 1
+    assert bool(late_row["is_late"].iloc[0])
+    assert np.isnan(late_row["score"].iloc[0])
+    emitted = got[~got["is_late"]]
+    assert set(emitted["event_id"]) == set(range(40))
+    s = pd.Series([555.0 if i == 25 else mk(i) for i in range(40)])
+    score = (s - s.rolling(w).mean()).abs() / s.rolling(w).std(ddof=1)
+    want = (score.fillna(0) > k).to_numpy()
+    em = emitted.sort_values("event_id")
+    assert (em["is_anom"].to_numpy() == want).all()
+    assert bool(em[em["event_id"] == 25]["is_anom"].iloc[0])
