@@ -52,6 +52,16 @@ def _host_steal() -> float:
     return int(first[8]) / tick if len(first) > 8 else 0.0
 
 
+def _host_busy_cpu() -> float:
+    """System-wide busy CPU seconds (user+nice+sys) from /proc/stat —
+    covers the Python workers the driver-JVM counter misses. Valid as a
+    per-run delta only while the box runs nothing else (bench protocol)."""
+    with open("/proc/stat") as f:
+        p = f.readline().split()
+    tick = os.sysconf("SC_CLK_TCK")
+    return (int(p[1]) + int(p[2]) + int(p[3])) / tick
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=10_000)
@@ -121,14 +131,14 @@ def main() -> None:
     for i in range(args.runs):
         wh = os.path.join(args.workdir, f"wh-run{i}")
         shutil.rmtree(wh, ignore_errors=True)
-        m0, s0 = _jvm_metrics(spark), _host_steal()
+        m0, s0, b0 = _jvm_metrics(spark), _host_steal(), _host_busy_cpu()
         t0 = time.monotonic()
         tiers = run_rollup(
             spark, tokens, wh, epoch=1, compress=not args.no_compress,
             pipeline=args.pipeline, arrow_batch_rows=args.arrow_batch_rows,
         )
         wall = time.monotonic() - t0
-        m1, s1 = _jvm_metrics(spark), _host_steal()
+        m1, s1, b1 = _jvm_metrics(spark), _host_steal(), _host_busy_cpu()
         # Amdahl split (run_rollup phase timers): parallel compute+write
         # wall vs fixed latency-bound costs (pending reads, tiny stats
         # jobs, serial lineage/manifest commits)
@@ -151,6 +161,7 @@ def main() -> None:
             "gc_s": round((m1["gc_ms"] - m0["gc_ms"]) / 1000, 3),
             "jvm_cpu_s": round(m1["jvm_cpu_s"] - m0["jvm_cpu_s"], 1),
             "host_steal_s": round(s1 - s0, 1),
+            "host_busy_cpu_s": round(b1 - b0, 1),
         }
         print(json.dumps(rec), flush=True)
         results.append(wall)
