@@ -3,7 +3,9 @@
 filter) as pure DataFrame/SQL operators with no per-row Python").
 
 Everything here returns an UNEXECUTED DataFrame — the caller picks the
-action. No Python kernels anywhere on this path.
+action. No Python kernels anywhere on this path, with one deliberate
+exception: serve_raw_points (Q5) decodes compression payloads through the
+vectorized Arrow decoders after Catalyst has pruned the scan.
 """
 
 from __future__ import annotations
@@ -115,6 +117,50 @@ def tier_fallback(
         # on-the-fly cascades carry no ts_dod/v_gorilla payload columns —
         # they backfill as NULL (frames cannot be merged by re-aggregation)
         out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def serve_raw_points(
+    rollup_1m: DataFrame,
+    t0: int | None = None,
+    t1: int | None = None,
+    doc_ids: list[str] | None = None,
+) -> DataFrame:
+    """Q5 (round 4): serve RAW points from the 1m tier's compression
+    payloads — the finer-than-any-tier read path (resolution_pick returns
+    '1m' for off-grid resolutions "and the caller decides whether to serve
+    raw points instead"; this is that path, without re-reading the 100 TB
+    token table).
+
+    Bucket pruning happens FIRST on the sargable bucket column (row-group /
+    partition pruning, as range_filter), then only the surviving payloads
+    are decoded — through the vectorized transposed decoders
+    (engine/compression.py::*_decompress_many, round 4), which run faster
+    than the encoders, so the decode stage can never be the bottleneck of
+    a read that the write path could sustain. Output: one row per non-null
+    raw point (doc_id, t, v), t in raw steps. The exact in-bucket [t0, t1)
+    trim is applied after decode on the exploded rows.
+    """
+    from engine.compression import decompress_columns
+
+    df = range_filter(rollup_1m, "1m", t0, t1)
+    if doc_ids:
+        df = df.where(F.col("doc_id").isin(doc_ids))
+    decoded = decompress_columns(df.where(F.col("cnt") > 0)).select(
+        "doc_id", F.arrays_zip("ts_points", "v_points").alias("pts")
+    )
+    out = decoded.select(
+        "doc_id",
+        F.explode("pts").alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.ts_points").alias("t"),
+        F.col("p.v_points").alias("v"),
+    )
+    if t0 is not None:
+        out = out.where(F.col("t") >= t0)
+    if t1 is not None:
+        out = out.where(F.col("t") < t1)
     return out
 
 

@@ -198,6 +198,39 @@ def test_downsample_flagship(spark, small_tokens, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_serve_raw_points_from_payloads(spark, small_tokens, tmp_path):
+    """Q5 (round 4): raw points served from the 1m tier's payloads must
+    equal the gap-filled non-null points of the source — sliced to the
+    requested [t0, t1) — without touching the token table; the plan prunes
+    buckets BEFORE the decode UDF."""
+    from engine.query import serve_raw_points
+    from engine.series import explode_series, gap_fill
+
+    wh = str(tmp_path / "raw")
+    run_rollup(spark, small_tokens, wh, epoch=1)
+    fmt = ParquetManifestFormat(spark, wh)
+    t0, t1 = 90, 300
+
+    got = sorted(
+        tuple(r) for r in serve_raw_points(
+            fmt.read("rollup_1m"), t0=t0, t1=t1
+        ).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["t"], int(r["v"]))
+        for r in gap_fill(explode_series(small_tokens), "ffill")
+        .where(F.col("v").isNotNull())
+        .where((F.col("t") >= t0) & (F.col("t") < t1))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # bucket pruning is sargable: the parquet scan carries a bucket filter
+    df = serve_raw_points(fmt.read("rollup_1m"), t0=t0, t1=t1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan.split("ArrowEvalPython")[0] or "PushedFilters" in plan
+
+
 def test_lineage_metrics_queryable(spark, small_tokens, tmp_path):
     wh = str(tmp_path / "lin")
     run_rollup(spark, small_tokens, wh, epoch=1)
