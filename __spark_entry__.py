@@ -529,17 +529,9 @@ def q_lsh_candidates(spark, sf_dir):
     )
 
 
-def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard — verified ONLY over LSH candidate pairs; top 20.
-
-    The round-1 version self-joined shingles (a.shingle == b.shingle), which
-    is quadratic in the document frequency of hot shingles on a web corpus.
-    Now the (bounded) LSH candidate generator picks the pairs and the exact
-    verifier runs per candidate pair: cand x shingles(d1) is an equi-join on
-    d1, the intersection count an equi-join on (d2, shingle) — both linear
-    in |candidates| x shingles-per-doc, never in shingle document frequency.
-    This is the standard MinHash-LSH verify stage (candidates recall,
-    Jaccard precision)."""
+def _jaccard_pairs(spark, sf_dir):
+    """ALL LSH candidate pairs with their exact n-gram Jaccard (unlimited —
+    the building block for the top-k view and for dedup clustering)."""
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     cand = q_lsh_candidates(spark, sf_dir).select("d1", "d2")
@@ -553,14 +545,91 @@ def q_ngram_jaccard(spark, sf_dir):
     )
     sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
-    j = (
+    return (
         inter.join(F.broadcast(sa), "d1").join(F.broadcast(sb), "d2")
         .select(
             "d1", "d2",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
         )
     )
-    return j.orderBy(F.desc("jaccard"), "d1", "d2").limit(20)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard — verified ONLY over LSH candidate pairs; top 20.
+
+    The round-1 version self-joined shingles (a.shingle == b.shingle), which
+    is quadratic in the document frequency of hot shingles on a web corpus.
+    Now the (bounded) LSH candidate generator picks the pairs and the exact
+    verifier runs per candidate pair: cand x shingles(d1) is an equi-join on
+    d1, the intersection count an equi-join on (d2, shingle) — both linear
+    in |candidates| x shingles-per-doc, never in shingle document frequency.
+    This is the standard MinHash-LSH verify stage (candidates recall,
+    Jaccard precision)."""
+    return (
+        _jaccard_pairs(spark, sf_dir)
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(20)
+    )
+
+
+DEDUP_MIN_JACCARD = 0.5
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup cluster assignment (round 4): connected components of the
+    VERIFIED near-dup graph — every doc in at least one pair with exact
+    n-gram Jaccard >= DEDUP_MIN_JACCARD gets a cluster_id = the
+    lexicographic min doc_id of its component (deterministic; a training
+    pipeline then keeps one representative per cluster).
+
+    Algorithm: iterative min-label propagation over DataFrames — per round,
+    label(v) <- min(label(v), min over neighbors label(u)); converges in
+    O(component diameter) rounds (near-dup components are shallow: dup
+    clusters are cliques-ish, diameter 1-3). Each round is one shuffle
+    join + groupBy; localCheckpoint truncates the plan so 20 rounds never
+    builds a 20-deep lineage. At 10^9+ edges the same loop holds (label
+    table and edge table both hash-partitioned on the join key); the
+    published alternating small-star/large-star optimization (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) drops in
+    here if diameters ever grow — the operator contract stays the same.
+    DuckDB oracle: transitive closure via WITH RECURSIVE + min(reachable).
+    """
+    pairs = _jaccard_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= F.lit(DEDUP_MIN_JACCARD)
+    )
+    edges = pairs.select("d1", "d2").unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).cache()
+    labels = (
+        edges.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    ).localCheckpoint()
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges.d2 == labels.doc_id)
+            .groupBy(F.col("d1").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
 
 
 def _nibble(hexcol, i: int):
@@ -1020,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "asof_order_before_event": q_asof_order_before_event,
         "event_pairs_within_minute": q_event_pairs_within_minute,
@@ -1220,6 +1290,47 @@ def oracle_sql() -> dict[str, str]:
         FROM inter JOIN sizes sa ON sa.doc_id = d1
                    JOIN sizes sb ON sb.doc_id = d2
         ORDER BY jaccard DESC, d1, d2 LIMIT 20""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        # connected components of the verified near-dup graph: transitive
+        # closure via WITH RECURSIVE, cluster_id = min reachable doc_id —
+        # exact twin of the Spark min-label-propagation fixpoint
+        "dedup_clusters": f"""
+        WITH RECURSIVE _WPOS_, _SH_,
+        bands AS (SELECT unnest([0, 1, 2, 3]) AS band),
+        sig AS (
+          SELECT doc_id, band,
+                 min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+          FROM sh CROSS JOIN bands GROUP BY doc_id, band),
+        ok AS (SELECT band, sig FROM sig GROUP BY band, sig
+               HAVING count(*) <= {MAX_LSH_BUCKET}),
+        sigf AS (SELECT s.* FROM sig s JOIN ok USING (band, sig)),
+        cand AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM sigf a JOIN sigf b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.d1, c.d2, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.d1
+          JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+        jp AS (
+          SELECT d1, d2,
+                 round(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS j
+          FROM inter JOIN sizes sa ON sa.doc_id = d1
+                     JOIN sizes sb ON sb.doc_id = d2),
+        e AS (
+          SELECT d1 AS src, d2 AS dst FROM jp WHERE j >= {DEDUP_MIN_JACCARD}
+          UNION ALL
+          SELECT d2, d1 FROM jp WHERE j >= {DEDUP_MIN_JACCARD}),
+        reach(src, dst) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        SELECT src AS doc_id, min(dst) AS cluster_id
+        FROM reach GROUP BY src
+        ORDER BY doc_id""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
         "ann_lsh_topk": _ann_oracle_sql(),
         "simhash": """
         WITH w AS (

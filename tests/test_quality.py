@@ -36,3 +36,31 @@ def test_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.8, (recall, sorted(exact), sorted(ann))
     for vid in hits:
         assert abs(exact[vid] - ann[vid]) < 1e-9
+
+
+def test_dedup_clusters_are_consistent(spark):
+    """Connected components of the verified near-dup graph: every edge's
+    endpoints share a cluster_id, every cluster_id is the lexicographic
+    min of its members (the deterministic representative), and every
+    clustered doc appears in at least one qualifying pair."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in E.q_dedup_clusters(spark, sf).collect()}
+    pairs = [
+        (r["d1"], r["d2"])
+        for r in E._jaccard_pairs(spark, sf)
+        .where(F.col("jaccard") >= E.DEDUP_MIN_JACCARD).collect()
+    ]
+    assert pairs and labels
+    docs_in_pairs = {d for p in pairs for d in p}
+    assert set(labels) == docs_in_pairs
+    for a, b in pairs:
+        assert labels[a] == labels[b], (a, b)
+    by_cluster: dict = {}
+    for d, c in labels.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert c == min(members)
