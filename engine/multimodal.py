@@ -91,19 +91,111 @@ def _image_features(px: np.ndarray, width: int, height: int) -> np.ndarray:
     return f
 
 
+def _png_unfilter(raw: np.ndarray, width: int, height: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters (RFC 2083 §6): returns (height, width*bpp)
+    reconstructed bytes. None/Up are full-row NumPy; Sub is an exact
+    per-channel-lane cumsum mod 256; Average/Paeth are sequential by
+    definition (each pixel needs the RECONSTRUCTED left neighbor) and fall
+    back to a per-pixel loop over that row only."""
+    stride = width * bpp
+    rows = raw.reshape(height, 1 + stride)
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 1:  # Sub
+            rec = np.cumsum(line.reshape(width, bpp), axis=0).reshape(stride) & 255
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 255
+        elif ftype in (3, 4):  # Average / Paeth: sequential per pixel
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 3:
+                    rec[i] = (line[i] + (a + b) // 2) & 255
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (line[i] + pred) & 255
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Dependency-free PNG decode (round 4): stdlib zlib inflates IDAT,
+    NumPy undoes the filters. Supports the common web shape — 8-bit depth,
+    color types 0 (gray) / 2 (RGB) / 4 (gray+alpha) / 6 (RGBA), no
+    interlace; 16-bit, palette and Adam7 raise NotImplementedError (the
+    PIL integration point, now much narrower)."""
+    import struct
+    import zlib
+
+    i = 8
+    width = height = None
+    idat = bytearray()
+    bitdepth = ctype = interlace = None
+    while i + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[i : i + 4])
+        cid = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + clen]
+        if cid == b"IHDR":
+            width, height, bitdepth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        i += 12 + clen
+    if width is None or not idat:
+        raise ValueError("PNG without IHDR/IDAT")
+    if bitdepth != 8 or ctype not in (0, 2, 4, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bitdepth={bitdepth} colortype={ctype} interlace={interlace} "
+            "not supported dependency-free (8-bit gray/RGB/GA/RGBA only); "
+            "wire PIL here for palette/16-bit/Adam7"
+        )
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (1 + width * bpp):
+        raise ValueError("PNG: IDAT size mismatch")
+    rec = _png_unfilter(raw, width, height, bpp).astype(np.uint8)
+    px = rec.reshape(height * width, bpp)
+    if ctype == 0:
+        px = np.repeat(px, 3, axis=1)
+    elif ctype == 4:
+        px = np.repeat(px[:, :1], 3, axis=1)
+    elif ctype == 6:
+        px = px[:, :3]
+    return _image_features(px, width, height)
+
+
 def decode_real(payload: bytes, mime: str) -> np.ndarray:
     """Real in-sandbox decoders for the dependency-free containers; the
-    exotic formats (JPEG/PNG/MP4/...) remain the documented PIL/torchaudio/
-    pyav integration point. Handles:
+    remaining exotic formats (JPEG/MP4/...) are the documented PIL/
+    torchaudio/pyav integration point. Handles:
 
       - PPM P6 / PGM P5 (binary PNM, 8-bit): header parse incl. comments,
         raw pixel read -> :func:`_image_features`;
       - BMP, 24-bit uncompressed BI_RGB: BITMAPFILEHEADER + info header,
         bottom-up rows, 4-byte row padding -> same features;
+      - PNG (round 4): stdlib-zlib IDAT inflate + full five-filter
+        reconstruction, 8-bit gray/RGB/GA/RGBA -> same features;
       - WAV, PCM16 mono/stereo: RIFF chunk walk -> duration/energy/zero-
         crossing + 8-bin amplitude histogram.
     """
     data = bytes(payload)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
     if data[:2] in (b"P6", b"P5"):
         toks, off = _ppm_tokens(data, 4)
         width, height, maxval = int(toks[1]), int(toks[2]), int(toks[3])
@@ -174,7 +266,7 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
         return f
     raise NotImplementedError(
         f"no dependency-free decoder for this container (mime={mime!r}); "
-        "JPEG/PNG/MP4/... need PIL/torchaudio/pyav wired here — the Spark "
+        "JPEG/MP4/... need PIL/torchaudio/pyav wired here — the Spark "
         "plumbing is complete and tested with decode_stub"
     )
 

@@ -119,7 +119,95 @@ def test_decode_real_ppm_bmp_wav():
     assert np.isclose(wav[4], np.sqrt(np.mean((np.array([0, .5, -.5, 0] * 100)) ** 2)), atol=1e-3)
 
     with pytest.raises(NotImplementedError):
-        decode_real(b"\x89PNG\r\n\x1a\n....", "image/png")
+        decode_real(b"\xff\xd8\xff\xe0....", "image/jpeg")
+
+
+def _make_png(px: np.ndarray, width, height, ctype, filters):
+    """Minimal PNG encoder for tests: applies the INVERSE of each row's
+    requested filter so decode must reconstruct exactly. px: (h*w, bpp)."""
+    import struct
+    import zlib
+
+    bpp = px.shape[1]
+    rows = px.reshape(height, width * bpp).astype(np.int64)
+    stride = width * bpp
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        f = filters[y % len(filters)]
+        rec = rows[y]
+        if f == 0:
+            raw = rec
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
+            raw = (rec - left) & 255
+        elif f == 2:
+            raw = (rec - prev) & 255
+        elif f == 3:
+            raw = np.zeros(stride, np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                raw[i] = (rec[i] - (a + prev[i]) // 2) & 255
+        else:  # Paeth
+            raw = np.zeros(stride, np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw[i] = (rec[i] - pred) & 255
+        out.append(f)
+        out += bytes(raw.astype(np.uint8))
+        prev = rec
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_real_png_all_filters():
+    """PNG decode (round 4): every filter type (None/Sub/Up/Average/Paeth)
+    must reconstruct exactly — features equal the directly-computed ones;
+    RGB and grayscale and RGBA agree with their raw-pixel twins; palette
+    raises the narrowed NotImplementedError."""
+    from engine.multimodal import _image_features, decode_real
+
+    rng = np.random.default_rng(3)
+    w, h = 17, 15
+    rgb = rng.integers(0, 256, (w * h, 3)).astype(np.uint8)
+    want = _image_features(rgb, w, h)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        png = _make_png(rgb, w, h, ctype=2, filters=filters)
+        got = decode_real(png, "image/png")
+        assert np.allclose(got, want, atol=1e-7), filters
+
+    gray = rng.integers(0, 256, (w * h, 1)).astype(np.uint8)
+    g = decode_real(_make_png(gray, w, h, ctype=0, filters=[4]), "image/png")
+    assert np.allclose(g, _image_features(np.repeat(gray, 3, axis=1), w, h))
+
+    rgba = np.concatenate([rgb, np.full((w * h, 1), 200, np.uint8)], axis=1)
+    a = decode_real(_make_png(rgba, w, h, ctype=6, filters=[1, 2]), "image/png")
+    assert np.allclose(a, want, atol=1e-7)
+
+    import struct
+    import zlib
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    pal = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00")))
+    with pytest.raises(NotImplementedError, match="palette|colortype=3"):
+        decode_real(pal, "image/png")
 
 
 def test_decode_real_wav_data_chunk_before_fmt():
