@@ -632,6 +632,22 @@ def q_dedup_clusters(spark, sf_dir):
     return labels.orderBy("doc_id")
 
 
+def q_dedup_keep(spark, sf_dir):
+    """The dedup FILTER a training pipeline actually applies: every doc
+    outside any near-dup cluster, plus ONE deterministic representative
+    (the min doc_id) per cluster. A broadcast anti-join against the
+    (tiny relative to the corpus) non-representative set — the 100 TB
+    shape: the full documents scan streams through one broadcast hash
+    anti-join, no shuffle of the corpus."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    drop = (
+        q_dedup_clusters(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").orderBy("doc_id")
+
+
 def _nibble(hexcol, i: int):
     # identical hex-nibble arithmetic in both engines: 1-based position in
     # the hex alphabet -> 0..15
@@ -1090,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep": q_dedup_keep,
         "simhash": q_simhash,
         "asof_order_before_event": q_asof_order_before_event,
         "event_pairs_within_minute": q_event_pairs_within_minute,
@@ -1100,6 +1117,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
+
+
+# Shared WITH-chain for the near-dup cluster oracles (dedup_clusters /
+# dedup_keep): candidate pairs -> exact Jaccard -> undirected edge list ->
+# transitive closure via WITH RECURSIVE. Final SELECT is appended by each
+# entry.
+_CLUSTERS_SQL_PREFIX = f"""
+        WITH RECURSIVE _WPOS_, _SH_,
+        bands AS (SELECT unnest([0, 1, 2, 3]) AS band),
+        sig AS (
+          SELECT doc_id, band,
+                 min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+          FROM sh CROSS JOIN bands GROUP BY doc_id, band),
+        ok AS (SELECT band, sig FROM sig GROUP BY band, sig
+               HAVING count(*) <= {MAX_LSH_BUCKET}),
+        sigf AS (SELECT s.* FROM sig s JOIN ok USING (band, sig)),
+        cand AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM sigf a JOIN sigf b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.d1, c.d2, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.d1
+          JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+        jp AS (
+          SELECT d1, d2,
+                 round(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS j
+          FROM inter JOIN sizes sa ON sa.doc_id = d1
+                     JOIN sizes sb ON sb.doc_id = d2),
+        e AS (
+          SELECT d1 AS src, d2 AS dst FROM jp WHERE j >= {DEDUP_MIN_JACCARD}
+          UNION ALL
+          SELECT d2, d1 FROM jp WHERE j >= {DEDUP_MIN_JACCARD}),
+        reach(src, dst) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace(
+    "_SH_", _SHINGLES_SQL.strip().rstrip()
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1293,44 +1354,21 @@ def oracle_sql() -> dict[str, str]:
         # connected components of the verified near-dup graph: transitive
         # closure via WITH RECURSIVE, cluster_id = min reachable doc_id —
         # exact twin of the Spark min-label-propagation fixpoint
-        "dedup_clusters": f"""
-        WITH RECURSIVE _WPOS_, _SH_,
-        bands AS (SELECT unnest([0, 1, 2, 3]) AS band),
-        sig AS (
-          SELECT doc_id, band,
-                 min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
-          FROM sh CROSS JOIN bands GROUP BY doc_id, band),
-        ok AS (SELECT band, sig FROM sig GROUP BY band, sig
-               HAVING count(*) <= {MAX_LSH_BUCKET}),
-        sigf AS (SELECT s.* FROM sig s JOIN ok USING (band, sig)),
-        cand AS (
-          SELECT a.doc_id AS d1, b.doc_id AS d2
-          FROM sigf a JOIN sigf b
-            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT c.d1, c.d2, count(*) AS i
-          FROM cand c
-          JOIN sh a ON a.doc_id = c.d1
-          JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-          GROUP BY 1, 2),
-        jp AS (
-          SELECT d1, d2,
-                 round(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS j
-          FROM inter JOIN sizes sa ON sa.doc_id = d1
-                     JOIN sizes sb ON sb.doc_id = d2),
-        e AS (
-          SELECT d1 AS src, d2 AS dst FROM jp WHERE j >= {DEDUP_MIN_JACCARD}
-          UNION ALL
-          SELECT d2, d1 FROM jp WHERE j >= {DEDUP_MIN_JACCARD}),
-        reach(src, dst) AS (
-          SELECT src, src FROM e
-          UNION
-          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        "dedup_clusters": _CLUSTERS_SQL_PREFIX + """
         SELECT src AS doc_id, min(dst) AS cluster_id
         FROM reach GROUP BY src
-        ORDER BY doc_id""".replace("_WPOS_", _WPOS_SQL.strip().rstrip()).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        ORDER BY doc_id""",
+        # the dedup FILTER a training pipeline actually applies: keep every
+        # unclustered doc plus one representative (the min doc_id) per
+        # near-dup cluster
+        "dedup_keep": _CLUSTERS_SQL_PREFIX + """
+        , labels AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id
+          FROM reach GROUP BY src)
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (
+          SELECT doc_id FROM labels WHERE doc_id != cluster_id)
+        ORDER BY d.doc_id""",
         "ann_lsh_topk": _ann_oracle_sql(),
         "simhash": """
         WITH w AS (
