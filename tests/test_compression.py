@@ -187,6 +187,45 @@ def test_vectorized_many_byte_identical_to_sequential():
         assert (dv_flat == v_flat).all()
 
 
+@given(
+    st.lists(
+        st.lists(I32, max_size=60).map(sorted),
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_many_roundtrip_property(frame_vals):
+    """Property form of the multi-frame pipeline: for ANY list of frames
+    (any lengths incl. empty, any int32 values), encode_many |> decode_many
+    is the identity on (flat, counts) — both codecs (timestamps must
+    ascend, so the dod side sorts and offsets each frame)."""
+    from engine.compression import (
+        dod_compress_many,
+        dod_decompress_many,
+        gorilla_compress_many,
+        gorilla_decompress_many,
+    )
+
+    counts = np.array([len(f) for f in frame_vals], dtype=np.int64)
+    vflat = (
+        np.concatenate([np.asarray(f, np.int64) for f in frame_vals])
+        if frame_vals and counts.sum()
+        else np.empty(0, np.int64)
+    )
+    tflat = (
+        np.concatenate(
+            [np.asarray(sorted(2**31 + v for v in f), np.int64) for f in frame_vals]
+        )
+        if frame_vals and counts.sum()
+        else np.empty(0, np.int64)
+    )
+    dv, cv = gorilla_decompress_many(gorilla_compress_many(vflat, counts))
+    dt, ct = dod_decompress_many(dod_compress_many(tflat, counts))
+    assert cv.tolist() == counts.tolist() == ct.tolist()
+    assert dv.tolist() == vflat.tolist()
+    assert dt.tolist() == tflat.tolist()
+
+
 def test_many_decoders_straggler_tail_and_mixed_lengths():
     """Mix of many short frames + a few very long ones exercises both the
     vectorized rounds and the sequential straggler tail (_TAIL_MIN)."""
