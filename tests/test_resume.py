@@ -244,3 +244,39 @@ def test_lineage_metrics_queryable(spark, small_tokens, tmp_path):
     fmt = ParquetManifestFormat(spark, wh)
     for tier in ("1m", "1h", "1d"):
         assert per_tier[tier]["rows"] == fmt.read(f"rollup_{tier}").count()
+
+
+def test_downsample_cli_end_to_end(spark, small_tokens, tmp_path):
+    """jobs/downsample.py: both CLI forms (tier aggregates and --raw Q5)
+    run as real processes against a warehouse built in this session and
+    return the same rows the library calls produce."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    wh = str(tmp_path / "dscli")
+    run_rollup(spark, small_tokens, wh, epoch=1)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_cli(*extra):
+        cmd = [_sys.executable, os.path.join(repo, "jobs", "downsample.py"),
+               "--warehouse", wh, "--epoch", "1", "--master", "local[2]",
+               *extra]
+        env = dict(os.environ, SPARK_DRIVER_MEMORY="2g")
+        r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
+                           env=env, timeout=420)
+        assert r.returncode == 0, r.stderr[-3000:]
+        return int(r.stdout.split("rows=")[1].split()[0])
+
+    from engine.query import downsample, serve_raw_points
+
+    fmt = ParquetManifestFormat(spark, wh)
+    want_agg = downsample(spark, fmt, 1, t0=0, t1=3600,
+                          resolution_seconds=60, anomalies_only=True).count()
+    got_agg = run_cli("--resolution", "60", "--t0", "0", "--t1", "3600",
+                      "--anomalies-only")
+    assert got_agg == want_agg
+
+    want_raw = serve_raw_points(fmt.read("rollup_1m"), t0=100, t1=400).count()
+    got_raw = run_cli("--raw", "--t0", "100", "--t1", "400")
+    assert got_raw == want_raw and got_raw > 0
