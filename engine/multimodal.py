@@ -179,6 +179,230 @@ def _decode_png(data: bytes) -> np.ndarray:
     return _image_features(px, width, height)
 
 
+def _zigzag_order() -> np.ndarray:
+    """The 64-entry JPEG zigzag scan order (ITU T.81 fig. 5), generated by
+    the diagonal walk: returns flat indices into a row-major 8x8 block, in
+    scan order."""
+    order = []
+    for d in range(15):
+        rng = range(max(0, d - 7), min(d, 7) + 1)
+        # even diagonals run bottom-left -> top-right, odd ones reverse
+        rows = list(rng)[::-1] if d % 2 == 0 else list(rng)
+        for r in rows:
+            order.append(r * 8 + (d - r))
+    return np.array(order, dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+
+# orthonormal 8-point DCT-II basis: block = _DCT_M.T @ coef @ _DCT_M inverts
+# coef = _DCT_M @ block @ _DCT_M.T exactly (float64)
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+class _JpegBitReader:
+    """MSB-first reader over entropy-coded bytes (0xFF00 stuffing already
+    stripped by the caller)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        b = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_table(bits: list, vals: list) -> dict:
+    """Canonical JPEG Huffman table -> {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _receive_extend(br: _JpegBitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = br.bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    """Dependency-free baseline JPEG decode (round 4; ITU T.81): marker
+    walk, canonical Huffman entropy decode, dequant + de-zigzag, exact
+    float IDCT, chroma upsampling, JFIF YCbCr->RGB. Supports baseline
+    SOF0, 8-bit, 1 or 3 components, any h/v sampling factors <= 2, no
+    restart intervals. Progressive (SOF2), arithmetic coding, 12-bit and
+    DRI raise NotImplementedError — the (now very narrow) libjpeg/PIL
+    integration point. The entropy loop is per-symbol Python: fine for
+    feature extraction at test scale; wire PIL for bulk production decode.
+    """
+    qt: dict = {}
+    huff: dict = {}
+    sof = None
+    scan_comps = None
+    scan_data = None
+    i = 2  # past SOI
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("JPEG: marker expected")
+        marker = data[i + 1]
+        if marker in (0xD8, 0xD9):  # SOI/EOI
+            i += 2
+            continue
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        body = data[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                if pq != 0:
+                    raise NotImplementedError("JPEG: 16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(body[j + 1 : j + 65], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            h, w, nc = (
+                int.from_bytes(body[1:3], "big"),
+                int.from_bytes(body[3:5], "big"),
+                body[5],
+            )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "JPEG: only baseline SOF0 supported dependency-free; wire "
+                "PIL/libjpeg for progressive/arithmetic"
+            )
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(body[j + 17 : j + 17 + n])
+                huff[(tc, th)] = _huff_table(bits, vals)
+                j += 17 + n
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG: restart intervals (DRI)")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = [(body[1 + 2 * c], body[2 + 2 * c]) for c in range(ns)]
+            # entropy-coded data follows the SOS segment
+            j = i + 2 + seglen
+            end = len(data)
+            k = j
+            while k + 1 < len(data):
+                if data[k] == 0xFF and data[k + 1] not in (0x00,) and not (
+                    0xD0 <= data[k + 1] <= 0xD7
+                ):
+                    end = k
+                    break
+                k += 1
+            scan_data = data[j:end].replace(b"\xff\x00", b"\xff")
+            break
+        i += 2 + seglen
+    if sof is None or scan_data is None:
+        raise ValueError("JPEG: missing SOF0/SOS")
+    height, width, comps = sof
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    mcux = -(-width // (8 * maxh))
+    mcuy = -(-height // (8 * maxv))
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8))
+    br = _JpegBitReader(scan_data)
+    dc_pred = {cid: 0 for cid, _, _, _ in comps}
+    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, tabsel in scan_comps:
+                ch, cv, tq = by_id[cid]
+                dct, act = huff[(0, tabsel >> 4)], huff[(1, tabsel & 15)]
+                for byy in range(cv):
+                    for bxx in range(ch):
+                        coef = np.zeros(64)
+                        s = _huff_decode(br, dct)
+                        dc_pred[cid] += _receive_extend(br, s)
+                        coef[0] = dc_pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, act)
+                            r, s = rs >> 4, rs & 15
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            coef[_ZIGZAG[k]] = _receive_extend(br, s)
+                            k += 1
+                        block = coef.reshape(8, 8) * qt[tq]
+                        spatial = _DCT_M.T @ block @ _DCT_M + 128.0
+                        y0 = (my * cv + byy) * 8
+                        x0 = (mx * ch + bxx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+    # upsample every component to full resolution, crop, color-convert
+    chans = []
+    for cid, ch, cv, tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, maxv // cv, axis=0), maxh // ch, axis=1)
+        chans.append(p[:height, :width])
+    if len(chans) == 1:
+        rgb = np.repeat(chans[0][:, :, None], 3, axis=2)
+    else:
+        y, cb, cr = chans
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+    px = np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1, 3)
+    return _image_features(px, width, height)
+
+
 def decode_real(payload: bytes, mime: str) -> np.ndarray:
     """Real in-sandbox decoders for the dependency-free containers; the
     remaining exotic formats (JPEG/MP4/...) are the documented PIL/
@@ -190,12 +414,16 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
         bottom-up rows, 4-byte row padding -> same features;
       - PNG (round 4): stdlib-zlib IDAT inflate + full five-filter
         reconstruction, 8-bit gray/RGB/GA/RGBA -> same features;
+      - JPEG (round 4): baseline SOF0 — Huffman entropy decode, dequant,
+        exact float IDCT, chroma upsampling, JFIF YCbCr->RGB;
       - WAV, PCM16 mono/stereo: RIFF chunk walk -> duration/energy/zero-
         crossing + 8-bin amplitude histogram.
     """
     data = bytes(payload)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return _decode_jpeg(data)
     if data[:2] in (b"P6", b"P5"):
         toks, off = _ppm_tokens(data, 4)
         width, height, maxval = int(toks[1]), int(toks[2]), int(toks[3])
@@ -266,8 +494,9 @@ def decode_real(payload: bytes, mime: str) -> np.ndarray:
         return f
     raise NotImplementedError(
         f"no dependency-free decoder for this container (mime={mime!r}); "
-        "JPEG/MP4/... need PIL/torchaudio/pyav wired here — the Spark "
-        "plumbing is complete and tested with decode_stub"
+        "video (MP4/...) and the exotic image/audio variants need "
+        "PIL/torchaudio/pyav wired here — the Spark plumbing is complete "
+        "and tested with decode_stub"
     )
 
 

@@ -118,8 +118,9 @@ def test_decode_real_ppm_bmp_wav():
     assert np.isclose(wav[2], 0.0, atol=1e-6)  # symmetric -> zero mean
     assert np.isclose(wav[4], np.sqrt(np.mean((np.array([0, .5, -.5, 0] * 100)) ** 2)), atol=1e-3)
 
+    # no dependency-free video decoder: the narrowed integration point
     with pytest.raises(NotImplementedError):
-        decode_real(b"\xff\xd8\xff\xe0....", "image/jpeg")
+        decode_real(b"\x00\x00\x00\x18ftypmp42....", "video/mp4")
 
 
 def _make_png(px: np.ndarray, width, height, ctype, filters):
@@ -265,3 +266,231 @@ def test_extract_features_with_real_decoder(spark):
     assert np.allclose(out["m2"]["features"][2:5], np.array([10, 20, 30]) / 255.0, atol=1e-6)
     assert out["m3"]["n_bytes"] > 0 and abs(out["m3"]["features"][0] - 8000 / 48000) < 1e-6
     assert out["m4"]["features"] is None
+
+
+class _JpegWriter:
+    """Bit writer with JPEG byte stuffing (0x00 after every 0xFF)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v, nb):
+        for i in range(nb - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.bits(1, 1)  # pad with 1s
+        return bytes(self.out)
+
+
+def _fixed_len_huff(symbols):
+    """Canonical table: every used symbol at one fixed length L with
+    2^L > n (the all-ones code stays unused, per spec). Returns
+    (bits16, vals, {sym: (code, L)})."""
+    vals = sorted(set(symbols))
+    n = len(vals)
+    L = max(2, (n + 1).bit_length())
+    bits = [0] * 16
+    bits[L - 1] = n
+    enc = {s: (i, L) for i, s in enumerate(vals)}
+    return bits, vals, enc
+
+
+def _make_jpeg(px, width, height, q=4, subsample=False):
+    """Minimal baseline JPEG encoder for tests: float FDCT + quantize +
+    zigzag + run-length symbols + custom canonical Huffman tables, one
+    interleaved scan, 4:4:4 (or 4:2:0 when subsample=True)."""
+    import struct
+
+    from engine.multimodal import _DCT_M, _ZIGZAG
+
+    rgb = px.reshape(height, width, 3).astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    if subsample:
+        hv = [(2, 2), (1, 1), (1, 1)]
+        # chroma: 2x2 box mean on even-padded planes
+        for ci in (1, 2):
+            p = planes[ci]
+            ph = p[: (height // 2) * 2, : (width // 2) * 2]
+            planes[ci] = (ph[0::2, 0::2] + ph[1::2, 0::2]
+                          + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+    else:
+        hv = [(1, 1), (1, 1), (1, 1)]
+    Q = np.full((8, 8), q, dtype=np.int64)
+    maxh = max(h for h, v in hv)
+    maxv = max(v for h, v in hv)
+    # block-quantized coefficients per component
+    mcux = -(-width // (8 * maxh))
+    mcuy = -(-height // (8 * maxv))
+    blocks = []  # per comp: dict[(by, bx)] = zigzag int array
+    for p, (ch, cv) in zip(planes, hv):
+        need_h, need_w = mcuy * cv * 8, mcux * ch * 8
+        p = np.pad(p, ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])), mode="edge")
+        d = {}
+        for by in range(need_h // 8):
+            for bx in range(need_w // 8):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_M @ blk @ _DCT_M.T
+                zz = np.round(coef / Q).astype(np.int64).reshape(64)[_ZIGZAG]
+                d[(by, bx)] = zz
+        blocks.append(d)
+
+    def mag(v):
+        return int(abs(v)).bit_length()
+
+    # one pass to collect symbols per (class, table): luma table 0, chroma 1
+    tbl_of = [0, 1, 1]
+    dc_syms = {0: [], 1: []}
+    ac_syms = {0: [], 1: []}
+    dc_prev = [0, 0, 0]
+
+    def block_symbols(zz, ci, emit=None):
+        s = mag(zz[0] - dc_prev[ci])
+        if emit is None:
+            dc_syms[tbl_of[ci]].append(s)
+        else:
+            emit("dc", ci, s, zz[0] - dc_prev[ci])
+        dc_prev[ci] = zz[0]
+        run = 0
+        last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                if run == 16:
+                    if emit is None:
+                        ac_syms[tbl_of[ci]].append(0xF0)
+                    else:
+                        emit("ac", ci, 0xF0, None)
+                    run = 0
+                continue
+            sym = (run << 4) | mag(zz[k])
+            if emit is None:
+                ac_syms[tbl_of[ci]].append(sym)
+            else:
+                emit("ac", ci, sym, zz[k])
+            run = 0
+        if last_nz < 63:
+            if emit is None:
+                ac_syms[tbl_of[ci]].append(0x00)
+            else:
+                emit("ac", ci, 0x00, None)
+
+    def walk(emit=None):
+        for ci in range(3):
+            dc_prev[ci] = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (ch, cv) in enumerate(hv):
+                    for byy in range(cv):
+                        for bxx in range(ch):
+                            zz = blocks[ci][(my * cv + byy, mx * ch + bxx)]
+                            block_symbols(zz, ci, emit)
+
+    walk(None)
+    dc_tabs = {t: _fixed_len_huff(s) for t, s in dc_syms.items() if s}
+    ac_tabs = {t: _fixed_len_huff(s) for t, s in ac_syms.items() if s}
+
+    w = _JpegWriter()
+
+    def emit(kind, ci, sym, val):
+        enc = (dc_tabs if kind == "dc" else ac_tabs)[tbl_of[ci]][2]
+        code, L = enc[sym]
+        w.bits(code, L)
+        if kind == "dc":
+            s = sym
+            if s:
+                v = val if val >= 0 else val + (1 << s) - 1
+                w.bits(v, s)
+        elif sym not in (0x00, 0xF0):
+            s = sym & 15
+            v = val if val >= 0 else val + (1 << s) - 1
+            w.bits(v, s)
+
+    walk(emit)
+    scan = w.flush()
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    zz_q = np.zeros(64, dtype=np.uint8)
+    zz_q[:] = Q.reshape(64)[_ZIGZAG]
+    seg(0xDB, bytes([0x00]) + bytes(zz_q))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([3])
+    for ci, (ch, cv) in enumerate(hv):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    seg(0xC0, sof)
+    for t, (bits, vals, _) in dc_tabs.items():
+        seg(0xC4, bytes([0x00 | t]) + bytes(bits) + bytes(vals))
+    for t, (bits, vals, _) in ac_tabs.items():
+        seg(0xC4, bytes([0x10 | t]) + bytes(bits) + bytes(vals))
+    sos = bytes([3])
+    for ci in range(3):
+        sos += bytes([ci + 1, (tbl_of[ci] << 4) | tbl_of[ci]])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    out.extend(scan)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_decode_real_jpeg_baseline():
+    """Baseline JPEG decode (round 4): encode with an independent FDCT +
+    quantize + Huffman pipeline (test-side), decode through decode_real —
+    per-channel means must agree within the quantization error bound; a
+    smooth gradient round-trips pixel-close; 4:2:0 subsampling decodes;
+    progressive SOF2 raises the narrowed NotImplementedError."""
+    from engine.multimodal import FEATURE_DIM, _image_features, decode_real
+
+    rng = np.random.default_rng(5)
+    w, h = 24, 16
+
+    # smooth gradient: low quant error, tight tolerance
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [32 + 5 * xx, 64 + 3 * yy, 96 + 2 * (xx + yy)], axis=2
+    ).reshape(-1, 3).astype(np.uint8)
+    got = decode_real(_make_jpeg(grad, w, h, q=2), "image/jpeg")
+    want = _image_features(grad, w, h)
+    assert got.shape == (FEATURE_DIM,)
+    assert np.allclose(got[:2], want[:2])            # dims exact
+    assert np.allclose(got[2:5], want[2:5], atol=0.02)  # channel means
+    assert np.allclose(got[5:8], want[5:8], atol=0.03)  # channel stds
+
+    # noise image: means still agree (quant error is zero-mean-ish)
+    noise = rng.integers(0, 256, (w * h, 3)).astype(np.uint8)
+    gn = decode_real(_make_jpeg(noise, w, h, q=4), "image/jpeg")
+    wn = _image_features(noise, w, h)
+    assert np.allclose(gn[2:5], wn[2:5], atol=0.05)
+
+    # 4:2:0: solid color survives chroma subsampling exactly
+    solid = np.tile(np.array([[180, 90, 40]], np.uint8), (w * h, 1))
+    gs = decode_real(_make_jpeg(solid, w, h, q=2, subsample=True), "image/jpeg")
+    ws = _image_features(solid, w, h)
+    assert np.allclose(gs[2:5], ws[2:5], atol=0.02)
+    assert np.allclose(gs[5:8], 0.0, atol=0.02)
+
+    # progressive marker -> loud, narrow NotImplementedError
+    prog = bytearray(_make_jpeg(solid, w, h))
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        decode_real(bytes(prog), "image/jpeg")
