@@ -235,6 +235,20 @@ class ParquetManifestFormat:
             out = out.unionByName(df)
         return out
 
+    def snapshot_dirs(self, table: str, snapshot_id: int | None = None) -> dict:
+        """data-dir -> [part_hash...] for a snapshot (default current).
+        Every distinct dir is one union branch in read_at — the small-file /
+        scan-fan-out metric jobs/compact.py collapses."""
+        manifest = self._load(table)
+        sid = snapshot_id if snapshot_id is not None else int(manifest["current"])
+        snap = manifest["snapshots"].get(str(sid))
+        if snap is None:
+            raise ValueError(f"{table}: no snapshot {sid}")
+        by_dir: dict[str, list[int]] = {}
+        for h, d in snap["partitions"].items():
+            by_dir.setdefault(d, []).append(int(h))
+        return by_dir
+
     def read(self, table: str) -> DataFrame:
         return self.read_at(table, self.current_snapshot(table))
 

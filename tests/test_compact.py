@@ -1,0 +1,74 @@
+"""jobs/compact.py: row-preserving, time-travel-safe small-file compaction
+(SURVEY.md round-4 maintenance leg)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from engine.io import ParquetManifestFormat, synth_tokens
+from jobs.rollup import run_rollup
+
+
+def _rows(df):
+    return sorted(
+        tuple(bytes(x) if isinstance(x, (bytearray, bytes)) else x for x in r)
+        for r in df.drop("part_hash").collect()
+    )
+
+
+def test_compact_collapses_dirs_preserving_rows_and_history(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    # two incremental epochs with disjoint docs -> the current 1m snapshot
+    # references (at least) two snap dirs
+    d1 = synth_tokens(spark, 6, seed=7, n_tok=256)
+    d2 = synth_tokens(spark, 6, seed=9, n_tok=256).withColumn(
+        "doc_id", F.concat(F.lit("b_"), F.col("doc_id"))
+    )
+    run_rollup(spark, d1, wh, epoch=1)
+    run_rollup(spark, d2, wh, epoch=2)
+    fmt = ParquetManifestFormat(spark, wh)
+    assert len(fmt.snapshot_dirs("rollup_1m")) >= 2
+    pre_snap = fmt.current_snapshot("rollup_1m")
+    pre_rows = _rows(fmt.read("rollup_1m"))
+
+    from jobs.compact import compact_tier
+
+    m = compact_tier(spark, fmt, wh, "1m")
+    assert not m["skipped"] and m["dirs_after"] == 1 and m["dirs_before"] >= 2
+
+    # row-preserving (payload bytes included) and one scan-union branch now
+    assert _rows(fmt.read("rollup_1m")) == pre_rows
+    # time travel to the pre-compaction snapshot is untouched
+    assert _rows(fmt.read_at("rollup_1m", pre_snap)) == pre_rows
+    # lineage records the maintenance commit
+    from engine.lineage import read_lineage
+
+    lin = read_lineage(spark, wh).where("tier = 'compact_1m'")
+    assert lin.count() > 0
+    assert {r["pipeline"] for r in lin.select("pipeline").distinct().collect()} == {"compact"}
+
+    # idempotent: second run is a no-op
+    m2 = compact_tier(spark, fmt, wh, "1m")
+    assert m2["skipped"] and m2["dirs_before"] == 1
+
+
+def test_compact_cli_smoke(spark, tmp_path):
+    wh = str(tmp_path / "whcli")
+    d1 = synth_tokens(spark, 4, seed=1, n_tok=128)
+    d2 = synth_tokens(spark, 4, seed=2, n_tok=128).withColumn(
+        "doc_id", F.concat(F.lit("c_"), F.col("doc_id"))
+    )
+    run_rollup(spark, d1, wh, epoch=1, tiers=["1m"])
+    run_rollup(spark, d2, wh, epoch=2, tiers=["1m"])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, os.path.join(repo, "jobs", "compact.py"),
+           "--warehouse", wh, "--tiers", "1m", "--master", "local[2]"]
+    r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
+                       env=dict(os.environ, SPARK_DRIVER_MEMORY="2g"),
+                       timeout=420)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "dirs_after': 1" in r.stdout, r.stdout
