@@ -249,6 +249,60 @@ class ParquetManifestFormat:
             by_dir.setdefault(d, []).append(int(h))
         return by_dir
 
+    def expire_snapshots(
+        self,
+        table: str,
+        keep_last: int = 2,
+        keep_snapshot_ids: set[int] | None = None,
+    ) -> dict:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` shape:
+        drop snapshot ENTRIES older than the retained set, then physically
+        delete ``snap-N`` data dirs referenced by NO surviving snapshot.
+
+        Retained set = the ``keep_last`` highest snapshot ids, plus the
+        current snapshot, plus any explicitly pinned ids (pass the lineage
+        epochs' output_snapshot_ids to keep those epochs time-travelable).
+        A dir stays on disk while ANY surviving snapshot references it —
+        incremental commits routinely point new snapshots at old dirs for
+        untouched partitions, so dir age alone never decides deletion.
+
+        Crash-safe: the manifest rewrite is the atomic commit; dirs are
+        deleted only afterwards, and a re-run deletes any orphan left by a
+        crash mid-deletion (orphan = snap-* dir not referenced by any
+        surviving snapshot). Time travel to an expired snapshot raises —
+        exactly the Iceberg contract.
+        """
+        import shutil
+
+        manifest = self._load(table)
+        snaps = manifest["snapshots"]
+        ids = sorted(int(s) for s in snaps)
+        keep = set(ids[-max(keep_last, 1):])
+        keep.add(int(manifest["current"]))
+        for sid in keep_snapshot_ids or ():
+            if str(int(sid)) in snaps:
+                keep.add(int(sid))
+        expired = [i for i in ids if i not in keep]
+        manifest["snapshots"] = {str(i): snaps[str(i)] for i in ids if i in keep}
+        self._store(table, manifest)  # commit point
+        live_dirs = {
+            d
+            for s in manifest["snapshots"].values()
+            for d in s["partitions"].values()
+        }
+        tdir = os.path.join(self.warehouse, table)
+        removed = []
+        for name in os.listdir(tdir):
+            p = os.path.join(tdir, name)
+            if name.startswith("snap-") and os.path.isdir(p) and p not in live_dirs:
+                shutil.rmtree(p)
+                removed.append(name)
+        return {
+            "expired_snapshots": expired,
+            "kept_snapshots": sorted(keep & set(ids)),
+            "removed_dirs": sorted(removed),
+        }
+
     def read(self, table: str) -> DataFrame:
         return self.read_at(table, self.current_snapshot(table))
 

@@ -90,16 +90,58 @@ def run_retention(
     return metrics
 
 
+def run_snapshot_expiry(
+    spark, warehouse: str, tiers: list[str], keep_last: int
+) -> dict:
+    """Physical GC (Iceberg expire_snapshots): per tier, drop all but the
+    newest ``keep_last`` snapshots and delete data dirs no surviving
+    snapshot references. Snapshots pinned by lineage rows of the RETAINED
+    window stay time-travelable: every output_snapshot_id still present in
+    the manifest is added to the keep set, so an epoch whose snapshot is
+    inside the keep-last window never loses its data dirs."""
+    fmt = ParquetManifestFormat(spark, warehouse)
+    lineage = read_lineage(spark, warehouse)
+    metrics = {}
+    for tier in tiers:
+        pinned = {
+            int(r["output_snapshot_id"])
+            for r in lineage.where(F.col("tier") == tier)
+            .select("output_snapshot_id").distinct().collect()
+            if int(r["output_snapshot_id"]) >= 0
+        }
+        table = f"rollup_{tier}"
+        try:
+            # pin only ids the keep-last window already retains; older
+            # lineage epochs expire with their snapshots (Iceberg contract)
+            ids = sorted(
+                int(s) for s in fmt._load(table)["snapshots"]
+            )[-max(keep_last, 1):]
+            keep_ids = pinned & set(ids)
+            metrics[tier] = fmt.expire_snapshots(
+                table, keep_last=keep_last, keep_snapshot_ids=keep_ids
+            )
+        except (ValueError, FileNotFoundError) as e:
+            metrics[tier] = {"skipped": True, "reason": str(e)[:80]}
+    return metrics
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warehouse", required=True)
     for tier in TIER_ORDER:
         ap.add_argument(f"--retain-{tier}", default=None,
                         help=f"retention window for the {tier} tier (e.g. 7d)")
-    ap.add_argument("--now-t", type=int, required=True,
-                    help="current event time (seconds in the bucket domain)")
-    ap.add_argument("--epoch", type=int, required=True,
-                    help="checkpoint epoch of this expiry run (resume key)")
+    ap.add_argument("--now-t", type=int, default=None,
+                    help="current event time (seconds in the bucket domain); "
+                         "required with --retain-<tier>")
+    ap.add_argument("--epoch", type=int, default=None,
+                    help="checkpoint epoch of this expiry run (resume key); "
+                         "required with --retain-<tier>")
+    ap.add_argument("--expire-snapshots", type=int, default=None,
+                    metavar="KEEP_LAST",
+                    help="after bucket expiry (or standalone): physically "
+                         "delete snapshots/dirs beyond the newest KEEP_LAST "
+                         "per tier (Iceberg expire_snapshots)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -108,12 +150,21 @@ def main() -> None:
         for tier in TIER_ORDER
         if (v := getattr(args, f"retain_{tier}")) is not None
     }
-    if not policy:
-        ap.error("no --retain-<tier> flag given; nothing to do")
+    if not policy and args.expire_snapshots is None:
+        ap.error("no --retain-<tier> or --expire-snapshots flag; nothing to do")
     spark = get_spark(app_name="retention-job", master=args.master)
-    metrics = run_retention(spark, args.warehouse, policy, args.now_t, args.epoch)
-    for tier, m in metrics.items():
-        print(f"tier={tier} {m}")
+    if policy:
+        if args.now_t is None or args.epoch is None:
+            ap.error("--retain-<tier> requires --now-t and --epoch")
+        metrics = run_retention(spark, args.warehouse, policy, args.now_t, args.epoch)
+        for tier, m in metrics.items():
+            print(f"tier={tier} {m}")
+    if args.expire_snapshots is not None:
+        sm = run_snapshot_expiry(
+            spark, args.warehouse, list(TIER_ORDER), args.expire_snapshots
+        )
+        for tier, m in sm.items():
+            print(f"expire-snapshots tier={tier} {m}")
 
 
 if __name__ == "__main__":

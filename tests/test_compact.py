@@ -72,3 +72,78 @@ def test_compact_cli_smoke(spark, tmp_path):
                        timeout=420)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "dirs_after': 1" in r.stdout, r.stdout
+
+
+def test_expire_snapshots_gc_and_dir_liveness(spark, tmp_path):
+    """expire_snapshots: old snapshot ENTRIES go away and their dirs are
+    deleted — but a dir referenced by a SURVIVING snapshot stays, however
+    old (incremental commits point new snapshots at old dirs for untouched
+    partitions). Current read is byte-identical across the GC; expired
+    snapshots raise on time travel."""
+    import os as _os
+
+    wh = str(tmp_path / "wh")
+    d1 = synth_tokens(spark, 6, seed=7, n_tok=256)
+    d2 = synth_tokens(spark, 6, seed=9, n_tok=256).withColumn(
+        "doc_id", F.concat(F.lit("b_"), F.col("doc_id"))
+    )
+    d3 = synth_tokens(spark, 6, seed=11, n_tok=256).withColumn(
+        "doc_id", F.concat(F.lit("c_"), F.col("doc_id"))
+    )
+    run_rollup(spark, d1, wh, epoch=1, tiers=["1m"])
+    run_rollup(spark, d2, wh, epoch=2, tiers=["1m"])
+    run_rollup(spark, d3, wh, epoch=3, tiers=["1m"])
+    fmt = ParquetManifestFormat(spark, wh)
+    cur = fmt.current_snapshot("rollup_1m")
+    assert cur >= 3
+    # current snapshot references MULTIPLE dirs (older commits' partitions)
+    live_before = set(fmt.snapshot_dirs("rollup_1m"))
+    assert len(live_before) >= 2
+    pre_rows = _rows(fmt.read("rollup_1m"))
+
+    m = fmt.expire_snapshots("rollup_1m", keep_last=1)
+    assert m["expired_snapshots"]  # something was dropped
+    # every dir the current snapshot references is STILL on disk
+    for d in live_before:
+        assert _os.path.isdir(d), d
+    assert _rows(fmt.read("rollup_1m")) == pre_rows
+    # expired snapshot ids no longer time-travelable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot"):
+        fmt.read_at("rollup_1m", m["expired_snapshots"][0])
+    # dirs referenced only by expired snapshots are gone: every remaining
+    # snap-* dir on disk is referenced by a surviving snapshot
+    tdir = _os.path.join(wh, "rollup_1m")
+    on_disk = {
+        _os.path.join(tdir, n) for n in _os.listdir(tdir)
+        if n.startswith("snap-")
+    }
+    assert on_disk == live_before
+
+    # idempotent: a second pass removes nothing
+    m2 = fmt.expire_snapshots("rollup_1m", keep_last=1)
+    assert m2["removed_dirs"] == [] and m2["expired_snapshots"] == []
+
+
+def test_retention_cli_expire_snapshots(spark, tmp_path):
+    """jobs/retention.py --expire-snapshots as a real process."""
+    wh = str(tmp_path / "whsn")
+    d1 = synth_tokens(spark, 4, seed=1, n_tok=128)
+    d2 = synth_tokens(spark, 4, seed=2, n_tok=128).withColumn(
+        "doc_id", F.concat(F.lit("x_"), F.col("doc_id"))
+    )
+    run_rollup(spark, d1, wh, epoch=1, tiers=["1m"])
+    run_rollup(spark, d2, wh, epoch=2, tiers=["1m"])
+    fmt = ParquetManifestFormat(spark, wh)
+    pre_rows = _rows(fmt.read("rollup_1m"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, os.path.join(repo, "jobs", "retention.py"),
+           "--warehouse", wh, "--expire-snapshots", "1",
+           "--master", "local[2]"]
+    r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
+                       env=dict(os.environ, SPARK_DRIVER_MEMORY="2g"),
+                       timeout=420)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "expire-snapshots tier=1m" in r.stdout
+    assert _rows(fmt.read("rollup_1m")) == pre_rows
