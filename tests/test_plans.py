@@ -131,3 +131,14 @@ def test_detect_stays_in_codegen(spark, tokens_path):
     df.limit(1).collect()
     final = _plan(df.limit(1))
     assert "EvalPython" not in final
+
+
+def test_dedup_keep_is_broadcast_anti_join(spark):
+    """dedup_keep's corpus filter must be a broadcast hash LEFT ANTI join —
+    the full documents scan streams through it with no corpus shuffle (the
+    100 TB shape; the drop set is tiny relative to the corpus)."""
+    import __spark_entry__ as E
+
+    df = E.q_dedup_keep(spark, "/root/testdata/sf0.01")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
