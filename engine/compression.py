@@ -901,43 +901,72 @@ def rollup_1m_with_payloads(flagged_points, tier: str = "1m", presorted: bool = 
     )
 
 
-def _decode_series(frames, decoder):
+def _decode_series(frames, decoder, single, on_error):
     """One Arrow batch of frames -> pandas Series of int64 point arrays,
     via the vectorized multi-frame decoder (NULL frames stay NULL). The
-    only per-frame Python is the bytes() view and the flat-array split."""
+    only per-frame Python is the bytes() view and the flat-array split.
+
+    ``on_error='null'``: if the batch decode raises (corrupt/legacy frame
+    anywhere in the batch), fall back to decoding each frame alone through
+    the sequential reference ``single`` and QUARANTINE the bad ones as
+    NULL instead of failing the batch — per-frame cost paid only on the
+    (rare) poisoned batches."""
     import pandas as pd
 
     mask = frames.notna().to_numpy()
     fl = [bytes(b) for b, m in zip(frames, mask) if m]
     vals = np.empty(len(frames), dtype=object)
     if fl:
-        flat, counts = decoder(fl)
-        parts = np.split(flat, np.cumsum(counts)[:-1])
+        try:
+            flat, counts = decoder(fl)
+            parts = np.split(flat, np.cumsum(counts)[:-1])
+        except Exception:
+            if on_error != "null":
+                raise
+            parts = []
+            for b in fl:
+                try:
+                    parts.append(single(b))
+                except Exception:
+                    parts.append(None)
         po = np.empty(len(parts), dtype=object)
         po[:] = parts
         vals[np.flatnonzero(mask)] = po
     return pd.Series(vals, index=frames.index)
 
 
-def decompress_columns(compressed_df):
+def decompress_columns(compressed_df, on_error: str = "raise"):
     """C3 as a scalar Arrow UDF: (ts_dod, v_gorilla) -> point arrays.
 
     Round 4: routed through the TRANSPOSED vectorized decoders
     (dod_decompress_many / gorilla_decompress_many) — one NumPy round per
     point index across the whole Arrow batch's frames, mirroring the
     round-3 encoder vectorization. Per-point Python is gone from the read
-    path."""
+    path.
+
+    ``on_error``: 'raise' (default) fails the query on any corrupt or
+    legacy frame; 'null' quarantines undecodable frames as NULL point
+    arrays so an unattended scan survives isolated corruption — audit the
+    quarantined rows afterwards with
+    ``where("ts_dod is not null and ts_points is null")``.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, LongType
 
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     # lambdas, not annotated defs: `from __future__ import annotations` turns
     # hints into strings pyspark cannot resolve inside a nested scope
     _ts = F.pandas_udf(
-        lambda frames: _decode_series(frames, dod_decompress_many),
+        lambda frames: _decode_series(
+            frames, dod_decompress_many, dod_decompress, on_error
+        ),
         ArrayType(LongType()),
     )
     _vs = F.pandas_udf(
-        lambda frames: _decode_series(frames, gorilla_decompress_many),
+        lambda frames: _decode_series(
+            frames, gorilla_decompress_many, gorilla_decompress, on_error
+        ),
         ArrayType(LongType()),
     )
 

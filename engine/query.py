@@ -125,6 +125,7 @@ def serve_raw_points(
     t0: int | None = None,
     t1: int | None = None,
     doc_ids: list[str] | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Q5 (round 4): serve RAW points from the 1m tier's compression
     payloads — the finer-than-any-tier read path (resolution_pick returns
@@ -140,13 +141,19 @@ def serve_raw_points(
     a read that the write path could sustain. Output: one row per non-null
     raw point (doc_id, t, v), t in raw steps. The exact in-bucket [t0, t1)
     trim is applied after decode on the exploded rows.
+
+    ``on_error='null'`` quarantines corrupt payloads instead of failing
+    the scan (their buckets simply yield no rows; audit them via
+    decompress_columns(df, on_error='null') — see its docstring).
     """
     from engine.compression import decompress_columns
 
     df = range_filter(rollup_1m, "1m", t0, t1)
     if doc_ids:
         df = df.where(F.col("doc_id").isin(doc_ids))
-    decoded = decompress_columns(df.where(F.col("cnt") > 0)).select(
+    decoded = decompress_columns(
+        df.where(F.col("cnt") > 0), on_error=on_error
+    ).select(
         "doc_id", F.arrays_zip("ts_points", "v_points").alias("pts")
     )
     out = decoded.select(

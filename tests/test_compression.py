@@ -258,3 +258,46 @@ def test_many_decoders_straggler_tail_and_mixed_lengths():
     assert ct.tolist() == counts.tolist() == cv.tolist()
     assert (dt == ts_flat).all()
     assert (dv == v_flat).all()
+
+
+def test_decode_quarantine_mode(spark, tokens_df):
+    """on_error='null' must survive corrupt payloads: the poisoned frame
+    comes back as a NULL point array (auditable), every healthy frame in
+    the same Arrow batch still decodes exactly, and the default strict
+    mode still fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from engine.compression import decompress_columns, rollup_1m_with_payloads
+    from engine.series import explode_series, gap_fill
+    from engine.stats import detect
+
+    in_range = tokens_df.where("doc_id != 'doc_negmax'")
+    flagged = detect(gap_fill(explode_series(in_range), "ffill"))
+    r1m = rollup_1m_with_payloads(flagged, "1m", presorted=False).cache()
+    victim = r1m.where("cnt > 0").select("doc_id", "bucket").first()
+    # flip the magic byte of one frame -> legacy-looking, must quarantine
+    poisoned = r1m.withColumn(
+        "ts_dod",
+        F.when(
+            (F.col("doc_id") == victim["doc_id"])
+            & (F.col("bucket") == victim["bucket"]),
+            F.concat(F.lit(b"\x00"), F.expr("substring(ts_dod, 2)")),
+        ).otherwise(F.col("ts_dod")),
+    )
+
+    with pytest.raises(Exception, match="magic"):
+        decompress_columns(poisoned).select("ts_points").collect()
+
+    dec = decompress_columns(poisoned, on_error="null").cache()
+    bad = dec.where("ts_dod is not null and ts_points is null").collect()
+    assert [(r["doc_id"], r["bucket"]) for r in bad] == [
+        (victim["doc_id"], victim["bucket"])
+    ]
+    # healthy rows: every decoded array length still equals cnt
+    ok = dec.where("ts_points is not null").selectExpr(
+        "sum(cast(size(ts_points) != cnt as int)) as mismatches"
+    ).collect()[0]
+    assert ok["mismatches"] == 0
+    r1m.unpersist()
+    dec.unpersist()
