@@ -225,6 +225,7 @@ def pipeline_oracle(
             "vmean", "anom_cnt", "first_v", "last_v",
         ]
     )
+    rollup_frames = [f for f in rollup_frames if len(f)]
     r1m = (
         pd.concat(rollup_frames, ignore_index=True) if rollup_frames else empty_rollup
     )
@@ -232,7 +233,12 @@ def pipeline_oracle(
     r1d = cascade_oracle(r1h, "1h", "1d") if len(r1h) else empty_rollup
     return {
         "filled": pd.DataFrame(filled_rows),
-        "stats": pd.concat(stats_frames, ignore_index=True)
+        # drop all-empty frames before concat: pandas deprecated letting
+        # empty frames participate in result-dtype inference
+        "stats": pd.concat(
+            [f for f in stats_frames if len(f)] or stats_frames[:1],
+            ignore_index=True,
+        )
         if stats_frames
         else pd.DataFrame(),
         "detect": pd.DataFrame(detect_rows),
