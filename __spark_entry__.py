@@ -758,6 +758,99 @@ def _plane_sign(p: int):
     )
 
 
+# Embedding near-dup thresholds. EMB_NEARDUP_COS is FIXTURE-calibrated:
+# the synthetic embeddings are random (max pairwise cosine ~0.51 at
+# sf0.01), so 0.4 exercises the path with real output; production
+# near-dup dedup runs ~0.9-0.95, where the 2-table/4-plane collision
+# probability per pair is ~0.88 (vs ~0.3 at 0.4 — LSH recall is a
+# function of the angle, see tests/test_quality.py's measured floor).
+EMB_NEARDUP_COS = 0.4
+EMB_NEARDUP_MAX_BUCKET = 200
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Corpus-wide embedding near-duplicate PAIRS (the task brief's
+    "embedding-cosine near-dup" dedup mode): two vectors are candidates
+    when they share a random-hyperplane signature in ANY hash table
+    (bucket self-join, d1 < d2, giant buckets capped like the MinHash
+    path); exact cosine — computed only inside the candidate set — keeps
+    pairs >= EMB_NEARDUP_COS. Never the O(n^2) pair space: work is
+    sum-over-buckets of C(bucket,2) with the cap bounding any one bucket.
+    The DuckDB oracle replays planes, buckets, cap and threshold exactly.
+    """
+    n_vectors = _table_rows_from_metadata(sf_dir, "embeddings")
+    planes = ann_planes(
+        n_vectors
+        if n_vectors is not None
+        else _t(spark, sf_dir, "embeddings").count()
+    )
+    pts, sigs = _ann_signatures(spark, sf_dir, planes)
+    ok = sigs.groupBy("tbl", "sig").agg(F.count("*").alias("_n")).where(
+        F.col("_n") <= EMB_NEARDUP_MAX_BUCKET
+    ).drop("_n")
+    sigf = sigs.join(F.broadcast(ok), ["tbl", "sig"])
+    a = sigf.select("tbl", "sig", F.col("vec_id").alias("d1"))
+    b = sigf.select("tbl", "sig", F.col("vec_id").alias("d2"))
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    norms = pts.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    pa = pts.select(F.col("vec_id").alias("d1"), "i", F.col("x").alias("xa"))
+    pb = pts.select(F.col("vec_id").alias("d2"), "i", F.col("x").alias("xb"))
+    dots = (
+        cand.join(pa, "d1")
+        .join(pb, ["d2", "i"])
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("d1"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("d2"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "d1").join(F.broadcast(nb), "d2")
+        .select(
+            "d1", "d2",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= EMB_NEARDUP_COS)
+        .orderBy(F.desc("cos_sim"), "d1", "d2")
+    )
+
+
+def _ann_signatures(spark, sf_dir, planes: int):
+    """Shared random-hyperplane index build: (pts, sigs) where pts is the
+    exploded (vec_id, i, x) long form and sigs the (vec_id, tbl, sig) long
+    form — one groupBy computing planes*ANN_TABLES signed sums per vector.
+    Used by the top-k ANN query and the corpus-wide near-dup pair query."""
+    e = _t(spark, sf_dir, "embeddings")
+    total = planes * ANN_TABLES
+    pts = e.select("vec_id", F.posexplode("embedding").alias("i", "x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    dots = pts.groupBy("vec_id").agg(
+        *[
+            F.sum(F.when(_plane_sign(p), F.col("x")).otherwise(-F.col("x"))).alias(f"dot{p}")
+            for p in range(total)
+        ]
+    )
+
+    def table_sig(t: int):
+        sig = F.lit(0)
+        for j in range(planes):
+            sig = sig + F.when(F.col(f"dot{t * planes + j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        return sig.cast("long")
+
+    sigs = None
+    for t in range(ANN_TABLES):
+        part = dots.select("vec_id", F.lit(t).alias("tbl"), table_sig(t).alias("sig"))
+        sigs = part if sigs is None else sigs.unionByName(part)
+    return pts, sigs
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH over the embedding column.
 
@@ -786,28 +879,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     # count() fallback only fires when no footer metadata is reachable.
     n_vectors = _table_rows_from_metadata(sf_dir, "embeddings")
     planes = ann_planes(n_vectors if n_vectors is not None else e.count())
-    total = planes * ANN_TABLES
-    pts = e.select("vec_id", F.posexplode("embedding").alias("i", "x")).withColumn(
-        "x", F.col("x").cast("double")
-    )
-    dots = pts.groupBy("vec_id").agg(
-        *[
-            F.sum(F.when(_plane_sign(p), F.col("x")).otherwise(-F.col("x"))).alias(f"dot{p}")
-            for p in range(total)
-        ]
-    )
-
-    def table_sig(t: int):
-        sig = F.lit(0)
-        for j in range(planes):
-            sig = sig + F.when(F.col(f"dot{t * planes + j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        return sig.cast("long")
-
-    # long form (vec_id, tbl, sig): candidate probing is an equi-join
-    sigs = None
-    for t in range(ANN_TABLES):
-        part = dots.select("vec_id", F.lit(t).alias("tbl"), table_sig(t).alias("sig"))
-        sigs = part if sigs is None else sigs.unionByName(part)
+    pts, sigs = _ann_signatures(spark, sf_dir, planes)
     # multi-probe expansion: the query's own bucket + every Hamming-<=2 flip
     probe_flips = F.array(
         *[F.lit(v) for v in _ann_probe_flips(planes)]
@@ -992,6 +1064,70 @@ def q_lang_id(spark, sf_dir):
     return out.groupBy("lang", "pred").agg(F.count("*").alias("docs"))
 
 
+def _emb_neardup_oracle_sql(sf_dir: str | None = None) -> str:
+    """DuckDB replay of q_embedding_near_dups (planes from the gate
+    fixture's footer, same md5 plane signs, bucket cap, threshold)."""
+    import os
+
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    n = _table_rows_from_metadata(sf_dir, "embeddings")
+    planes = ann_planes(n if n is not None else 500)
+    total = planes * ANN_TABLES
+
+    def sign(p: int) -> str:
+        return (
+            f"(strpos('0123456789abcdef', substr(md5('{p}|' || "
+            f"CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0"
+        )
+
+    dot_exprs = ",\n           ".join(
+        f"sum(CASE WHEN {sign(p)} THEN x ELSE -x END) AS dot{p}" for p in range(total)
+    )
+
+    def sig_expr(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN dot{t * planes + j} > 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(planes)
+        )
+
+    sig_union = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS tbl, CAST({sig_expr(t)} AS BIGINT) AS sig FROM dots"
+        for t in range(ANN_TABLES)
+    )
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, i, CAST(x AS DOUBLE) AS x
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS i FROM embeddings)),
+    dots AS (
+      SELECT vec_id,
+           {dot_exprs}
+      FROM pts GROUP BY vec_id),
+    sigs AS (
+      {sig_union}),
+    ok AS (SELECT tbl, sig FROM sigs GROUP BY tbl, sig
+           HAVING count(*) <= {EMB_NEARDUP_MAX_BUCKET}),
+    sigf AS (SELECT s.* FROM sigs s JOIN ok USING (tbl, sig)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      FROM sigf a JOIN sigf b ON a.tbl = b.tbl AND a.sig = b.sig
+      WHERE a.vec_id < b.vec_id),
+    nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pts GROUP BY vec_id),
+    dp AS (
+      SELECT c.d1, c.d2, sum(pa.x * pb.x) AS dot
+      FROM cand c
+      JOIN pts pa ON pa.vec_id = c.d1
+      JOIN pts pb ON pb.vec_id = c.d2 AND pb.i = pa.i
+      GROUP BY 1, 2)
+    SELECT d1, d2, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dp JOIN nrm na ON na.vec_id = d1
+            JOIN nrm nb ON nb.vec_id = d2
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= {EMB_NEARDUP_COS}
+    ORDER BY cos_sim DESC, d1, d2
+    """
+
+
 def _ann_oracle_sql(sf_dir: str | None = None) -> str:
     """DuckDB replay of q_ann_lsh_topk. The plane count is the same pure
     function of the GATE fixture's corpus size the Spark side computes —
@@ -1116,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -1370,6 +1507,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id FROM labels WHERE doc_id != cluster_id)
         ORDER BY d.doc_id""",
         "ann_lsh_topk": _ann_oracle_sql(),
+        "embedding_near_dups": _emb_neardup_oracle_sql(),
         "simhash": """
         WITH w AS (
           SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
