@@ -110,6 +110,27 @@ def q_detect(spark, sf_dir):
     )
 
 
+def q_sliding_window_counts(spark, sf_dir):
+    """X-surface sliding-window aggregate in BATCH form (round 4; the
+    streaming twin is engine/streaming.py::windowed_event_counts): 5-minute
+    windows sliding every minute over event time, per user — one
+    F.window(ts, '5 minutes', '1 minute') groupBy, pure Catalyst. Window
+    starts surface as BIGINT epoch seconds so the DuckDB oracle (which
+    unnests the 5 slide offsets per event) hashes identically."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "5 minutes", "1 minute").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("vsum"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "user_id", "cnt", "vsum",
+        )
+        .orderBy("window_start", "user_id")
+    )
+
+
 def q_detect_count_per_user(spark, sf_dir):
     return (
         _scored_events(spark, sf_dir)
@@ -1217,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_score": q_anomaly_score,
         "detect": q_detect,
         "detect_count_per_user": q_detect_count_per_user,
+        "sliding_window_counts": q_sliding_window_counts,
         "rollup_minute": q_rollup_minute,
         "cascade_hour": q_cascade_hour,
         "pricing_summary": q_pricing_summary,
@@ -1330,6 +1352,17 @@ def oracle_sql() -> dict[str, str]:
                arg_min(value, event_id) AS first_v,
                arg_max(value, event_id) AS last_v
         FROM j GROUP BY 1, 2""",
+        "sliding_window_counts": """
+        WITH e AS (
+          SELECT user_id, value,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS m0
+          FROM events),
+        x AS (
+          SELECT user_id, value, m0 - k.k * 60 AS window_start
+          FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS k) k)
+        SELECT window_start, user_id, count(*) AS cnt,
+               round(sum(value), 4) AS vsum
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
         "cascade_hour": """
         WITH minute AS (
           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 60 AS bucket,
