@@ -314,9 +314,13 @@ def _bitlen_arr(x: np.ndarray) -> np.ndarray:
 
 
 def _ctz_arr(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-trailing-zeros over u64 (0 -> 64)."""
+    """Vectorized count-trailing-zeros over u64 (0 -> 64): isolate the
+    lowest set bit (a power of two — exactly representable in float64 for
+    every k <= 63) and read its exponent via frexp; cheaper than a second
+    bit_length pass."""
     low = x & (~x + np.uint64(1))  # isolate lowest set bit
-    return np.where(x == 0, 64, _bitlen_arr(low) - 1)
+    _, e = np.frexp(low.astype(np.float64))
+    return np.where(x == 0, 64, e.astype(np.int64) - 1)
 
 
 def _cumsum0(a: np.ndarray) -> np.ndarray:
@@ -465,11 +469,16 @@ def gorilla_compress_many(vals_flat: np.ndarray, counts: np.ndarray) -> list:
         prevnz = np.concatenate(([-1], nzpos[:-1]))[i]
         fstart = np.repeat(starts, counts)[i]
         has_prev = prevnz >= fstart + 1
-        px = xall[np.maximum(prevnz, 0)]
-        lead = 64 - _bitlen_arr(x)
-        trail = _ctz_arr(x)
-        plead = 64 - _bitlen_arr(px)
-        ptrail = _ctz_arr(px)
+        # one lead/trail pass over the n-sized xor array, GATHERED for both
+        # "this xor" and "previous non-zero xor" — halves the bit-scan work
+        # vs recomputing on the px gather (round 4)
+        leadall = 64 - _bitlen_arr(xall)
+        trailall = _ctz_arr(xall)
+        lead = leadall[i]
+        trail = trailall[i]
+        pidx = np.maximum(prevnz, 0)
+        plead = leadall[pidx]
+        ptrail = trailall[pidx]
         zero = x == 0
         fits = has_prev & ~zero & (lead >= plead) & (trail >= ptrail)
         fresh = ~zero & ~fits
