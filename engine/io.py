@@ -285,8 +285,14 @@ class ParquetManifestFormat:
         expired = [i for i in ids if i not in keep]
         manifest["snapshots"] = {str(i): snaps[str(i)] for i in ids if i in keep}
         self._store(table, manifest)  # commit point
-        live_dirs = {
-            d
+        # Liveness by BASENAME, not path string: manifests record data_dir
+        # as spelled at write time (absolute/relative/trailing-slash/symlink
+        # spellings vary run-to-run), and snap-N always lives directly under
+        # the table dir — a string compare against a differently-spelled
+        # --warehouse would see every live dir as orphan and delete data the
+        # current snapshot still references.
+        live_names = {
+            os.path.basename(os.path.normpath(d))
             for s in manifest["snapshots"].values()
             for d in s["partitions"].values()
         }
@@ -294,7 +300,7 @@ class ParquetManifestFormat:
         removed = []
         for name in os.listdir(tdir):
             p = os.path.join(tdir, name)
-            if name.startswith("snap-") and os.path.isdir(p) and p not in live_dirs:
+            if name.startswith("snap-") and os.path.isdir(p) and name not in live_names:
                 shutil.rmtree(p)
                 removed.append(name)
         return {

@@ -147,3 +147,29 @@ def test_retention_cli_expire_snapshots(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "expire-snapshots tier=1m" in r.stdout
     assert _rows(fmt.read("rollup_1m")) == pre_rows
+
+
+def test_expire_snapshots_survives_warehouse_respelling(spark, tmp_path):
+    """Dir liveness is decided by snap-N BASENAME, not the path string the
+    manifest recorded at write time: expiry driven through a differently-
+    spelled --warehouse (./ segment + trailing slash) must not delete dirs
+    the surviving snapshots still reference (pre-fix, every live dir failed
+    the exact-string match and was rmtree'd)."""
+    wh = str(tmp_path / "wh")
+    d1 = synth_tokens(spark, 5, seed=3, n_tok=128)
+    d2 = synth_tokens(spark, 5, seed=4, n_tok=128).withColumn(
+        "doc_id", F.concat(F.lit("r_"), F.col("doc_id"))
+    )
+    run_rollup(spark, d1, wh, epoch=1, tiers=["1m"])
+    run_rollup(spark, d2, wh, epoch=2, tiers=["1m"])
+    fmt = ParquetManifestFormat(spark, wh)
+    pre_rows = _rows(fmt.read("rollup_1m"))
+
+    respelled = os.path.join(str(tmp_path), ".", "wh") + os.sep
+    assert respelled != wh and os.path.samefile(respelled, wh)
+    m = ParquetManifestFormat(spark, respelled).expire_snapshots(
+        "rollup_1m", keep_last=1
+    )
+    assert m["expired_snapshots"]
+    # every dir the current snapshot references survived the respelled GC
+    assert _rows(fmt.read("rollup_1m")) == pre_rows
