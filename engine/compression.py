@@ -187,6 +187,10 @@ def dod_decompress(frame: bytes) -> np.ndarray:
     if magic != DOD_MAGIC:
         raise _bad_magic(magic, DOD_MAGIC, "ts_dod")
     n = r.read(32)
+    if n > (len(frame) - 5) * 8:  # >= 1 bit per point after the header
+        raise ValueError(
+            f"ts_dod frame claims {n} points in {len(frame)} bytes — corrupt"
+        )
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
@@ -263,6 +267,10 @@ def gorilla_decompress(frame: bytes) -> np.ndarray:
     if magic != GOR_MAGIC:
         raise _bad_magic(magic, GOR_MAGIC, "v_gorilla")
     n = r.read(32)
+    if n > (len(frame) - 5) * 8:  # >= 1 bit per point after the header
+        raise ValueError(
+            f"v_gorilla frame claims {n} points in {len(frame)} bytes — corrupt"
+        )
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out.view(np.int64)
@@ -513,9 +521,13 @@ def _concat_frames(frames: list, magic: int, name: str) -> tuple:
     """Concatenate frame byte strings into one big-endian u64 word buffer.
 
     Validates every frame's magic byte in one vectorized gather. Returns
-    (words, buf, frame_bit_offsets); ``buf`` (the raw bytes) feeds the
-    sequential straggler tail, ``words`` the vectorized rounds. Padded so
-    a 64-bit window read at any in-frame bit offset stays in bounds."""
+    (words, buf, frame_bit_offsets, frame_end_bits); ``buf`` (the raw
+    bytes) feeds the sequential straggler tail, ``words`` the vectorized
+    rounds; ``frame_end_bits`` bounds each frame for the overrun check —
+    in the concatenated buffer a decoder that runs off a truncated frame
+    reads the NEXT frame's bits without any IndexError, so the callers
+    must verify final positions against these ends. Padded so a 64-bit
+    window read at any in-frame bit offset stays in bounds."""
     lens = np.fromiter((len(f) for f in frames), dtype=np.int64, count=len(frames))
     if lens.size and int(lens.min()) < 5:
         raise ValueError(f"{name} frame shorter than the 5-byte v1 header")
@@ -528,7 +540,31 @@ def _concat_frames(frames: list, magic: int, name: str) -> tuple:
         raise _bad_magic(bad, magic, name)
     pad = (-len(buf)) % 8 + 16
     words = np.frombuffer(buf + b"\x00" * pad, dtype=">u8").astype(np.uint64)
-    return words, buf, boff[:-1] * 8
+    return words, buf, boff[:-1] * 8, boff[1:] * 8
+
+
+def _overrun(name: str, f: int) -> ValueError:
+    return ValueError(
+        f"{name} frame {f} is truncated or corrupt: decode consumed bits "
+        "past the frame's encoded byte range. In a multi-frame batch this "
+        "would silently read the next frame's bits; use on_error='null' "
+        "to quarantine the bad frame instead."
+    )
+
+
+def _check_counts(counts: np.ndarray, lens: np.ndarray, name: str) -> None:
+    """Reject frames whose 32-bit point count cannot fit their byte length
+    (every point costs >= 1 bit after the 5-byte header) BEFORE sizing the
+    output buffer — a corrupt count would otherwise allocate count*8 bytes
+    (up to 32 GiB) and only then fail the overrun check."""
+    bad = np.flatnonzero(counts > (lens - 5) * 8)
+    if bad.size:
+        f = int(bad[0])
+        raise ValueError(
+            f"{name} frame {f} header claims {int(counts[f])} points but "
+            f"is only {int(lens[f])} bytes long — truncated or corrupt "
+            "(use on_error='null' to quarantine)"
+        )
 
 
 def _read_bits_vec(words: np.ndarray, pos: np.ndarray, nbits) -> np.ndarray:
@@ -545,9 +581,10 @@ def _read_bits_vec(words: np.ndarray, pos: np.ndarray, nbits) -> np.ndarray:
 
 
 def _dod_finish(buf: bytes, bitpos: int, t: int, delta: int,
-                out: np.ndarray, o: int, m: int) -> None:
+                out: np.ndarray, o: int, m: int) -> int:
     """Sequential tail: decode the remaining ``m`` points of one ts_dod
-    frame from mid-stream state (same branch structure as dod_decompress)."""
+    frame from mid-stream state (same branch structure as dod_decompress).
+    Returns the final bit position for the caller's overrun check."""
     r = _BitReader(buf, bitpos)
     for _ in range(m):
         if r.read(1) == 0:
@@ -564,6 +601,7 @@ def _dod_finish(buf: bytes, bitpos: int, t: int, delta: int,
         t += delta
         out[o] = t
         o += 1
+    return r.pos
 
 
 def dod_decompress_many(frames: list) -> tuple:
@@ -576,9 +614,10 @@ def dod_decompress_many(frames: list) -> tuple:
     nf = len(frames)
     if nf == 0:
         return np.empty(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    words, buf, fbit = _concat_frames(frames, DOD_MAGIC, "ts_dod")
+    words, buf, fbit, fend = _concat_frames(frames, DOD_MAGIC, "ts_dod")
     pos = fbit + 8
     counts = _read_bits_vec(words, pos, np.full(nf, 32)).astype(np.int64)
+    _check_counts(counts, (fend - fbit) // 8, "ts_dod")
     pos = pos + 32
     obase = _cumsum0(counts)[:-1]
     out = np.empty(int(counts.sum()), dtype=np.int64)
@@ -593,8 +632,13 @@ def dod_decompress_many(frames: list) -> tuple:
     while idx.size:
         if idx.size < _TAIL_MIN:
             for f in idx.tolist():
-                _dod_finish(buf, int(pos[f]), int(t[f]), int(delta[f]),
-                            out, int(obase[f]) + k, int(counts[f]) - k)
+                try:
+                    pos[f] = _dod_finish(
+                        buf, int(pos[f]), int(t[f]), int(delta[f]),
+                        out, int(obase[f]) + k, int(counts[f]) - k)
+                except IndexError:
+                    # ran off the END of the concat buffer mid-frame
+                    raise _overrun("ts_dod", f) from None
             break
         p = pos[idx]
         c4 = _read_bits_vec(words, p, np.full(idx.size, 4)).astype(np.int64)
@@ -614,12 +658,19 @@ def dod_decompress_many(frames: list) -> tuple:
         out[obase[idx] + k] = t[idx]
         k += 1
         idx = idx[counts[idx] > k]
+    # every frame's final position must land inside its own byte range —
+    # in the concat buffer an overrun reads the NEXT frame's bits without
+    # any exception, so this is the only place truncation is detectable
+    bad = np.flatnonzero(pos > fend)
+    if bad.size:
+        raise _overrun("ts_dod", int(bad[0]))
     return out, counts
 
 
 def _gor_finish(buf: bytes, bitpos: int, cur: int, plead: int, ptrail: int,
-                out_u: np.ndarray, o: int, m: int) -> None:
-    """Sequential tail for one v_gorilla frame from mid-stream state."""
+                out_u: np.ndarray, o: int, m: int) -> int:
+    """Sequential tail for one v_gorilla frame from mid-stream state.
+    Returns the final bit position for the caller's overrun check."""
     r = _BitReader(buf, bitpos)
     for _ in range(m):
         if r.read(1) == 0:
@@ -636,6 +687,7 @@ def _gor_finish(buf: bytes, bitpos: int, cur: int, plead: int, ptrail: int,
         cur ^= x
         out_u[o] = cur
         o += 1
+    return r.pos
 
 
 def gorilla_decompress_many(frames: list) -> tuple:
@@ -648,9 +700,10 @@ def gorilla_decompress_many(frames: list) -> tuple:
     nf = len(frames)
     if nf == 0:
         return np.empty(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    words, buf, fbit = _concat_frames(frames, GOR_MAGIC, "v_gorilla")
+    words, buf, fbit, fend = _concat_frames(frames, GOR_MAGIC, "v_gorilla")
     pos = fbit + 8
     counts = _read_bits_vec(words, pos, np.full(nf, 32)).astype(np.int64)
+    _check_counts(counts, (fend - fbit) // 8, "v_gorilla")
     pos = pos + 32
     obase = _cumsum0(counts)[:-1]
     out_u = np.empty(int(counts.sum()), dtype=np.uint64)
@@ -666,9 +719,13 @@ def gorilla_decompress_many(frames: list) -> tuple:
     while idx.size:
         if idx.size < _TAIL_MIN:
             for f in idx.tolist():
-                _gor_finish(buf, int(pos[f]), int(cur[f]), int(plead[f]),
-                            int(ptrail[f]), out_u, int(obase[f]) + k,
-                            int(counts[f]) - k)
+                try:
+                    pos[f] = _gor_finish(
+                        buf, int(pos[f]), int(cur[f]), int(plead[f]),
+                        int(ptrail[f]), out_u, int(obase[f]) + k,
+                        int(counts[f]) - k)
+                except IndexError:
+                    raise _overrun("v_gorilla", f) from None
             break
         p = pos[idx]
         c2 = _read_bits_vec(words, p, np.full(idx.size, 2)).astype(np.int64)
@@ -694,6 +751,9 @@ def gorilla_decompress_many(frames: list) -> tuple:
         pos[idx] = p + poff + pbits
         k += 1
         idx = idx[counts[idx] > k]
+    bad = np.flatnonzero(pos > fend)
+    if bad.size:
+        raise _overrun("v_gorilla", int(bad[0]))
     return out_u.view(np.int64), counts
 
 

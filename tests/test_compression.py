@@ -301,3 +301,89 @@ def test_decode_quarantine_mode(spark, tokens_df):
     assert ok["mismatches"] == 0
     r1m.unpersist()
     dec.unpersist()
+
+
+def test_truncated_frames_detected_not_silently_misread():
+    """Overrun validation (round 5): a frame with a valid magic whose
+    encoded bits were truncated must RAISE from the multi-frame decoders —
+    in the concat buffer the decode would otherwise run into the NEXT
+    frame's bits (or the zero padding) and return garbage points with no
+    exception, a regression vs the sequential per-frame path."""
+    import pytest
+
+    from engine.compression import (
+        dod_decompress_many,
+        gorilla_decompress_many,
+    )
+
+    ts = np.arange(0, 180, 3, dtype=np.int64)  # 60 points, ~1 bit/point tail
+    vals = np.full(60, 123456789, dtype=np.int64)
+    good_t = dod_compress(ts)
+    good_v = gorilla_compress(vals)
+    trunc_t = good_t[:-2]  # keeps the 5-byte header + passes the count bound
+    trunc_v = good_v[:-2]
+
+    # bad frame mid-batch (donor bits follow) and bad frame LAST (buffer
+    # end follows) both raise, straggler path (< _TAIL_MIN frames)
+    for batch in ([trunc_t, good_t], [good_t, trunc_t]):
+        with pytest.raises(ValueError, match="truncated|corrupt"):
+            dod_decompress_many(batch)
+    for batch in ([trunc_v, good_v], [good_v, trunc_v]):
+        with pytest.raises(ValueError, match="truncated|corrupt"):
+            gorilla_decompress_many(batch)
+
+    # vectorized-rounds path (>= _TAIL_MIN active frames) detects too
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        dod_decompress_many([good_t] * 30 + [trunc_t] + [good_t] * 30)
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        gorilla_decompress_many([good_v] * 30 + [trunc_v] + [good_v] * 30)
+
+    # sequential single-frame references still raise on the same frames
+    with pytest.raises((ValueError, IndexError)):
+        dod_decompress(trunc_t)
+    with pytest.raises((ValueError, IndexError)):
+        gorilla_decompress(trunc_v)
+
+
+def test_corrupt_count_rejected_before_allocation():
+    """A forged 32-bit point count that cannot fit the frame's byte length
+    is rejected up front (>= 1 bit per point after the header) — otherwise
+    a single corrupt header would allocate count*8 bytes before failing."""
+    import pytest
+
+    from engine.compression import (
+        DOD_MAGIC,
+        GOR_MAGIC,
+        dod_decompress_many,
+        gorilla_decompress_many,
+    )
+
+    huge_t = bytes([DOD_MAGIC]) + (2**31 - 1).to_bytes(4, "big") + b"\x00" * 8
+    huge_v = bytes([GOR_MAGIC]) + (2**31 - 1).to_bytes(4, "big") + b"\x00" * 8
+    with pytest.raises(ValueError, match="claims"):
+        dod_decompress_many([huge_t])
+    with pytest.raises(ValueError, match="claims"):
+        gorilla_decompress_many([huge_v])
+    with pytest.raises(ValueError, match="claims"):
+        dod_decompress(huge_t)
+    with pytest.raises(ValueError, match="claims"):
+        gorilla_decompress(huge_v)
+
+
+def test_truncated_frame_quarantined_in_null_mode():
+    """_decode_series with on_error='null': a truncated frame in the batch
+    quarantines to NULL while every healthy frame (including ones AFTER
+    the bad one) still decodes exactly."""
+    import pandas as pd
+
+    from engine.compression import _decode_series, dod_decompress_many
+
+    ts = np.arange(0, 180, 3, dtype=np.int64)
+    good = dod_compress(ts)
+    trunc = good[:-2]
+    s = pd.Series([good, trunc, None, good], dtype=object)
+    out = _decode_series(s, dod_decompress_many, dod_decompress, "null")
+    assert list(out[0]) == ts.tolist()
+    assert out[1] is None
+    assert out[2] is None
+    assert list(out[3]) == ts.tolist()
