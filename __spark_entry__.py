@@ -603,54 +603,20 @@ def q_dedup_clusters(spark, sf_dir):
     lexicographic min doc_id of its component (deterministic; a training
     pipeline then keeps one representative per cluster).
 
-    Algorithm: iterative min-label propagation over DataFrames — per round,
-    label(v) <- min(label(v), min over neighbors label(u)); converges in
-    O(component diameter) rounds (near-dup components are shallow: dup
-    clusters are cliques-ish, diameter 1-3). Each round is one shuffle
-    join + groupBy; localCheckpoint truncates the plan so 20 rounds never
-    builds a 20-deep lineage. At 10^9+ edges the same loop holds (label
-    table and edge table both hash-partitioned on the join key); the
-    published alternating small-star/large-star optimization (Kiveris et
-    al., "Connected Components in MapReduce and Beyond", SoCC'14) drops in
-    here if diameters ever grow — the operator contract stays the same.
+    Algorithm: engine.graph.min_label_components — min-label propagation
+    with a pointer-jumping step per round (O(log diameter) rounds; Rastogi
+    et al. ICDE'13), each round a shuffle join over the EDGE set only,
+    plan truncated per round with localCheckpoint. Round 5: exhausting the
+    round budget RAISES instead of silently returning part-merged labels
+    (a >2^50-diameter component can no longer produce a wrong answer).
     DuckDB oracle: transitive closure via WITH RECURSIVE + min(reachable).
     """
+    from engine.graph import min_label_components
+
     pairs = _jaccard_pairs(spark, sf_dir).where(
         F.col("jaccard") >= F.lit(DEDUP_MIN_JACCARD)
     )
-    edges = pairs.select("d1", "d2").unionByName(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).cache()
-    labels = (
-        edges.select(F.col("d1").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-    ).localCheckpoint()
-    for _ in range(20):
-        nbr = (
-            edges.join(labels, edges.d2 == labels.doc_id)
-            .groupBy(F.col("d1").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.orderBy("doc_id")
+    return min_label_components(pairs).orderBy("doc_id")
 
 
 def q_dedup_keep(spark, sf_dir):
