@@ -68,6 +68,8 @@ near-scalar NumPy rounds.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 _U64 = np.uint64
@@ -312,8 +314,14 @@ def _bitlen_arr(x: np.ndarray) -> np.ndarray:
     """Vectorized bit_length over u64 (0 -> 0): find the most significant
     non-zero BYTE (one argmax over the reversed byte lanes), then finish
     with an 8-bit LUT — ~4x faster than the 6-pass masked-shift loop this
-    replaced (which paid two boolean fancy-index writes per pass)."""
+    replaced (which paid two boolean fancy-index writes per pass).
+
+    The u8 view exposes bytes in HOST memory order; the index math below
+    assumes byte 0 is the LSB, so normalize lane order on a big-endian
+    host (a wrong lane order here emits undecodable gorilla frames)."""
     b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8).reshape(-1, 8)
+    if sys.byteorder == "big":
+        b = b[:, ::-1]
     nz = b != 0
     first = nz[:, ::-1].argmax(axis=1)   # offset of the MSB byte from the top
     msb_idx = 7 - first                  # little-endian byte position
