@@ -153,7 +153,17 @@ def rollup_series(doc_id: str, stats: pd.DataFrame, tier: str = "1m") -> pd.Data
                 "last_v": int(nn.iloc[-1]["v"]) if cnt else None,
             }
         )
-    return pd.DataFrame(rows)
+    out = pd.DataFrame(rows)
+    # a frame whose every bucket is empty infers OBJECT dtype for the
+    # all-None value columns; coerce those (and only those) to the float64
+    # the mixed case infers, so the later pd.concat never sees an all-NA
+    # object column (pandas deprecated letting such entries participate in
+    # result-dtype inference — the 55ca3c7 treatment, last remaining site)
+    if len(out):
+        for c in ("vmin", "vmax", "vsum", "vmean", "first_v", "last_v"):
+            if out[c].isna().all():
+                out[c] = out[c].astype("float64")
+    return out
 
 
 def cascade_oracle(fine: pd.DataFrame, fine_tier: str, coarse_tier: str) -> pd.DataFrame:
