@@ -91,34 +91,45 @@ def run_retention(
 
 
 def run_snapshot_expiry(
-    spark, warehouse: str, tiers: list[str], keep_last: int
+    spark,
+    warehouse: str,
+    tiers: list[str],
+    keep_last: int,
+    pin_epochs: set[int] | None = None,
 ) -> dict:
     """Physical GC (Iceberg expire_snapshots): per tier, drop all but the
     newest ``keep_last`` snapshots and delete data dirs no surviving
-    snapshot references. Snapshots pinned by lineage rows of the RETAINED
-    window stay time-travelable: every output_snapshot_id still present in
-    the manifest is added to the keep set, so an epoch whose snapshot is
-    inside the keep-last window never loses its data dirs."""
+    snapshot references. By default lineage epochs expire WITH their
+    snapshots — only the keep-last window survives (Iceberg contract).
+
+    ``pin_epochs``: checkpoint epochs whose rollup commits must stay
+    time-travelable past the keep-last window (e.g. an epoch a downstream
+    audit still queries through tier_fallback). Their lineage rows'
+    output_snapshot_ids are passed to expire_snapshots as explicit pins —
+    UNintersected with the keep-last window, so pinning actually preserves
+    something (the pre-round-5 code intersected and was a no-op)."""
     fmt = ParquetManifestFormat(spark, warehouse)
-    lineage = read_lineage(spark, warehouse)
+    lineage = read_lineage(spark, warehouse) if pin_epochs else None
     metrics = {}
     for tier in tiers:
-        pinned = {
-            int(r["output_snapshot_id"])
-            for r in lineage.where(F.col("tier") == tier)
-            .select("output_snapshot_id").distinct().collect()
-            if int(r["output_snapshot_id"]) >= 0
-        }
-        table = f"rollup_{tier}"
+        pinned: set[int] = set()
+        if pin_epochs:
+            pinned = {
+                int(r["output_snapshot_id"])
+                for r in lineage.where(
+                    (F.col("tier") == tier)
+                    & F.col("checkpoint_epoch").isin(
+                        [int(e) for e in pin_epochs]
+                    )
+                )
+                .select("output_snapshot_id")
+                .distinct()
+                .collect()
+                if int(r["output_snapshot_id"]) >= 0
+            }
         try:
-            # pin only ids the keep-last window already retains; older
-            # lineage epochs expire with their snapshots (Iceberg contract)
-            ids = sorted(
-                int(s) for s in fmt._load(table)["snapshots"]
-            )[-max(keep_last, 1):]
-            keep_ids = pinned & set(ids)
             metrics[tier] = fmt.expire_snapshots(
-                table, keep_last=keep_last, keep_snapshot_ids=keep_ids
+                f"rollup_{tier}", keep_last=keep_last, keep_snapshot_ids=pinned
             )
         except (ValueError, FileNotFoundError) as e:
             metrics[tier] = {"skipped": True, "reason": str(e)[:80]}
@@ -142,6 +153,11 @@ def main() -> None:
                     help="after bucket expiry (or standalone): physically "
                          "delete snapshots/dirs beyond the newest KEEP_LAST "
                          "per tier (Iceberg expire_snapshots)")
+    ap.add_argument("--pin-epoch", type=int, action="append", default=None,
+                    metavar="EPOCH",
+                    help="repeatable; checkpoint epochs whose rollup "
+                         "snapshots must survive --expire-snapshots and "
+                         "stay time-travelable (lineage-derived pins)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -161,7 +177,8 @@ def main() -> None:
             print(f"tier={tier} {m}")
     if args.expire_snapshots is not None:
         sm = run_snapshot_expiry(
-            spark, args.warehouse, list(TIER_ORDER), args.expire_snapshots
+            spark, args.warehouse, list(TIER_ORDER), args.expire_snapshots,
+            pin_epochs=set(args.pin_epoch) if args.pin_epoch else None,
         )
         for tier, m in sm.items():
             print(f"expire-snapshots tier={tier} {m}")

@@ -173,3 +173,53 @@ def test_expire_snapshots_survives_warehouse_respelling(spark, tmp_path):
     assert m["expired_snapshots"]
     # every dir the current snapshot references survived the respelled GC
     assert _rows(fmt.read("rollup_1m")) == pre_rows
+
+
+def test_epoch_time_travel_through_compact_and_expiry(spark, tmp_path):
+    """Q2 x maintenance: the three manifest writers — rollup commits,
+    compaction, snapshot expiry — interacting end-to-end. After a compact
+    + expire(keep_last=1) cycle, an epoch pinned via lineage
+    (run_snapshot_expiry pin_epochs / --pin-epoch) still time-travels
+    through tier_fallback byte-identically; the unpinned control loses the
+    epoch, proving the pin preserves something (pre-round-5 pinning was a
+    no-op intersection with the keep-last window)."""
+    import pytest
+
+    from engine.query import tier_fallback
+    from jobs.compact import compact_tier
+    from jobs.retention import run_snapshot_expiry
+
+    def build(wh):
+        docs_v1 = synth_tokens(spark, 6, seed=7, n_tok=128)
+        docs_v2 = docs_v1.withColumn(
+            "tokens", F.transform("tokens", lambda v: v + F.lit(1))
+        )
+        run_rollup(spark, docs_v1, wh, epoch=1, tiers=["1m"])
+        run_rollup(spark, docs_v2, wh, epoch=2, tiers=["1m"])
+        fmt = ParquetManifestFormat(spark, wh)
+        rows = sorted(
+            tuple(r)
+            for r in tier_fallback(spark, fmt, "1m", 1)
+            .select("doc_id", "bucket", "vsum").collect()
+        )
+        compact_tier(spark, fmt, wh, "1m")
+        return fmt, rows
+
+    wh = str(tmp_path / "pin")
+    fmt, v1_rows = build(wh)
+    m = run_snapshot_expiry(spark, wh, ["1m"], keep_last=1, pin_epochs={1})
+    assert m["1m"]["expired_snapshots"]  # the cycle did expire something
+    again = sorted(
+        tuple(r)
+        for r in tier_fallback(spark, fmt, "1m", 1)
+        .select("doc_id", "bucket", "vsum").collect()
+    )
+    assert again == v1_rows
+    assert fmt.read("rollup_1m").count() > 0  # compacted current intact
+
+    # control: same cycle, no pin -> the epoch-1 snapshot is gone
+    wh2 = str(tmp_path / "nopin")
+    fmt2, _ = build(wh2)
+    run_snapshot_expiry(spark, wh2, ["1m"], keep_last=1)
+    with pytest.raises(ValueError, match="no snapshot"):
+        tier_fallback(spark, fmt2, "1m", 1).select("doc_id").collect()
