@@ -25,41 +25,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-
-def _jvm_metrics(spark) -> dict:
-    """JVM-side counters for run-to-run variance diagnosis: cumulative GC
-    milliseconds and the driver JVM's process CPU seconds (utime+stime from
-    /proc — same process in local mode, where executors are threads)."""
-    jvm = spark._jvm
-    gc_ms = 0
-    for bean in jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans():
-        gc_ms += bean.getCollectionTime()
-    jvm_pid = int(
-        jvm.java.lang.ProcessHandle.current().pid()
-    )
-    with open(f"/proc/{jvm_pid}/stat") as f:
-        parts = f.read().split()
-    tick = os.sysconf("SC_CLK_TCK")
-    cpu_s = (int(parts[13]) + int(parts[14])) / tick
-    return {"gc_ms": gc_ms, "jvm_cpu_s": cpu_s}
-
-
-def _host_steal() -> float:
-    """Cumulative hypervisor steal seconds from /proc/stat (field 8)."""
-    with open("/proc/stat") as f:
-        first = f.readline().split()
-    tick = os.sysconf("SC_CLK_TCK")
-    return int(first[8]) / tick if len(first) > 8 else 0.0
-
-
-def _host_busy_cpu() -> float:
-    """System-wide busy CPU seconds (user+nice+sys) from /proc/stat —
-    covers the Python workers the driver-JVM counter misses. Valid as a
-    per-run delta only while the box runs nothing else (bench protocol)."""
-    with open("/proc/stat") as f:
-        p = f.readline().split()
-    tick = os.sysconf("SC_CLK_TCK")
-    return (int(p[1]) + int(p[2]) + int(p[3])) / tick
+# host metering moved to engine/hostmeter.py in round 5 so bench.py shares
+# the exact same counters (self-adjudicating cross-round comparisons)
+from engine.hostmeter import (  # noqa: E402
+    host_busy_cpu as _host_busy_cpu,
+    host_steal as _host_steal,
+    jvm_metrics as _jvm_metrics,
+)
 
 
 def main() -> None:
