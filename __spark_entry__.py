@@ -110,6 +110,59 @@ def q_detect(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (round 5): one row per (user, session)
+    where a session is a maximal run of events with <= 5 minutes between
+    consecutive ones — F.session_window, the idiomatic Spark form (works
+    in batch AND Structured Streaming with the same call; state size is
+    bounded by open sessions, not events). Events exactly at the gap DO
+    merge (probed: session_window's merge condition is inclusive), so the
+    DuckDB twin breaks sessions strictly on diff > gap via the classic
+    lag/sum island numbering. 100 TB shape: one shuffle on user_id; the
+    per-user event streams sort inside their partitions (no global sort)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("vsum"),
+            F.unix_timestamp(F.min("ts")).cast("long").alias("first_ts"),
+            F.unix_timestamp(F.max("ts")).cast("long").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            "first_ts",
+            (F.col("last_ts") - F.col("first_ts")).alias("duration_s"),
+            "n_events",
+            "vsum",
+        )
+        .orderBy("user_id", "first_ts")
+    )
+
+
+def q_bucket_quantiles(spark, sf_dir):
+    """Exact-percentile continuous aggregate (round 5): p50/p95 of value
+    per (user, minute bucket) via Spark's exact ``percentile`` aggregate
+    (linear interpolation, same formula as DuckDB quantile_cont). Exact
+    quantiles hold the GROUP's values in memory — bounded here by a
+    minute-bucket per user, the continuous-aggregate shape that stays
+    bounded at 100 TB; corpus-wide quantiles would switch to
+    approx_percentile (t-digest sketch, mergeable map-side)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(60)).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
 def q_sliding_window_counts(spark, sf_dir):
     """X-surface sliding-window aggregate in BATCH form (round 4; the
     streaming twin is engine/streaming.py::windowed_event_counts): 5-minute
@@ -1205,6 +1258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect": q_detect,
         "detect_count_per_user": q_detect_count_per_user,
         "sliding_window_counts": q_sliding_window_counts,
+        "user_sessions": q_user_sessions,
+        "bucket_quantiles": q_bucket_quantiles,
         "rollup_minute": q_rollup_minute,
         "cascade_hour": q_cascade_hour,
         "pricing_summary": q_pricing_summary,
@@ -1318,6 +1373,31 @@ def oracle_sql() -> dict[str, str]:
                arg_min(value, event_id) AS first_v,
                arg_max(value, event_id) AS last_v
         FROM j GROUP BY 1, 2""",
+        "user_sessions": """
+        WITH o AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 300
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS first_ts,
+               CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+                 AS duration_s,
+               count(*) AS n_events,
+               round(sum(value), 4) AS vsum
+        FROM s GROUP BY user_id, sid ORDER BY user_id, first_ts""",
+        "bucket_quantiles": """
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 60 AS bucket,
+               count(*) AS cnt,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "sliding_window_counts": """
         WITH e AS (
           SELECT user_id, value,
