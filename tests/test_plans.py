@@ -142,3 +142,17 @@ def test_dedup_keep_is_broadcast_anti_join(spark):
     df = E.q_dedup_keep(spark, "/root/testdata/sf0.01")
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+
+
+def test_sessionization_and_quantiles_pure_catalyst(spark):
+    """The round-5 queries stay JVM-side: session_window and the exact
+    percentile aggregate must plan with no Python evaluation, and each
+    needs exactly ONE hashpartitioning exchange for its aggregation (plus
+    the rangepartitioning of the final presentation orderBy)."""
+    import __spark_entry__ as E
+
+    for q in (E.q_user_sessions, E.q_bucket_quantiles):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "EvalPython" not in plan, plan[:1500]
+        n_hash = plan.count("Exchange hashpartitioning")
+        assert n_hash == 1, f"{q.__name__}: {n_hash} hash exchanges\n{plan[:2000]}"

@@ -492,3 +492,56 @@ def test_sliding_window_batch_stream_parity(spark, tmp_path):
         for r in entrymod.queries()["sliding_window_counts"](spark, sf_dir).collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_session_window_batch_stream_parity(spark, tmp_path):
+    """Round-5 twin pin: q_user_sessions (batch F.session_window,
+    DuckDB-oracled) equals the same session_window aggregate run as a
+    Structured Streaming query (availableNow) over the same events
+    fixture — the 'one call, both modes' claim in its docstring."""
+    import shutil
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entrymod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+    src = str(tmp_path / "events_sess")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("vsum"),
+            F.unix_timestamp(F.min("ts")).cast("long").alias("first_ts"),
+            F.unix_timestamp(F.max("ts")).cast("long").alias("last_ts"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sesswin")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["first_ts"]): (r["duration_s"], r["n_events"], r["vsum"])
+        for r in spark.sql(
+            "SELECT user_id, first_ts, last_ts - first_ts AS duration_s, "
+            "n_events, vsum FROM sesswin"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["first_ts"]): (r["duration_s"], r["n_events"], r["vsum"])
+        for r in entrymod.queries()["user_sessions"](spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 100
