@@ -152,7 +152,7 @@ def q_bucket_quantiles(spark, sf_dir):
     return (
         ev.groupBy(
             "user_id",
-            F.floor(F.unix_timestamp("ts") / F.lit(60)).cast("long").alias("bucket"),
+            F.expr("unix_timestamp(ts) DIV 60").alias("bucket"),
         )
         .agg(
             F.count("*").alias("cnt"),

@@ -585,7 +585,11 @@ def _concat_frames(frames: list, magic: int, name: str) -> tuple:
     if (firsts != magic).any():
         bad = int(firsts[firsts != magic][0])
         raise _bad_magic(bad, magic, name)
-    pad = (-len(buf)) % 8 + 16
+    # 32 pad bytes: a truncated final frame may advance ~80 bits past the
+    # buffer end before the per-round overrun check fires, and every
+    # _read_bits_vec gather touches the word AFTER its window — 256 bits
+    # of headroom keeps all of that in bounds
+    pad = (-len(buf)) % 8 + 32
     words = np.frombuffer(buf + b"\x00" * pad, dtype=">u8").astype(np.uint64)
     return words, buf, boff[:-1] * 8, boff[1:] * 8
 
@@ -677,6 +681,14 @@ def dod_decompress_many(frames: list) -> tuple:
     idx = np.flatnonzero(counts >= 2)
     k = 1
     while idx.size:
+        # fail BEFORE this round's reads if any active frame already ran
+        # past its end: keeps every vectorized gather within the concat
+        # buffer's 128-bit pad (one round advances a frame <= ~80 bits),
+        # so a truncated LAST frame raises the diagnostic ValueError here
+        # instead of a raw IndexError out of _read_bits_vec
+        over = pos[idx] > fend[idx]
+        if over.any():
+            raise _overrun("ts_dod", int(idx[over][0]))
         if idx.size < _TAIL_MIN:
             for f in idx.tolist():
                 try:
@@ -764,6 +776,10 @@ def gorilla_decompress_many(frames: list) -> tuple:
     idx = np.flatnonzero(counts >= 2)
     k = 1
     while idx.size:
+        # same pre-round overrun gate as dod_decompress_many (see there)
+        over = pos[idx] > fend[idx]
+        if over.any():
+            raise _overrun("v_gorilla", int(idx[over][0]))
         if idx.size < _TAIL_MIN:
             for f in idx.tolist():
                 try:

@@ -47,6 +47,13 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     edges = pairs.select("d1", "d2").unionByName(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).cache()
+    try:
+        return _propagate(edges, max_rounds)
+    finally:
+        edges.unpersist()
+
+
+def _propagate(edges: DataFrame, max_rounds: int) -> DataFrame:
     labels = (
         edges.select(F.col("d1").alias("doc_id"))
         .distinct()
@@ -97,5 +104,6 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             "diameter exceeds 2^rounds; raise max_rounds (or switch to the "
             "small-star/large-star variant, module docstring)"
         )
-    edges.unpersist()
+    # labels is localCheckpoint-materialized, so the caller's finally can
+    # safely unpersist the edge cache before labels is consumed
     return labels

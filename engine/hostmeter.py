@@ -80,9 +80,14 @@ def mem_bandwidth_probe(mb: int = 256, seconds: float = 1.0) -> float:
     per second; actual bus traffic is ~2x that, read+write). Far beyond
     cache, so it tracks the sandbox's machine-wide bandwidth ceiling — the
     dominant drift mechanism observed across rounds."""
-    src = np.zeros(mb * 1024 * 1024 // 8, dtype=np.float64)
+    # src must be WRITTEN, not just allocated: an all-zeros allocation maps
+    # every page to the shared copy-on-write zero page, so the "read"
+    # stream comes from cache and the probe reports ~2x the real ceiling
+    # (measured 22 vs 11.4 GB/s on this host) — blinding it to exactly the
+    # read-bandwidth drift it exists to catch
+    src = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
     dst = np.empty_like(src)
-    np.copyto(dst, src)  # fault both buffers in before timing
+    np.copyto(dst, src)  # fault dst in before timing
     n = 0
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < seconds:

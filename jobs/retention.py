@@ -109,28 +109,43 @@ def run_snapshot_expiry(
     UNintersected with the keep-last window, so pinning actually preserves
     something (the pre-round-5 code intersected and was a no-op)."""
     fmt = ParquetManifestFormat(spark, warehouse)
-    lineage = read_lineage(spark, warehouse) if pin_epochs else None
+    pins: dict[str, set[int]] = {t: set() for t in tiers}
+    if pin_epochs:
+        # resolve ALL pins before deleting anything: a pin epoch with no
+        # lineage row in any tier is an operator error (typo, or the epoch
+        # already expired) — deleting what the flag asked to preserve must
+        # not exit 0 silently, and must not commit any expiry first
+        lineage = read_lineage(spark, warehouse)
+        rows = (
+            lineage.where(
+                F.col("tier").isin(list(tiers))
+                & F.col("checkpoint_epoch").isin([int(e) for e in pin_epochs])
+            )
+            .select("tier", "checkpoint_epoch", "output_snapshot_id")
+            .distinct()
+            .collect()
+        )
+        for r in rows:
+            if int(r["output_snapshot_id"]) >= 0:
+                pins[r["tier"]].add(int(r["output_snapshot_id"]))
+        unmatched = {int(e) for e in pin_epochs} - {
+            int(r["checkpoint_epoch"]) for r in rows
+        }
+        if unmatched:
+            raise ValueError(
+                f"--pin-epoch {sorted(unmatched)}: no lineage rows match in "
+                f"any of tiers {list(tiers)} — refusing to expire (re-check "
+                "the epoch id; nothing has been deleted)"
+            )
     metrics = {}
     for tier in tiers:
-        pinned: set[int] = set()
-        if pin_epochs:
-            pinned = {
-                int(r["output_snapshot_id"])
-                for r in lineage.where(
-                    (F.col("tier") == tier)
-                    & F.col("checkpoint_epoch").isin(
-                        [int(e) for e in pin_epochs]
-                    )
-                )
-                .select("output_snapshot_id")
-                .distinct()
-                .collect()
-                if int(r["output_snapshot_id"]) >= 0
-            }
         try:
             metrics[tier] = fmt.expire_snapshots(
-                f"rollup_{tier}", keep_last=keep_last, keep_snapshot_ids=pinned
+                f"rollup_{tier}", keep_last=keep_last,
+                keep_snapshot_ids=pins[tier],
             )
+            if pin_epochs:
+                metrics[tier]["pinned_snapshots"] = sorted(pins[tier])
         except (ValueError, FileNotFoundError) as e:
             metrics[tier] = {"skipped": True, "reason": str(e)[:80]}
     return metrics

@@ -223,3 +223,30 @@ def test_epoch_time_travel_through_compact_and_expiry(spark, tmp_path):
     run_snapshot_expiry(spark, wh2, ["1m"], keep_last=1)
     with pytest.raises(ValueError, match="no snapshot"):
         tier_fallback(spark, fmt2, "1m", 1).select("doc_id").collect()
+
+
+def test_pin_epoch_unmatched_refuses_before_deleting(spark, tmp_path):
+    """--pin-epoch with no matching lineage row in any tier (typo, or the
+    epoch already expired) must refuse BEFORE committing any expiry — the
+    flag's contract is 'must stay time-travelable', so deleting under a
+    dangling pin and exiting 0 is the worst outcome."""
+    import pytest
+
+    from jobs.retention import run_snapshot_expiry
+
+    wh = str(tmp_path / "whpin")
+    run_rollup(spark, synth_tokens(spark, 4, seed=1, n_tok=128), wh,
+               epoch=1, tiers=["1m"])
+    run_rollup(
+        spark,
+        synth_tokens(spark, 4, seed=2, n_tok=128).withColumn(
+            "doc_id", F.concat(F.lit("z_"), F.col("doc_id"))
+        ),
+        wh, epoch=2, tiers=["1m"],
+    )
+    fmt = ParquetManifestFormat(spark, wh)
+    snaps_before = sorted(fmt._load("rollup_1m")["snapshots"])
+    with pytest.raises(ValueError, match="pin-epoch"):
+        run_snapshot_expiry(spark, wh, ["1m"], keep_last=1, pin_epochs={99})
+    # nothing was expired: every snapshot still present
+    assert sorted(fmt._load("rollup_1m")["snapshots"]) == snaps_before

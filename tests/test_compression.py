@@ -387,3 +387,38 @@ def test_truncated_frame_quarantined_in_null_mode():
     assert out[1] is None
     assert out[2] is None
     assert list(out[3]) == ts.tolist()
+
+
+def test_far_overrun_raises_valueerror_not_indexerror():
+    """Code-review repro (round 5): a WIDE frame (64-bit payloads) whose
+    count passes the byte-length bound but is truncated hard overruns far
+    past the buffer pad. The per-round gate must convert that into the
+    diagnostic ValueError on the vectorized path too — previously the last
+    frame leaked a raw numpy IndexError out of _read_bits_vec."""
+    import pytest
+
+    from engine.compression import (
+        dod_decompress_many,
+        gorilla_decompress_many,
+    )
+
+    rng = np.random.default_rng(3)
+    wide_t = dod_compress(
+        np.cumsum(rng.integers(-(2**40), 2**40, 1000)).astype(np.int64)
+    )
+    wide_v = gorilla_compress(
+        rng.integers(-(2**62), 2**62, 1000).astype(np.int64)
+    )
+    assert len(wide_t) > 6000 and len(wide_v) > 6000
+    # vectorized path: >= _TAIL_MIN active frames, all overrunning far
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        dod_decompress_many([wide_t[:4000]] * 30)
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        gorilla_decompress_many([wide_v[:4000]] * 30)
+    # straggler path: single wide truncated frame LAST in the buffer
+    good = dod_compress(np.arange(0, 180, 3, dtype=np.int64))
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        dod_decompress_many([good] * 2 + [wide_t[:4000]])
+    goodv = gorilla_compress(np.full(60, 5, dtype=np.int64))
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        gorilla_decompress_many([goodv] * 2 + [wide_v[:4000]])
