@@ -453,6 +453,52 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (round 5) — the
+    production idiom for training-data sampling: membership depends only
+    on the doc_id's hash, so re-runs, resumes, and incremental appends
+    select the SAME rows (Bernoulli rand() sampling cannot be replayed or
+    oracled). Per-source rate = 10 + 3*(source_index % 7) percent; a doc
+    is kept when its 16-bit md5 prefix mod 100 falls under the rate. At
+    100 TB this is a stateless map-side filter — no shuffle, no sampling
+    state, prunes with the scan."""
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    hv = sum(
+        (_nibble(hx, i + 1) * (16 ** (3 - i)) for i in range(4)),
+        F.lit(0),
+    )
+    rate = F.lit(10) + F.lit(3) * (
+        F.substring("source", 4, 8).cast("int") % 7
+    )
+    return (
+        d.select("doc_id", "source", (hv % 100).alias("hmod"), rate.alias("rate"))
+        .where(F.col("hmod") < F.col("rate"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (round 5): flag TRAIN docs sharing any
+    word-3-gram with the held-out EVAL split (doc_id % 10 == 7 here; in
+    production, the benchmark suite). Returns (doc_id, n_shared) per
+    contaminated train doc. 100 TB shape: the eval shingle set is tiny
+    relative to the corpus, so the train stream hits it through ONE
+    broadcast hash join (same discipline as dedup_keep) — no corpus
+    shuffle; count(*) equals distinct shared shingles because the
+    shingle relation is per-doc distinct."""
+    sh = _shingles(spark, sf_dir)
+    ev = sh.where(F.col("doc_id") % 10 == 7).select("shingle").distinct()
+    tr = sh.where(F.col("doc_id") % 10 != 7)
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
 def q_token_count(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
@@ -1277,6 +1323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_props": q_map_props,
         "udaf_weighted_chars": q_udaf_weighted_chars,
         "doc_fingerprint": q_doc_fingerprint,
+        "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "embedding_norms": q_embedding_norms,
@@ -1501,6 +1549,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(text) AS content_hash,
                md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_hash
         FROM documents""",
+        "stratified_sample": """
+        WITH h AS (
+          SELECT doc_id, source,
+                 (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+               + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+               + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS hv,
+                 10 + 3 * (CAST(substring(source, 4, 8) AS INT) % 7) AS rate
+          FROM documents)
+        SELECT doc_id, source FROM h WHERE hv % 100 < rate ORDER BY doc_id""",
+        "decontaminate": """
+        WITH _WPOS_, _SH_,
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 7),
+        tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 != 7)
+        SELECT tr.doc_id, count(*) AS n_shared
+        FROM tr JOIN ev USING (shingle)
+        GROUP BY tr.doc_id ORDER BY doc_id""".replace(
+            "_WPOS_", _WPOS_SQL.strip().rstrip()
+        ).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
         "token_count": """
         SELECT lang, count(*) AS docs,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,

@@ -156,3 +156,18 @@ def test_sessionization_and_quantiles_pure_catalyst(spark):
         assert "EvalPython" not in plan, plan[:1500]
         n_hash = plan.count("Exchange hashpartitioning")
         assert n_hash == 1, f"{q.__name__}: {n_hash} hash exchanges\n{plan[:2000]}"
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The train shingle stream must hit the eval set through a broadcast
+    hash join (no corpus shuffle for the membership test), same discipline
+    as dedup_keep; and both round-5 pipeline ops stay UDF-free."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_decontaminate(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan and "EvalPython" not in plan, plan[:1500]
+    plan2 = _plan(E.q_stratified_sample(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan2
+    # stateless map-side filter: no aggregation exchange at all (the only
+    # exchange is the presentation orderBy's rangepartitioning)
+    assert plan2.count("Exchange hashpartitioning") == 0, plan2[:1500]
