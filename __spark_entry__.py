@@ -499,6 +499,22 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide heavy hitters (round 5): the 20 most document-frequent
+    word-3-grams. Exact, and scalable by construction: partial map-side
+    counting feeds one shuffle on the shingle key, then TakeOrdered —
+    never a global sort of the full count table. (The shingle relation is
+    per-doc distinct, so count(*) is document frequency.) Deterministic
+    tie-break on the shingle text so the oracle hashes identically."""
+    sh = _shingles(spark, sf_dir)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "shingle")
+        .limit(20)
+    )
+
+
 def q_token_count(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
@@ -1325,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
+        "top_ngrams": q_top_ngrams,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "embedding_norms": q_embedding_norms,
@@ -1559,6 +1576,13 @@ def oracle_sql() -> dict[str, str]:
                  10 + 3 * (CAST(substring(source, 4, 8) AS INT) % 7) AS rate
           FROM documents)
         SELECT doc_id, source FROM h WHERE hv % 100 < rate ORDER BY doc_id""",
+        "top_ngrams": """
+        WITH _WPOS_, _SH_
+        SELECT shingle, count(*) AS df
+        FROM sh GROUP BY shingle
+        ORDER BY df DESC, shingle LIMIT 20""".replace(
+            "_WPOS_", _WPOS_SQL.strip().rstrip()
+        ).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
         "decontaminate": """
         WITH _WPOS_, _SH_,
         ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 7),
