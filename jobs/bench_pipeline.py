@@ -140,6 +140,7 @@ def main() -> None:
         all_recs.append(rec)
         shutil.rmtree(wh, ignore_errors=True)
 
+    from engine.hostmeter import host_probe
     from engine.util import median
 
     med = median(results)
@@ -149,6 +150,10 @@ def main() -> None:
         json.dumps(
             {
                 "summary": True,
+                # microprobe AFTER the timed runs: same fixed probe code as
+                # bench.py, so scaling JSONs carry the host's bandwidth +
+                # CPU state alongside the per-run steal/busy counters
+                "host_probe": host_probe(),
                 "median_seconds": round(med, 3),
                 "median_parallel_seconds": round(med_par, 3),
                 "median_fixed_seconds": round(med_fix, 3),
