@@ -163,6 +163,44 @@ def q_bucket_quantiles(spark, sf_dir):
     )
 
 
+def q_ewma_score(spark, sf_dir):
+    """EWMA control-chart smoothing (round 5) — the reference domain's
+    other classic detector besides the rolling-mean z-score: per user,
+    s_t = alpha*v_t + (1-alpha)*s_{t-1} folded over a bounded 30-row
+    window (alpha=0.2; weight below 30 rows is ~0.1%, the bounded form of
+    the unbounded recursion — whose true streaming form is the stateful
+    detector in engine/streaming.py). Pure Catalyst: one window
+    collect_list + one higher-order aggregate fold; both engines fold
+    left-to-right over identical float64s, so the oracle (DuckDB
+    list_reduce over the same list() window) is hash-exact."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-29, 0)
+    )
+    vs = F.collect_list(F.col("value").cast("double")).over(w)
+    return (
+        ev.select("event_id", "user_id", "value", vs.alias("vs"))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.expr(
+                    "aggregate(slice(vs, 2, size(vs) - 1), "
+                    "cast(element_at(vs, 1) as double), "
+                    "(s, x) -> 0.2d * x + 0.8d * s)"
+                ),
+                4,
+            ).alias("ewma"),
+            F.round(F.col("value"), 4).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_sliding_window_counts(spark, sf_dir):
     """X-surface sliding-window aggregate in BATCH form (round 4; the
     streaming twin is engine/streaming.py::windowed_event_counts): 5-minute
@@ -1322,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": q_sliding_window_counts,
         "user_sessions": q_user_sessions,
         "bucket_quantiles": q_bucket_quantiles,
+        "ewma_score": q_ewma_score,
         "rollup_minute": q_rollup_minute,
         "cascade_hour": q_cascade_hour,
         "pricing_summary": q_pricing_summary,
@@ -1438,6 +1477,17 @@ def oracle_sql() -> dict[str, str]:
                arg_min(value, event_id) AS first_v,
                arg_max(value, event_id) AS last_v
         FROM j GROUP BY 1, 2""",
+        "ewma_score": """
+        WITH l AS (
+          SELECT event_id, user_id, value,
+                 list(CAST(value AS DOUBLE)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS vs
+          FROM events)
+        SELECT event_id, user_id,
+               round(list_reduce(vs, (s, x) -> 0.2 * x + 0.8 * s), 4) AS ewma,
+               round(value, 4) AS value
+        FROM l ORDER BY event_id""",
         "user_sessions": """
         WITH o AS (
           SELECT user_id, event_id, ts, value,
