@@ -201,6 +201,127 @@ def q_ewma_score(spark, sf_dir):
     )
 
 
+def q_cusum_detect(spark, sf_dir):
+    """CUSUM change detection (round 5) — the sequential drift detector of
+    the reference domain (Page 1954), made embarrassingly parallel via the
+    Lindley reflection identity: the recursion
+    ``s_t = max(0, s_{t-1} + d_t)`` equals ``S_t - min(0, min_{j<=t} S_j)``
+    with S the prefix sum of d, so the whole two-sided detector is three
+    layered window passes over ONE shuffle on user_id — no UDF, no
+    sequential state, no driver loop. Drift ``k`` and alarm threshold ``h``
+    are robust per-user units (k = IQR, h = 5*IQR; reference level = the
+    per-user median via the exact ``percentile`` window aggregate, whose
+    linear-interpolation formula DuckDB's quantile_cont shares bit-exactly).
+    Both engines evaluate the identical expression tree in the identical
+    per-user order, so prefix sums agree to the last ulp before the 4-dp
+    rounding. 100 TB shape: window-only (single hash exchange on the series
+    key), whole-stage codegen end to end; the streaming twin of this
+    recursion would be a stateful flatMapGroupsWithState keeping one (sp,
+    sn) pair per user."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    wp = wu.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    med = F.expr("percentile(value, 0.5)").over(wu)
+    iqr = (
+        F.expr("percentile(value, 0.75)").over(wu)
+        - F.expr("percentile(value, 0.25)").over(wu)
+    )
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        med.alias("_med"),
+        iqr.alias("_iqr"),
+    )
+    ps = base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "_iqr",
+        F.sum(F.col("value") - F.col("_med") - F.col("_iqr")).over(wp).alias("_sp"),
+        F.sum(F.col("_med") - F.col("value") - F.col("_iqr")).over(wp).alias("_sn"),
+    )
+    mm = ps.select(
+        "event_id",
+        "user_id",
+        "_iqr",
+        "_sp",
+        "_sn",
+        F.min("_sp").over(wp).alias("_mp"),
+        F.min("_sn").over(wp).alias("_mn"),
+    )
+    cpos = F.col("_sp") - F.least(F.lit(0.0), F.col("_mp"))
+    cneg = F.col("_sn") - F.least(F.lit(0.0), F.col("_mn"))
+    return mm.select(
+        "event_id",
+        "user_id",
+        F.round(cpos, 4).alias("cpos"),
+        F.round(cneg, 4).alias("cneg"),
+        ((cpos > 5.0 * F.col("_iqr")) | (cneg > 5.0 * F.col("_iqr"))).alias(
+            "alarm"
+        ),
+    ).orderBy("event_id")
+
+
+def q_robust_zscore(spark, sf_dir):
+    """Median/MAD robust anomaly score (round 5): the modified z-score
+    M = 0.6745 * (v - median) / MAD (Iglewicz & Hoaglin 1993), the
+    outlier test the reference domain prefers over mean/stddev because a
+    single spike inflates stddev and masks itself, while the median and
+    the median-absolute-deviation have a 50% breakdown point. Two layered
+    whole-partition ``percentile`` window aggregates on ONE shuffle on
+    user_id (med, then MAD = median of |v - med|) — no UDF. NULL-safe on
+    MAD = 0 (constant series score NULL, not Inf). 100 TB shape: one hash
+    exchange on the series key, codegen throughout; the grouped data each
+    percentile holds is one user's series, the same bounded-group contract
+    as q_bucket_quantiles.
+
+    Cross-engine bit-exactness: the score is computed on the integer CENT
+    scale (values are 2-dp decimals). At p=0.5 the interpolated median of
+    integers is a half-multiple and the MAD of half-multiples a quarter-
+    multiple — all exactly representable doubles, so Spark's and DuckDB's
+    differently-ordered interpolation formulas cannot diverge by an ulp
+    (on raw doubles they did: 3-in-100k rounding flips at sf0.1). The
+    scale cancels in (v - med) / mad, so the score is unchanged. The 4-dp
+    rounding itself is floor(x*1e4 + 0.5)/1e4 spelled out on BOTH sides:
+    Spark's round (BigDecimal HALF_UP on the shortest decimal repr) and
+    DuckDB's (x*1e4 through std::round) disagree when x*1e4 lands exactly
+    on a .5 double — which the quarter-multiple med/mad make reachable."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    cents = ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("_c"),
+    )
+    base = cents.select(
+        "event_id",
+        "user_id",
+        "_c",
+        F.expr("percentile(_c, 0.5)").over(wu).alias("_med"),
+    )
+    withmad = base.select(
+        "event_id",
+        "user_id",
+        "_c",
+        "_med",
+        F.expr("percentile(abs(_c - _med), 0.5)").over(wu).alias("_mad"),
+    )
+    m = F.when(
+        F.col("_mad") != 0.0,
+        0.6745 * (F.col("_c") - F.col("_med")) / F.col("_mad"),
+    )
+    return withmad.select(
+        "event_id",
+        "user_id",
+        (F.floor(m * 10000 + 0.5) / 10000).alias("mscore"),
+        (F.abs(m) > 3.5).alias("outlier"),
+    ).orderBy("event_id")
+
+
 def q_sliding_window_counts(spark, sf_dir):
     """X-surface sliding-window aggregate in BATCH form (round 4; the
     streaming twin is engine/streaming.py::windowed_event_counts): 5-minute
@@ -613,6 +734,133 @@ def q_embedding_topk(spark, sf_dir):
         .orderBy(F.desc("_cos"), "vec_id")
         .limit(10)
         .select("vec_id", F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-LM document scoring (round 5): mean per-token unigram
+    log-probability under the corpus's own empirical distribution — the
+    classic cheap perplexity proxy a training-data pipeline uses to rank
+    documents (low mean logprob = rare-token-heavy = candidate junk).
+    Two aggregations: (1) corpus unigram counts (map-side partial combine,
+    vocab-sized result), (2) exploded tokens join the vocab on token and
+    re-group by doc. The corpus total is a one-row broadcast, never a
+    global window. 100 TB shape: the vocab table is heavy-tailed but
+    orders of magnitude smaller than the token stream; the token join is
+    the one real shuffle and is skew-safe under AQE (hot tokens like
+    'the' split by skew-join); per-doc regroup is bounded by doc length."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("n"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("n"))), 4).alias(
+                "logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+IVF_K = 8  # coarse cells (scale rule: ~sqrt(n); 8 for the 500-vector gate)
+IVF_NPROBE = 3  # cells probed per query
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN top-k (round 5) — the second ANN family the
+    brief names beside random-hyperplane LSH (q_ann_lsh_topk): partition
+    the corpus into IVF_K coarse cells, probe the IVF_NPROBE cells nearest
+    the query, exact cosine only inside probed cells. Centroids are
+    deterministic data-point seeds (the IVF_K vectors with the smallest
+    md5(vec_id) — md5 is bit-identical in Spark and DuckDB, so the oracle
+    replays the exact same cells). Cell assignment is MAP-SIDE ONLY: the
+    centroid set is collapsed to one array-of-structs row, broadcast, and
+    each vector folds an argmax over it with a strictly-better-or-
+    (equal-and-smaller-cid) rule — order-independent, so collect_list's
+    nondeterministic order cannot change the winner. No shuffle touches
+    the corpus until the candidate top-k. 100 TB shape: assignment is one
+    codegen'd projection over the scan (at 10^9 vectors with K=4096 cells
+    the probed fraction is nprobe/K of the corpus); the LSH twin trades
+    recall the other way (read-amplification vs cell-boundary misses)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    n = e.withColumn(
+        "nrm",
+        F.sqrt(F.expr("aggregate(emb, 0d, (s, x) -> s + x * x)")),
+    )
+    cents = (
+        n.where("vec_id != 0")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVF_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cents_row = cents.agg(
+        F.collect_list(F.struct("cid", "cemb", "cnrm")).alias("cs")
+    )
+    # per-row cosine to every centroid, then an order-independent argmax
+    cells = F.expr(
+        "transform(cs, ct -> named_struct("
+        "'cid', ct.cid,"
+        "'c', aggregate(zip_with(emb, ct.cemb, (a, b) -> a * b), 0d,"
+        "     (s, x) -> s + x) / (nrm * ct.cnrm)))"
+    )
+    best = F.expr(
+        "aggregate(cells, named_struct('cid', cast(-1 as bigint),"
+        " 'c', cast(-2 as double)),"
+        " (acc, ct) -> CASE WHEN ct.c > acc.c"
+        "  OR (ct.c = acc.c AND ct.cid < acc.cid) THEN ct ELSE acc END).cid"
+    )
+    asg = (
+        n.crossJoin(F.broadcast(cents_row))
+        .withColumn("cells", cells)
+        .withColumn("cell", best)
+    )
+    probe = (
+        asg.where("vec_id = 0")
+        .select(
+            F.explode(
+                F.slice(
+                    F.expr(
+                        "array_sort(cells, (l, r) -> CASE"
+                        " WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1"
+                        " WHEN l.cid < r.cid THEN -1 ELSE 1 END)"
+                    ),
+                    1,
+                    IVF_NPROBE,
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.cid").alias("pcid"))
+    )
+    q = n.where("vec_id = 0").select(
+        F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
+    )
+    cand = asg.where("vec_id != 0").join(
+        F.broadcast(probe), F.col("cell") == F.col("pcid"), "leftsemi"
+    )
+    qcos = F.expr(
+        "aggregate(zip_with(emb, qemb, (a, b) -> a * b), 0d,"
+        " (s, x) -> s + x) / (nrm * qnrm)"
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .withColumn("_c", qcos)
+        .orderBy(F.desc("_c"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_c", 4).alias("cos_sim"))
     )
 
 
@@ -1361,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "bucket_quantiles": q_bucket_quantiles,
         "ewma_score": q_ewma_score,
+        "cusum_detect": q_cusum_detect,
+        "robust_zscore": q_robust_zscore,
         "rollup_minute": q_rollup_minute,
         "cascade_hour": q_cascade_hour,
         "pricing_summary": q_pricing_summary,
@@ -1399,6 +1649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "unigram_logprob": q_unigram_logprob,
         "embedding_near_dups": q_embedding_near_dups,
     }
 
@@ -1488,6 +1740,56 @@ def oracle_sql() -> dict[str, str]:
                round(list_reduce(vs, (s, x) -> 0.2 * x + 0.8 * s), 4) AS ewma,
                round(value, 4) AS value
         FROM l ORDER BY event_id""",
+        "cusum_detect": """
+        WITH m AS (
+          SELECT event_id, user_id, ts, value,
+                 quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med,
+                 (quantile_cont(value, 0.75) OVER (PARTITION BY user_id)
+                  - quantile_cont(value, 0.25) OVER (PARTITION BY user_id))
+                   AS iqr
+          FROM events
+        ), ps AS (
+          SELECT event_id, user_id, ts, iqr,
+                 sum(value - med - iqr) OVER w AS sp,
+                 sum(med - value - iqr) OVER w AS sn
+          FROM m
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), mm AS (
+          SELECT event_id, user_id, iqr, sp, sn,
+                 min(sp) OVER w AS mp, min(sn) OVER w AS mn
+          FROM ps
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id,
+               round(sp - least(0, mp), 4) AS cpos,
+               round(sn - least(0, mn), 4) AS cneg,
+               (sp - least(0, mp) > 5.0 * iqr
+                OR sn - least(0, mn) > 5.0 * iqr) AS alarm
+        FROM mm ORDER BY event_id""",
+        "robust_zscore": """
+        WITH b AS (
+          SELECT event_id, user_id,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), m AS (
+          SELECT event_id, user_id, c,
+                 quantile_cont(c, 0.5) OVER (PARTITION BY user_id) AS med
+          FROM b
+        ), d AS (
+          SELECT event_id, user_id, c, med,
+                 quantile_cont(abs(c - med), 0.5)
+                   OVER (PARTITION BY user_id) AS mad
+          FROM m
+        )
+        SELECT event_id, user_id,
+               floor(CASE WHEN mad != 0
+                          THEN 0.6745 * (c - med) / mad END
+                     * 10000 + 0.5) / 10000 AS mscore,
+               CASE WHEN mad != 0
+                    THEN abs(0.6745 * (c - med) / mad) > 3.5 END AS outlier
+        FROM d ORDER BY event_id""",
         "user_sessions": """
         WITH o AS (
           SELECT user_id, event_id, ts, value,
@@ -1726,7 +2028,52 @@ def oracle_sql() -> dict[str, str]:
         WHERE d.doc_id NOT IN (
           SELECT doc_id FROM labels WHERE doc_id != cluster_id)
         ORDER BY d.doc_id""",
+        "unigram_logprob": """
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ), c AS (
+          SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+        ), tot AS (
+          SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c
+        )
+        SELECT doc_id, count(*) AS n_toks,
+               round(avg(ln(CAST(cnt AS DOUBLE) / n)), 4) AS logprob
+        FROM t JOIN c USING (tok) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""",
         "ann_lsh_topk": _ann_oracle_sql(),
+        "ann_ivf_topk": f"""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings
+        ), cents AS (
+          SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM n
+          WHERE vec_id != 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K}
+        ), asg AS (
+          SELECT n.vec_id, c.cid,
+                 list_dot_product(n.emb, c.cemb) / (n.nrm * c.cnrm) AS c,
+                 row_number() OVER (PARTITION BY n.vec_id
+                                    ORDER BY list_dot_product(n.emb, c.cemb)
+                                             / (n.nrm * c.cnrm) DESC, c.cid)
+                   AS rn
+          FROM n CROSS JOIN cents c
+        ), probe AS (
+          SELECT cid FROM asg WHERE vec_id = 0 AND rn <= {IVF_NPROBE}
+        ), cand AS (
+          SELECT a.vec_id FROM asg a JOIN probe p ON a.cid = p.cid
+          WHERE a.rn = 1 AND a.vec_id != 0
+        ), q AS (
+          SELECT emb AS qemb, nrm AS qnrm FROM n WHERE vec_id = 0
+        )
+        SELECT n.vec_id,
+               round(list_dot_product(n.emb, qemb) / (n.nrm * qnrm), 4)
+                 AS cos_sim
+        FROM n JOIN cand USING (vec_id) CROSS JOIN q
+        ORDER BY list_dot_product(n.emb, qemb) / (n.nrm * qnrm) DESC, n.vec_id
+        LIMIT 10""",
         "embedding_near_dups": _emb_neardup_oracle_sql(),
         "simhash": """
         WITH w AS (

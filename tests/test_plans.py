@@ -158,6 +158,33 @@ def test_sessionization_and_quantiles_pure_catalyst(spark):
         assert n_hash == 1, f"{q.__name__}: {n_hash} hash exchanges\n{plan[:2000]}"
 
 
+def test_cusum_and_robust_zscore_single_shuffle(spark):
+    """The round-5 sequential detectors (CUSUM via the Lindley identity,
+    median/MAD modified z-score) are layered windows ALL partitioned on
+    user_id: Catalyst must reuse ONE hash exchange across every layer, and
+    nothing may fall out of codegen into Python."""
+    import __spark_entry__ as E
+
+    for q in (E.q_cusum_detect, E.q_robust_zscore):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "EvalPython" not in plan, plan[:1500]
+        n_hash = plan.count("Exchange hashpartitioning")
+        assert n_hash == 1, f"{q.__name__}: {n_hash} hash exchanges\n{plan[:2000]}"
+
+
+def test_ivf_assignment_is_map_side(spark):
+    """IVF cell assignment must never shuffle the corpus: the centroid set
+    arrives as a broadcast single-row array and the argmax folds per row.
+    The only joins are broadcasts (1-row cross joins + the leftsemi probe
+    filter); zero hashpartitioning exchanges touch the vector scan."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_ann_ivf_topk(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_broadcasts_eval_shingles(spark):
     """The train shingle stream must hit the eval set through a broadcast
     hash join (no corpus shuffle for the membership test), same discipline

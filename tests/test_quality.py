@@ -39,6 +39,29 @@ def test_ann_recall_vs_bruteforce(spark):
         assert abs(exact[vid] - ann[vid]) < 1e-9
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF top-10 (8 cells, nprobe=3) must recover >= 50% of the exact
+    cosine top-10 on the sf0.01 fixture, and every returned cosine must be
+    the exact value for that vec_id. The floor sits below the LSH twin's
+    0.8 deliberately: UNIFORM random vectors are IVF's adversarial case —
+    there is no cluster structure for cells to capture, so true neighbours
+    scatter across cells roughly uniformly and probing 3/8 of the cells
+    recovers ~probed-fraction of them (measured: 0.6, deterministic — md5
+    centroid seeds, fixed fixture; raising nprobe to 4 does not move it).
+    On clustered production embeddings the neighbourhood concentrates in
+    one or two cells and recall approaches 1 at the same probed fraction;
+    the operator docstring carries the K/nprobe scale rule."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["vec_id"]: r["cos_sim"] for r in E.q_embedding_topk(spark, sf).collect()}
+    ivf = {r["vec_id"]: r["cos_sim"] for r in E.q_ann_ivf_topk(spark, sf).collect()}
+    hits = set(exact) & set(ivf)
+    assert len(hits) / len(exact) >= 0.5, (sorted(exact), sorted(ivf))
+    for vid in hits:
+        assert abs(exact[vid] - ivf[vid]) < 1e-9
+
+
 def test_dedup_clusters_are_consistent(spark):
     """Connected components of the verified near-dup graph: every edge's
     endpoints share a cluster_id, every cluster_id is the lexicographic
