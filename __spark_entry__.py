@@ -322,6 +322,116 @@ def q_robust_zscore(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_holt_smooth(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing (round 5) — the
+    trend-aware sibling of q_ewma_score: per user over the same bounded
+    30-row trailing window,
+    l_t = a*v_t + (1-a)*(l_{t-1} + b_{t-1}),
+    b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}  (a=0.3, B=0.1; init l=first,
+    b=0). Output level/trend and the one-step-ahead forecast l+b — the
+    residual v - forecast is the drift statistic the reference domain
+    feeds a CUSUM. Pure Catalyst: one window collect_list + one
+    higher-order aggregate fold with a STRUCT accumulator (the 2-state
+    generalisation of the scalar EWMA fold). b_t references l_t, which a
+    fold lambda cannot name, so the l_t expression is repeated verbatim
+    inside b_t on BOTH engines — identical expression tree, identical
+    left-to-right order over identical float64s, hash-exact before the
+    4-dp rounding. 100 TB shape: one hash exchange on the series key,
+    whole-stage codegen, O(w) per row."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-29, 0)
+    )
+    vs = F.collect_list(F.col("value").cast("double")).over(w)
+    st = F.expr(
+        "aggregate(slice(vs, 2, size(vs) - 1), "
+        "named_struct('l', cast(element_at(vs, 1) as double), 'b', 0d), "
+        "(acc, x) -> named_struct("
+        "'l', 0.3d * x + 0.7d * (acc.l + acc.b), "
+        "'b', 0.1d * ((0.3d * x + 0.7d * (acc.l + acc.b)) - acc.l)"
+        " + 0.9d * acc.b))"
+    )
+    return (
+        ev.select("event_id", "user_id", vs.alias("vs"))
+        .select("event_id", "user_id", st.alias("st"))
+        .select(
+            "event_id",
+            "user_id",
+            (F.floor(F.col("st.l") * 10000 + 0.5) / 10000).alias("level"),
+            (F.floor(F.col("st.b") * 10000 + 0.5) / 10000).alias("trend"),
+            (
+                F.floor((F.col("st.l") + F.col("st.b")) * 10000 + 0.5) / 10000
+            ).alias("forecast"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_acf_lags(spark, sf_dir):
+    """Per-user autocorrelation at lags 1..3 (round 5): the seasonality /
+    persistence probe of the reference domain (Box-Jenkins model
+    identification), as the Pearson correlation between the series and
+    its k-lagged self. Cross-engine determinism the integer way: all six
+    sufficient statistics per lag (n, Sx, Sy, Sxy, Sxx, Syy) are EXACT
+    int64 sums on the cent scale — order-independent, so Spark's hash
+    aggregate and DuckDB's can consume rows in any order — and the only
+    floating point is the final closed-form correlation evaluated from
+    those exact integers, identically spelled on both sides (each
+    variance factor cast to double BEFORE the product; the int64 product
+    would overflow at ~1e30). One hash exchange on user_id: the lag
+    window and the groupBy share the partitioning, so Catalyst reuses
+    the exchange. NULL-safe: fewer than k+1 rows or a constant series
+    yields NULL, not a division error."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        c.alias("_c"),
+        *[F.lag(c, k).over(w).alias(f"_g{k}") for k in (1, 2, 3)],
+    )
+    aggs = []
+    for k in (1, 2, 3):
+        g = F.col(f"_g{k}")
+        ok = g.isNotNull()
+        z = F.lit(0).cast("long")
+        aggs += [
+            F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias(f"_n{k}"),
+            F.sum(F.when(ok, F.col("_c")).otherwise(z)).alias(f"_sx{k}"),
+            F.sum(F.when(ok, g).otherwise(z)).alias(f"_sy{k}"),
+            F.sum(F.when(ok, F.col("_c") * g).otherwise(z)).alias(f"_sxy{k}"),
+            F.sum(F.when(ok, F.col("_c") * F.col("_c")).otherwise(z)).alias(
+                f"_sxx{k}"
+            ),
+            F.sum(F.when(ok, g * g).otherwise(z)).alias(f"_syy{k}"),
+        ]
+    stats = base.groupBy("user_id").agg(*aggs)
+
+    def corr(k):
+        n, sx, sy = F.col(f"_n{k}"), F.col(f"_sx{k}"), F.col(f"_sy{k}")
+        sxy, sxx, syy = (
+            F.col(f"_sxy{k}"),
+            F.col(f"_sxx{k}"),
+            F.col(f"_syy{k}"),
+        )
+        fx = (n * sxx - sx * sx).cast("double")
+        fy = (n * syy - sy * sy).cast("double")
+        num = (n * sxy - sx * sy).cast("double")
+        return F.when((fx > 0) & (fy > 0), F.round(num / F.sqrt(fx * fy), 4))
+
+    return stats.select(
+        "user_id",
+        F.col("_n1").alias("n_pairs"),
+        corr(1).alias("r1"),
+        corr(2).alias("r2"),
+        corr(3).alias("r3"),
+    ).orderBy("user_id")
+
+
 def q_sliding_window_counts(spark, sf_dir):
     """X-surface sliding-window aggregate in BATCH form (round 4; the
     streaming twin is engine/streaming.py::windowed_event_counts): 5-minute
@@ -1611,6 +1721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_score": q_ewma_score,
         "cusum_detect": q_cusum_detect,
         "robust_zscore": q_robust_zscore,
+        "holt_smooth": q_holt_smooth,
+        "acf_lags": q_acf_lags,
         "rollup_minute": q_rollup_minute,
         "cascade_hour": q_cascade_hour,
         "pricing_summary": q_pricing_summary,
@@ -1790,6 +1902,85 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN mad != 0
                     THEN abs(0.6745 * (c - med) / mad) > 3.5 END AS outlier
         FROM d ORDER BY event_id""",
+        "holt_smooth": """
+        WITH l AS (
+          SELECT event_id, user_id,
+                 list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS vs
+          FROM events
+        ), f AS (
+          -- accumulator is a LIST [l, b], not a struct: DuckDB's
+          -- list_reduce updates struct children in place between field
+          -- evaluations, so a struct accumulator's second field reads the
+          -- FIRST field's already-updated value (verified numerically);
+          -- list_value builds the new pair only after both exprs evaluate
+          SELECT event_id, user_id,
+                 list_reduce(
+                   list_prepend([vs[1], CAST(0.0 AS DOUBLE)],
+                     list_transform(vs[2:],
+                                    x -> [x, CAST(0.0 AS DOUBLE)])),
+                   (acc, e) -> [
+                      0.3 * e[1] + 0.7 * (acc[1] + acc[2]),
+                      0.1 * ((0.3 * e[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+                           + 0.9 * acc[2]]
+                 ) AS st
+          FROM l
+        )
+        SELECT event_id, user_id,
+               floor(st[1] * 10000 + 0.5) / 10000 AS level,
+               floor(st[2] * 10000 + 0.5) / 10000 AS trend,
+               floor((st[1] + st[2]) * 10000 + 0.5) / 10000 AS forecast
+        FROM f ORDER BY event_id""",
+        "acf_lags": """
+        WITH b AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+                 lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS g1,
+                 lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS g2,
+                 lag(CAST(round(value * 100) AS BIGINT), 3) OVER w AS g3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id,
+                 count(g1) AS n1,
+                 sum(CASE WHEN g1 IS NOT NULL THEN c ELSE 0 END) AS sx1,
+                 coalesce(sum(g1), 0) AS sy1,
+                 coalesce(sum(c * g1), 0) AS sxy1,
+                 sum(CASE WHEN g1 IS NOT NULL THEN c * c ELSE 0 END) AS sxx1,
+                 coalesce(sum(g1 * g1), 0) AS syy1,
+                 count(g2) AS n2,
+                 sum(CASE WHEN g2 IS NOT NULL THEN c ELSE 0 END) AS sx2,
+                 coalesce(sum(g2), 0) AS sy2,
+                 coalesce(sum(c * g2), 0) AS sxy2,
+                 sum(CASE WHEN g2 IS NOT NULL THEN c * c ELSE 0 END) AS sxx2,
+                 coalesce(sum(g2 * g2), 0) AS syy2,
+                 count(g3) AS n3,
+                 sum(CASE WHEN g3 IS NOT NULL THEN c ELSE 0 END) AS sx3,
+                 coalesce(sum(g3), 0) AS sy3,
+                 coalesce(sum(c * g3), 0) AS sxy3,
+                 sum(CASE WHEN g3 IS NOT NULL THEN c * c ELSE 0 END) AS sxx3,
+                 coalesce(sum(g3 * g3), 0) AS syy3
+          FROM b GROUP BY user_id
+        )
+        SELECT user_id, n1 AS n_pairs,
+               CASE WHEN CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) > 0
+                     AND CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) > 0
+                    THEN round(CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE)
+                         / sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+                                * CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE)), 4)
+               END AS r1,
+               CASE WHEN CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) > 0
+                     AND CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE) > 0
+                    THEN round(CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE)
+                         / sqrt(CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+                                * CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE)), 4)
+               END AS r2,
+               CASE WHEN CAST(n3 * sxx3 - sx3 * sx3 AS DOUBLE) > 0
+                     AND CAST(n3 * syy3 - sy3 * sy3 AS DOUBLE) > 0
+                    THEN round(CAST(n3 * sxy3 - sx3 * sy3 AS DOUBLE)
+                         / sqrt(CAST(n3 * sxx3 - sx3 * sx3 AS DOUBLE)
+                                * CAST(n3 * syy3 - sy3 * sy3 AS DOUBLE)), 4)
+               END AS r3
+        FROM s ORDER BY user_id""",
         "user_sessions": """
         WITH o AS (
           SELECT user_id, event_id, ts, value,

@@ -165,7 +165,12 @@ def test_cusum_and_robust_zscore_single_shuffle(spark):
     nothing may fall out of codegen into Python."""
     import __spark_entry__ as E
 
-    for q in (E.q_cusum_detect, E.q_robust_zscore):
+    for q in (
+        E.q_cusum_detect,
+        E.q_robust_zscore,
+        E.q_holt_smooth,
+        E.q_acf_lags,
+    ):
         plan = _plan(q(spark, "/root/testdata/sf0.001"))
         assert "EvalPython" not in plan, plan[:1500]
         n_hash = plan.count("Exchange hashpartitioning")
