@@ -201,24 +201,25 @@ def q_ewma_score(spark, sf_dir):
     )
 
 
-def q_cusum_detect(spark, sf_dir):
-    """CUSUM change detection (round 5) — the sequential drift detector of
-    the reference domain (Page 1954), made embarrassingly parallel via the
-    Lindley reflection identity: the recursion
-    ``s_t = max(0, s_{t-1} + d_t)`` equals ``S_t - min(0, min_{j<=t} S_j)``
-    with S the prefix sum of d, so the whole two-sided detector is three
-    layered window passes over ONE shuffle on user_id — no UDF, no
-    sequential state, no driver loop. Drift ``k`` and alarm threshold ``h``
-    are robust per-user units (k = IQR, h = 5*IQR; reference level = the
-    per-user median via the exact ``percentile`` window aggregate, whose
-    linear-interpolation formula DuckDB's quantile_cont shares bit-exactly).
-    Both engines evaluate the identical expression tree in the identical
-    per-user order, so prefix sums agree to the last ulp before the 4-dp
-    rounding. 100 TB shape: window-only (single hash exchange on the series
-    key), whole-stage codegen end to end; the streaming twin of this
-    recursion would be a stateful flatMapGroupsWithState keeping one (sp,
-    sn) pair per user."""
-    ev = _t(spark, sf_dir, "events")
+def _cusum_params(ev):
+    """Per-user CUSUM calibration (med, iqr) as a small aggregate table —
+    the static side the streaming twin (engine/streaming.py::cusum_stream)
+    broadcast-joins against the event stream. groupBy `percentile` and the
+    window `percentile` in _cusum_raw interpolate over the same multiset,
+    so the two paths see identical doubles."""
+    return ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        (
+            F.expr("percentile(value, 0.75)")
+            - F.expr("percentile(value, 0.25)")
+        ).alias("iqr"),
+    )
+
+
+def _cusum_raw(ev):
+    """Raw (unrounded) two-sided CUSUM columns — shared by q_cusum_detect
+    (which adds the 4-dp rounding) and the batch/stream parity test (which
+    pins engine/streaming.py::cusum_stream bit-exactly against this)."""
     wu = Window.partitionBy("user_id")
     wp = wu.orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -258,11 +259,39 @@ def q_cusum_detect(spark, sf_dir):
     return mm.select(
         "event_id",
         "user_id",
-        F.round(cpos, 4).alias("cpos"),
-        F.round(cneg, 4).alias("cneg"),
+        cpos.alias("_cpos"),
+        cneg.alias("_cneg"),
         ((cpos > 5.0 * F.col("_iqr")) | (cneg > 5.0 * F.col("_iqr"))).alias(
             "alarm"
         ),
+    )
+
+
+def q_cusum_detect(spark, sf_dir):
+    """CUSUM change detection (round 5) — the sequential drift detector of
+    the reference domain (Page 1954), made embarrassingly parallel via the
+    Lindley reflection identity: the recursion
+    ``s_t = max(0, s_{t-1} + d_t)`` equals ``S_t - min(0, min_{j<=t} S_j)``
+    with S the prefix sum of d, so the whole two-sided detector is three
+    layered window passes over ONE shuffle on user_id — no UDF, no
+    sequential state, no driver loop. Drift ``k`` and alarm threshold ``h``
+    are robust per-user units (k = IQR, h = 5*IQR; reference level = the
+    per-user median via the exact ``percentile`` window aggregate, whose
+    linear-interpolation formula DuckDB's quantile_cont shares bit-exactly).
+    Both engines evaluate the identical expression tree in the identical
+    per-user order, so prefix sums agree to the last ulp before the 4-dp
+    rounding. 100 TB shape: window-only (single hash exchange on the series
+    key), whole-stage codegen end to end; the streaming twin of this
+    recursion is engine/streaming.py::cusum_stream (one O(1) prefix/min
+    state pair per user), pinned bit-exactly to _cusum_raw by
+    test_streaming's parity test."""
+    raw = _cusum_raw(_t(spark, sf_dir, "events"))
+    return raw.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("_cpos"), 4).alias("cpos"),
+        F.round(F.col("_cneg"), 4).alias("cneg"),
+        "alarm",
     ).orderBy("event_id")
 
 

@@ -332,3 +332,85 @@ def windowed_event_counts(
             "user_id", "cnt", "vmin", "vmax", "vsum",
         )
     )
+
+
+def cusum_stream(
+    events_stream: DataFrame,
+    params: DataFrame,
+    h_mult: float = 5.0,
+) -> DataFrame:
+    """Streaming two-sided CUSUM drift detector — the stateful twin of the
+    batch Lindley-identity query (__spark_entry__.py::_cusum_raw), pinned
+    bit-exactly to it by test_streaming's parity test.
+
+    ``params`` is the static per-user calibration table (user_id, med,
+    iqr) from __spark_entry__._cusum_params — a stream-static broadcast
+    join, the production shape: reference level and drift units come from
+    a calibration window, never from the live stream. State per user is
+    O(1): the two prefix sums and their running minima (sp, mp, sn, mn).
+    The kernel carries the batch form S_t - min(0, min_j S_j) instead of
+    the max(0, s+d) recursion so every floating-point operation (a
+    sequential cumsum and a running min, both seeded from state) matches
+    the batch window plan's sequential fold EXACTLY — cross-batch results
+    are bit-equal to the batch query over the concatenated series, which a
+    reset-form recursion would not be (a reset re-anchors the sum and
+    rounds differently).
+
+    Same ordering contract as stateful_detect_stream: all chunks of a
+    key's batch are concatenated and sorted once by (ts, event_id);
+    event time must be non-decreasing batch-over-batch (file-drop
+    ingest); late data belongs to the watermark variant.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, event_id long, cpos double, cneg double, alarm boolean"
+    )
+    state_schema = "sp double, mp double, sn double, mn double"
+    joined = events_stream.join(F.broadcast(params), "user_id")
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        sp0, mp0, sn0, mn0 = state.get if state.exists else (0.0, 0.0, 0.0, 0.0)
+        chunks = [pdf for pdf in pdf_iter]
+        if not chunks:
+            state.update((sp0, mp0, sn0, mn0))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        med = pdf["med"].to_numpy(dtype=np.float64)
+        iqr = pdf["iqr"].to_numpy(dtype=np.float64)
+        # identical expression order to the batch columns: (v - med) - iqr
+        dp = vals - med - iqr
+        dn = med - vals - iqr
+        # np.cumsum / minimum.accumulate are strictly sequential left
+        # folds; seeding with the carried state reproduces the one long
+        # fold the batch window runs over the full series
+        sp = np.cumsum(np.concatenate([[sp0], dp]))[1:]
+        sn = np.cumsum(np.concatenate([[sn0], dn]))[1:]
+        mp = np.minimum.accumulate(np.concatenate([[mp0], sp]))[1:]
+        mn = np.minimum.accumulate(np.concatenate([[mn0], sn]))[1:]
+        # mp0 starts at 0.0, so mp == min(0, min_j S_j) == the batch's
+        # least(0, min-over-window)
+        cpos = sp - mp
+        cneg = sn - mn
+        alarm = (cpos > h_mult * iqr) | (cneg > h_mult * iqr)
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "cpos": cpos,
+                "cneg": cneg,
+                "alarm": alarm,
+            }
+        )
+        state.update(
+            (float(sp[-1]), float(mp[-1]), float(sn[-1]), float(mn[-1]))
+        )
+        yield out
+
+    return joined.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -545,3 +545,73 @@ def test_session_window_batch_stream_parity(spark, tmp_path):
         for r in entrymod.queries()["user_sessions"](spark, sf_dir).collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_cusum_batch_stream_parity(spark, tmp_path):
+    """Round-5 twin pin: cusum_stream (O(1)-state applyInPandasWithState,
+    prefix-sum + running-min carried form) over TWO file drops with a
+    checkpointed restart must be BIT-EXACT — raw doubles, no rounding —
+    against the batch Lindley-identity window query (_cusum_raw) on the
+    full series: the carried state makes the stream's seeded cumsum the
+    same left fold the batch window runs end-to-end. Calibration (med,
+    iqr) is the shared _cusum_params table, broadcast into the stream."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    params = entrymod._cusum_params(ev).cache()
+    params.count()
+
+    # split at the global median ts: every user's drop-1 events precede
+    # its drop-2 events (the non-decreasing batch-over-batch contract)
+    t_split = ev.agg(
+        F.expr("percentile(unix_timestamp(ts), 0.5)").cast("long").alias("t")
+    ).collect()[0]["t"]
+    src = str(tmp_path / "events_cusum")
+    ckpt = str(tmp_path / "ckpt_cusum")
+    outdir = str(tmp_path / "out_cusum")
+    os.makedirs(src)
+
+    from engine.streaming import cusum_stream
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(f"{src}/*")
+        q = (
+            cusum_stream(stream, params)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    ev.where(F.unix_timestamp("ts") < t_split).write.parquet(f"{src}/d1")
+    run()
+    ev.where(F.unix_timestamp("ts") >= t_split).write.parquet(f"{src}/d2")
+    run()
+
+    got = {
+        r["event_id"]: (r["cpos"], r["cneg"], r["alarm"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    want = {
+        r["event_id"]: (r["_cpos"], r["_cneg"], r["alarm"])
+        for r in entrymod._cusum_raw(ev).collect()
+    }
+    assert set(got) == set(want) and len(got) == ev.count()
+    # bit-exact: direct float equality, no tolerance
+    mismatches = [
+        (eid, got[eid], want[eid]) for eid in want if got[eid] != want[eid]
+    ]
+    assert not mismatches, mismatches[:5]
+    assert any(v[2] for v in want.values()), "fixture should raise some alarm"
