@@ -461,6 +461,107 @@ def q_acf_lags(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_counter_rate(spark, sf_dir):
+    """Monotonic-counter increase/rate per 5-minute bucket (round 5) —
+    the monitoring-domain rate() primitive (PromQL/Graphite semantics,
+    simplified to samples-in-bucket): per user ordered by (ts, event_id),
+    delta = v_t - v_{t-1}; a NEGATIVE delta is a counter RESET and
+    contributes the post-reset absolute value v_t (the counter restarted
+    from 0); the first sample of a series contributes nothing. Bucketed
+    sum of contributions = increase; rate = increase / 300 s. All
+    contributions are exact int64 cents (order-independent bucket sums);
+    the only floating point is the final cents/100 and /300 divisions,
+    identically spelled in the oracle. One hash exchange on user_id: the
+    lag window and the (user, bucket) groupBy share the user_id hash
+    prefix, and AQE folds them onto one exchange at scale; the bucket is
+    a sargable unix_timestamp div, never a UDF."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        c.alias("_c"),
+        F.lag(c).over(w).alias("_p"),
+    )
+    d = F.col("_c") - F.col("_p")
+    contrib = F.when(F.col("_p").isNull(), F.lit(0).cast("long")).otherwise(
+        F.when(d < 0, F.col("_c")).otherwise(d)
+    )
+    bucket = F.expr("unix_timestamp(ts) div 300") * 300
+    return (
+        base.select(
+            "user_id",
+            bucket.alias("bucket_start"),
+            contrib.alias("_i"),
+        )
+        .groupBy("user_id", "bucket_start")
+        .agg(F.sum("_i").alias("_ic"))
+        .select(
+            "user_id",
+            "bucket_start",
+            (F.col("_ic").cast("double") / 100).alias("increase"),
+            F.round(F.col("_ic").cast("double") / 100 / 300, 4).alias(
+                "rate_per_s"
+            ),
+        )
+        .orderBy("user_id", "bucket_start")
+    )
+
+
+def q_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonal baseline + per-event residual (round 5): the
+    seasonality layer of the reference detector family — a per-(user,
+    hour-of-day) mean profile (the cheap periodic baseline; STL's seasonal
+    component for a single known period), joined back to every event to
+    produce the deseasonalized residual the detectors then score. Exact
+    arithmetic: per-cell sums are int64 cents (order-independent), the
+    baseline is one double division sum/n evaluated identically in both
+    engines, and resid = cents/100 - baseline spelled the same way. 100 TB
+    shape: ONE corpus shuffle for the profile aggregate (users x 24 cells,
+    partial map-side combine), then the profile comes BACK via broadcast
+    hash join — the corpus is never shuffled a second time (plan-asserted:
+    exactly one hashpartitioning exchange + one BroadcastHashJoin)."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    hod = F.hour("ts")
+    prof = (
+        ev.select("user_id", hod.alias("hod"), c.alias("_c"))
+        .groupBy("user_id", "hod")
+        .agg(
+            F.sum("_c").alias("_s"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "user_id",
+            "hod",
+            (F.col("_s").cast("double") / F.col("_n")).alias("_bc"),
+        )
+    )
+    return (
+        ev.select("event_id", "user_id", hod.alias("hod"), c.alias("_c"))
+        .join(F.broadcast(prof), ["user_id", "hod"])
+        .select(
+            "event_id",
+            "user_id",
+            "hod",
+            (F.floor(F.col("_bc") / 100 * 10000 + 0.5) / 10000).alias(
+                "baseline"
+            ),
+            (
+                F.floor(
+                    (F.col("_c").cast("double") / 100 - F.col("_bc") / 100)
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("resid"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_sliding_window_counts(spark, sf_dir):
     """X-surface sliding-window aggregate in BATCH form (round 4; the
     streaming twin is engine/streaming.py::windowed_event_counts): 5-minute
@@ -1752,6 +1853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_zscore": q_robust_zscore,
         "holt_smooth": q_holt_smooth,
         "acf_lags": q_acf_lags,
+        "counter_rate": q_counter_rate,
+        "seasonal_profile": q_seasonal_profile,
         "rollup_minute": q_rollup_minute,
         "cascade_hour": q_cascade_hour,
         "pricing_summary": q_pricing_summary,
@@ -2010,6 +2113,43 @@ def oracle_sql() -> dict[str, str]:
                                 * CAST(n3 * syy3 - sy3 * sy3 AS DOUBLE)), 4)
                END AS r3
         FROM s ORDER BY user_id""",
+        "counter_rate": """
+        WITH b AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 lag(CAST(round(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+          FROM events
+        ), k AS (
+          SELECT user_id,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300
+                   AS bucket_start,
+                 CASE WHEN p IS NULL THEN 0
+                      WHEN c - p < 0 THEN c
+                      ELSE c - p END AS i
+          FROM b
+        )
+        SELECT user_id, bucket_start,
+               CAST(sum(i) AS DOUBLE) / 100 AS increase,
+               round(CAST(sum(i) AS DOUBLE) / 100 / 300, 4) AS rate_per_s
+        FROM k GROUP BY user_id, bucket_start
+        ORDER BY user_id, bucket_start""",
+        "seasonal_profile": """
+        WITH e AS (
+          SELECT event_id, user_id, hour(ts) AS hod,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), p AS (
+          SELECT user_id, hod,
+                 CAST(sum(c) AS DOUBLE) / count(*) AS bc
+          FROM e GROUP BY user_id, hod
+        )
+        SELECT e.event_id, e.user_id, e.hod,
+               floor(bc / 100 * 10000 + 0.5) / 10000 AS baseline,
+               floor((CAST(c AS DOUBLE) / 100 - bc / 100) * 10000 + 0.5)
+                 / 10000 AS resid
+        FROM e JOIN p USING (user_id, hod)
+        ORDER BY e.event_id""",
         "user_sessions": """
         WITH o AS (
           SELECT user_id, event_id, ts, value,

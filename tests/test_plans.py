@@ -177,6 +177,28 @@ def test_cusum_and_robust_zscore_single_shuffle(spark):
         assert n_hash == 1, f"{q.__name__}: {n_hash} hash exchanges\n{plan[:2000]}"
 
 
+def test_counter_rate_and_seasonal_profile_plans(spark):
+    """counter_rate: the lag window (user_id) and the (user_id, bucket)
+    groupBy must share ONE hash exchange — HashPartitioning(user_id)
+    satisfies ClusteredDistribution(user_id, bucket), so Catalyst may not
+    reshuffle. seasonal_profile: one corpus exchange for the profile
+    aggregate, and the profile returns via BroadcastHashJoin — the corpus
+    is never shuffled for the join."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_counter_rate(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"counter_rate: {n} hash exchanges\n{plan[:2000]}"
+
+    plan = _plan(E.q_seasonal_profile(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"seasonal_profile: {n} hash exchanges\n{plan[:2000]}"
+
+
 def test_ivf_assignment_is_map_side(spark):
     """IVF cell assignment must never shuffle the corpus: the centroid set
     arrives as a broadcast single-row array and the argmax folds per row.
