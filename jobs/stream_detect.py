@@ -21,6 +21,13 @@ the parquet sink's transactional log).
 Default trigger is ``availableNow`` (drain pending drops, then exit) so
 the job is drivable/testable; ``--follow`` switches to a continuous
 micro-batch trigger for a long-running tail.
+
+``--cusum PARAMS.parquet`` (round 5) swaps the detector for the O(1)-state
+streaming CUSUM (engine/streaming.py::cusum_stream): PARAMS is the per-user
+calibration table (user_id, med, iqr) written beforehand from a history
+window — e.g. ``__spark_entry__._cusum_params(batch_df).write.parquet(...)``
+— and is broadcast-joined into the stream. Output columns become
+(user_id, event_id, cpos, cneg, alarm).
 """
 
 from __future__ import annotations
@@ -49,6 +56,8 @@ def start_detect_stream(
     available_now: bool = True,
     trigger_seconds: int = 5,
     max_files_per_trigger: int = 64,
+    cusum_params: str | None = None,
+    cusum_h_mult: float = 5.0,
 ):
     """Build and start the query; returns the StreamingQuery handle."""
     stream = (
@@ -56,10 +65,16 @@ def start_detect_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-    flagged = stateful_detect_stream_late(
-        stream, w=w, k=k, reorder_seconds=reorder_seconds,
-        flush_after_ms=flush_after_ms,
-    )
+    if cusum_params is not None:
+        from engine.streaming import cusum_stream
+
+        params = spark.read.parquet(cusum_params)
+        flagged = cusum_stream(stream, params, h_mult=cusum_h_mult)
+    else:
+        flagged = stateful_detect_stream_late(
+            stream, w=w, k=k, reorder_seconds=reorder_seconds,
+            flush_after_ms=flush_after_ms,
+        )
     writer = (
         flagged.writeStream.format("parquet")
         .option("path", out_dir)
@@ -85,6 +100,11 @@ def main() -> None:
     ap.add_argument("--flush-after-ms", type=int, default=None,
                     help="flush a user's hold-back buffer after this much "
                          "processing-time silence (stream-end story)")
+    ap.add_argument("--cusum", default=None, metavar="PARAMS_PARQUET",
+                    help="run the streaming CUSUM detector instead, "
+                         "calibrated by this (user_id, med, iqr) table")
+    ap.add_argument("--cusum-h-mult", type=float, default=5.0,
+                    help="alarm threshold in IQR units (default 5)")
     ap.add_argument("--follow", action="store_true",
                     help="run continuously instead of draining and exiting")
     ap.add_argument("--trigger-seconds", type=int, default=5)
@@ -99,6 +119,7 @@ def main() -> None:
         w=args.w, k=args.k, reorder_seconds=args.reorder_seconds,
         flush_after_ms=args.flush_after_ms,
         available_now=not args.follow, trigger_seconds=args.trigger_seconds,
+        cusum_params=args.cusum, cusum_h_mult=args.cusum_h_mult,
     )
     if args.follow and args.timeout:
         q.awaitTermination(args.timeout)

@@ -615,3 +615,50 @@ def test_cusum_batch_stream_parity(spark, tmp_path):
     ]
     assert not mismatches, mismatches[:5]
     assert any(v[2] for v in want.values()), "fixture should raise some alarm"
+
+
+def test_stream_detect_cli_cusum_mode(spark, tmp_path):
+    """jobs/stream_detect.py --cusum (round 5): the streaming CUSUM is
+    drivable from the CLI — calibration table written by the batch helper,
+    one real process drains the drop, and the sink rows equal the batch
+    Lindley query (_cusum_raw) bit-exactly on the same input."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = str(tmp_path / "events")
+    pdir = str(tmp_path / "params")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    os.makedirs(src)
+    ev.coalesce(1).write.parquet(f"{src}/d1")
+    entrymod._cusum_params(ev).coalesce(1).write.parquet(pdir)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [
+        _sys.executable, os.path.join(repo, "jobs", "stream_detect.py"),
+        "--events", f"{src}/*", "--out", outdir, "--checkpoint", ckpt,
+        "--cusum", pdir, "--master", "local[2]", "--timeout", "300",
+    ]
+    r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
+                       env=dict(os.environ, SPARK_DRIVER_MEMORY="2g"),
+                       timeout=420)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "sink rows=" in r.stdout, r.stdout
+
+    got = {
+        rr["event_id"]: (rr["cpos"], rr["cneg"], rr["alarm"])
+        for rr in spark.read.parquet(outdir).collect()
+    }
+    want = {
+        rr["event_id"]: (rr["_cpos"], rr["_cneg"], rr["alarm"])
+        for rr in entrymod._cusum_raw(ev).collect()
+    }
+    assert got == want
