@@ -562,6 +562,85 @@ def q_seasonal_profile(spark, sf_dir):
     )
 
 
+TWA_MAX_GAP_S = 3600  # max interpolation gap: longer holes contribute nothing
+TWA_BUCKET_S = 300
+
+
+def q_time_weighted_avg(spark, sf_dir):
+    """Step-interpolated time-weighted average per 5-minute bucket
+    (round 5) — the irregular-series aggregate (TimescaleDB time_weight /
+    InfluxDB integral semantics, 'locf' step interpolation): each sample's
+    value holds from its timestamp to the next sample's, the segment is
+    clipped to every bucket it overlaps, and TWA = sum(v*dt)/sum(dt) over
+    the covered time (NOT the bucket length — uncovered time is absent,
+    not zero). Segments longer than TWA_MAX_GAP_S are data gaps and
+    contribute nothing (the standard max-interpolation-gap rule; it also
+    bounds the per-segment bucket fan-out to gap/bucket + 1 rows, so the
+    explode can never amplify a sparse series into a dense one). All
+    arithmetic before the final division is exact int64 (cents x whole
+    seconds — second resolution on both engines via floor(epoch)); the
+    division and /100 rescale are spelled identically in the oracle. One
+    hash exchange on user_id: the lead window, the explode (Generate
+    preserves the child's partitioning), and the (user, bucket) groupBy
+    all share it. 100 TB shape: explode fan-out is data-bounded, partial
+    aggregation is map-side, and the scan prunes to (user_id, ts, value,
+    event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_timestamp("ts")
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        t.alias("_t"),
+        c.alias("_c"),
+    ).select(
+        "user_id",
+        "_t",
+        "_c",
+        F.lead("_t").over(w).alias("_tn"),
+    )
+    seg = base.where(
+        (F.col("_tn") > F.col("_t"))
+        & (F.col("_tn") - F.col("_t") <= TWA_MAX_GAP_S)
+    )
+    B = TWA_BUCKET_S
+    k = F.explode(
+        F.sequence(
+            F.expr(f"_t div {B}"), F.expr(f"(_tn - 1) div {B}")
+        )
+    )
+    ex = seg.select("user_id", "_t", "_tn", "_c", k.alias("_k"))
+    dt = F.least(F.col("_tn"), (F.col("_k") + 1) * B) - F.greatest(
+        F.col("_t"), F.col("_k") * B
+    )
+    return (
+        ex.select("user_id", "_k", "_c", dt.alias("_dt"))
+        .groupBy("user_id", "_k")
+        .agg(
+            F.sum(F.col("_c") * F.col("_dt")).alias("_num"),
+            F.sum("_dt").alias("_den"),
+        )
+        .select(
+            "user_id",
+            (F.col("_k") * B).alias("bucket_start"),
+            (
+                F.floor(
+                    F.col("_num").cast("double")
+                    / F.col("_den")
+                    / 100
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("twa"),
+            F.col("_den").alias("covered_s"),
+        )
+        .orderBy("user_id", "bucket_start")
+    )
+
+
 def q_sliding_window_counts(spark, sf_dir):
     """X-surface sliding-window aggregate in BATCH form (round 4; the
     streaming twin is engine/streaming.py::windowed_event_counts): 5-minute
@@ -1855,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_lags": q_acf_lags,
         "counter_rate": q_counter_rate,
         "seasonal_profile": q_seasonal_profile,
+        "time_weighted_avg": q_time_weighted_avg,
         "rollup_minute": q_rollup_minute,
         "cascade_hour": q_cascade_hour,
         "pricing_summary": q_pricing_summary,
@@ -2133,6 +2213,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(i) AS DOUBLE) / 100 AS increase,
                round(CAST(sum(i) AS DOUBLE) / 100 / 300, 4) AS rate_per_s
         FROM k GROUP BY user_id, bucket_start
+        ORDER BY user_id, bucket_start""",
+        "time_weighted_avg": f"""
+        WITH b AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 lead(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tn
+          FROM events
+        ), seg AS (
+          SELECT * FROM b WHERE tn > t AND tn - t <= {TWA_MAX_GAP_S}
+        ), ex AS (
+          SELECT user_id, t, tn, c,
+                 unnest(generate_series(t // {TWA_BUCKET_S},
+                                        (tn - 1) // {TWA_BUCKET_S})) AS k
+          FROM seg
+        ), d AS (
+          SELECT user_id, k, c,
+                 least(tn, (k + 1) * {TWA_BUCKET_S})
+                   - greatest(t, k * {TWA_BUCKET_S}) AS dt
+          FROM ex
+        )
+        SELECT user_id, k * {TWA_BUCKET_S} AS bucket_start,
+               floor(CAST(sum(c * dt) AS DOUBLE) / sum(dt) / 100 * 10000
+                     + 0.5) / 10000 AS twa,
+               sum(dt) AS covered_s
+        FROM d GROUP BY user_id, k
         ORDER BY user_id, bucket_start""",
         "seasonal_profile": """
         WITH e AS (
