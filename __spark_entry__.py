@@ -641,6 +641,146 @@ def q_time_weighted_avg(spark, sf_dir):
     )
 
 
+M4_BUCKET_S = 300
+
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 visualization-preserving downsample (round 5) — Jugel et al.,
+    "M4: A Visualization-Oriented Time Series Data Aggregation",
+    PVLDB 7(10) 2014: per (user, 5-min bucket) keep exactly the min, max,
+    first, and last values — the four points that make a width-w line
+    rendering of the downsampled series pixel-identical to the raw one.
+    First/last are picked by bidirectional row_number over (ts, event_id)
+    (deterministic under duplicate timestamps, unlike min_by on ts alone).
+    All values are exact cents int64 until the final /100 rescale. One
+    hash exchange on (user, bucket): both window sorts and the final
+    groupBy share it (the second window is sort-only, no reshuffle).
+    100 TB shape: output is 4 points per series-bucket regardless of raw
+    density — the canonical serving-layer reduction for dashboards."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(f"unix_timestamp(ts) div {M4_BUCKET_S}").alias("_k"),
+        F.round(F.col("value") * 100).cast("long").alias("_c"),
+    )
+    wa = Window.partitionBy("user_id", "_k").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "_k").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = b.select(
+        "user_id",
+        "_k",
+        "_c",
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wd).alias("_rd"),
+    )
+    cents = lambda col: F.round(col / 100.0, 4)  # noqa: E731
+    return (
+        r.groupBy("user_id", "_k")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_c").alias("_mn"),
+            F.max("_c").alias("_mx"),
+            F.max(F.when(F.col("_ra") == 1, F.col("_c"))).alias("_fi"),
+            F.max(F.when(F.col("_rd") == 1, F.col("_c"))).alias("_la"),
+        )
+        .select(
+            "user_id",
+            (F.col("_k") * M4_BUCKET_S).alias("bucket_start"),
+            "n",
+            cents(F.col("_mn")).alias("vmin"),
+            cents(F.col("_mx")).alias("vmax"),
+            cents(F.col("_fi")).alias("vfirst"),
+            cents(F.col("_la")).alias("vlast"),
+        )
+        .orderBy("user_id", "bucket_start")
+    )
+
+
+def q_iqr_outliers(spark, sf_dir):
+    """Boxplot-rule (Tukey fence) outliers per user (round 5), with the
+    quartile interpolation done in EXACT integer arithmetic: for cents c
+    sorted per user, h = (n-1)p lands between ranks i and i+1 with
+    fractional part r/4 (p in {1/4, 3/4} makes r integral), so
+    4*q = (4-r)*x_i + r*x_{i+1} is exact int64, and the fences
+    lo = 2.5*q1 - 1.5*q3, hi = 2.5*q3 - 1.5*q1 become
+    8*lo = 5*(4q1) - 3*(4q3) and 8*hi = 5*(4q3) - 3*(4q1) — the outlier
+    test 8c < 8lo OR 8c > 8hi never touches a float, so a point exactly
+    on a fence can't flip between engines (the failure mode of comparing
+    against percentile() doubles). One window pass ranks each user's
+    values; a per-user aggregate picks the four boundary ranks; the
+    per-user fence table broadcasts back onto the event stream.
+    100 TB shape: exact quartiles hold one user's values per group
+    (bounded, the continuous-aggregate rule from q_bucket_quantiles);
+    the fence join is a broadcast of #users rows against the full scan."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("_c"),
+    )
+    w = Window.partitionBy("user_id")
+    ws = w.orderBy("_c", "event_id")
+    r = b.select(
+        "user_id",
+        "_c",
+        F.row_number().over(ws).alias("_rn"),
+        F.count("*").over(w).alias("_n"),
+    )
+    i1 = F.expr("(_n - 1) div 4 + 1")
+    r1 = F.expr("(_n - 1) % 4")
+    i3 = F.expr("(3 * (_n - 1)) div 4 + 1")
+    r3 = F.expr("(3 * (_n - 1)) % 4")
+    g = r.select(
+        "user_id",
+        "_c",
+        "_rn",
+        i1.alias("_i1"),
+        r1.alias("_r1"),
+        i3.alias("_i3"),
+        r3.alias("_r3"),
+    )
+    pick = lambda rk: F.max(F.when(F.col("_rn") == rk, F.col("_c")))  # noqa: E731
+    q = g.groupBy("user_id").agg(
+        F.first("_r1").alias("_fr1"),
+        F.first("_r3").alias("_fr3"),
+        pick(F.col("_i1")).alias("_a1"),
+        pick(F.col("_i1") + 1).alias("_b1"),
+        pick(F.col("_i3")).alias("_a3"),
+        pick(F.col("_i3") + 1).alias("_b3"),
+    )
+    q4_1 = (4 - F.col("_fr1")) * F.col("_a1") + F.col("_fr1") * F.coalesce(
+        "_b1", "_a1"
+    )
+    q4_3 = (4 - F.col("_fr3")) * F.col("_a3") + F.col("_fr3") * F.coalesce(
+        "_b3", "_a3"
+    )
+    fences = q.select(
+        "user_id",
+        (5 * q4_1 - 3 * q4_3).alias("_lo8"),
+        (5 * q4_3 - 3 * q4_1).alias("_hi8"),
+    )
+    return (
+        b.join(F.broadcast(fences), "user_id")
+        .where((8 * F.col("_c") < F.col("_lo8")) | (8 * F.col("_c") > F.col("_hi8")))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            (F.floor(F.col("_lo8") / 800.0 * 10000 + 0.5) / 10000).alias(
+                "lo_fence"
+            ),
+            (F.floor(F.col("_hi8") / 800.0 * 10000 + 0.5) / 10000).alias(
+                "hi_fence"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def q_sliding_window_counts(spark, sf_dir):
     """X-surface sliding-window aggregate in BATCH form (round 4; the
     streaming twin is engine/streaming.py::windowed_event_counts): 5-minute
@@ -1935,6 +2075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "seasonal_profile": q_seasonal_profile,
         "time_weighted_avg": q_time_weighted_avg,
+        "m4_downsample": q_m4_downsample,
+        "iqr_outliers": q_iqr_outliers,
         "rollup_minute": q_rollup_minute,
         "cascade_hour": q_cascade_hour,
         "pricing_summary": q_pricing_summary,
@@ -2241,6 +2383,62 @@ def oracle_sql() -> dict[str, str]:
                sum(dt) AS covered_s
         FROM d GROUP BY user_id, k
         ORDER BY user_id, bucket_start""",
+        "m4_downsample": f"""
+        WITH b AS (
+          SELECT user_id, ts, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // {M4_BUCKET_S} AS k,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), r AS (
+          SELECT user_id, k, c,
+                 row_number() OVER (PARTITION BY user_id, k
+                                    ORDER BY ts, event_id) AS ra,
+                 row_number() OVER (PARTITION BY user_id, k
+                                    ORDER BY ts DESC, event_id DESC) AS rd
+          FROM b
+        )
+        SELECT user_id, k * {M4_BUCKET_S} AS bucket_start,
+               count(*) AS n,
+               round(min(c) / 100.0, 4) AS vmin,
+               round(max(c) / 100.0, 4) AS vmax,
+               round(max(CASE WHEN ra = 1 THEN c END) / 100.0, 4) AS vfirst,
+               round(max(CASE WHEN rd = 1 THEN c END) / 100.0, 4) AS vlast
+        FROM r GROUP BY user_id, k
+        ORDER BY user_id, bucket_start""",
+        "iqr_outliers": """
+        WITH b AS (
+          SELECT event_id, user_id, value,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), r AS (
+          SELECT user_id, c,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY c, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM b
+        ), q AS (
+          SELECT user_id,
+                 CAST(any_value((n - 1) % 4) AS BIGINT) AS r1,
+                 CAST(any_value((3 * (n - 1)) % 4) AS BIGINT) AS r3,
+                 CAST(max(CASE WHEN rn = (n - 1) // 4 + 1 THEN c END) AS BIGINT) AS a1,
+                 CAST(max(CASE WHEN rn = (n - 1) // 4 + 2 THEN c END) AS BIGINT) AS b1,
+                 CAST(max(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN c END) AS BIGINT) AS a3,
+                 CAST(max(CASE WHEN rn = (3 * (n - 1)) // 4 + 2 THEN c END) AS BIGINT) AS b3
+          FROM r GROUP BY user_id
+        ), f AS (
+          SELECT user_id,
+                 5 * ((4 - r1) * a1 + r1 * coalesce(b1, a1))
+                   - 3 * ((4 - r3) * a3 + r3 * coalesce(b3, a3)) AS lo8,
+                 5 * ((4 - r3) * a3 + r3 * coalesce(b3, a3))
+                   - 3 * ((4 - r1) * a1 + r1 * coalesce(b1, a1)) AS hi8
+          FROM q
+        )
+        SELECT b.event_id, b.user_id, round(b.value, 4) AS value,
+               floor(f.lo8 / 800.0 * 10000 + 0.5) / 10000 AS lo_fence,
+               floor(f.hi8 / 800.0 * 10000 + 0.5) / 10000 AS hi_fence
+        FROM b JOIN f USING (user_id)
+        WHERE 8 * b.c < f.lo8 OR 8 * b.c > f.hi8
+        ORDER BY user_id, event_id""",
         "seasonal_profile": """
         WITH e AS (
           SELECT event_id, user_id, hour(ts) AS hod,

@@ -225,3 +225,27 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
     # stateless map-side filter: no aggregation exchange at all (the only
     # exchange is the presentation orderBy's rangepartitioning)
     assert plan2.count("Exchange hashpartitioning") == 0, plan2[:1500]
+
+
+def test_twa_m4_iqr_plans(spark):
+    """Round-5 serving-layer aggregates: time_weighted_avg's lead window,
+    segment explode, and (user, bucket) groupBy must share ONE user_id
+    exchange (Generate preserves the child's partitioning);
+    m4_downsample's two window sorts and groupBy share ONE
+    (user, bucket)-compatible exchange; iqr_outliers shuffles only for the
+    rank window and returns the per-user fences via BroadcastHashJoin —
+    the event scan is never reshuffled for the fence test. All UDF-free."""
+    import __spark_entry__ as E
+
+    for q, n_want in ((E.q_time_weighted_avg, 1), (E.q_m4_downsample, 1)):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "EvalPython" not in plan, plan[:1500]
+        n = plan.count("Exchange hashpartitioning")
+        assert n == n_want, f"{q.__name__}: {n} hash exchanges\n{plan[:2000]}"
+
+    plan = _plan(E.q_iqr_outliers(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"iqr_outliers: {n} hash exchanges\n{plan[:2000]}"
