@@ -1228,6 +1228,97 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def _doc_bigrams(spark, sf_dir):
+    """doc_id, w1, w2 — one row per adjacent word pair, built array-side
+    (transform over sequence) so the token stream explodes exactly once
+    and never needs a per-doc window sort."""
+    d = _t(spark, sf_dir, "documents")
+    bg = F.expr(
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> struct(element_at(_w, i) AS w1, element_at(_w, i + 1) AS w2))"
+    )
+    return (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+        .select("doc_id", F.explode(bg).alias("_b"))
+        .select("doc_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    )
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (round 5) — Rae et al. 2021
+    (Gopher, §A.1.1 'repetition removal'), the standard pretraining-corpus
+    filter family: per document, the distinct-word ratio and the fraction
+    of word-bigrams taken by the single most frequent bigram (high
+    top-bigram share = boilerplate/looping text). Word counts and the
+    distinct ratio are pure array expressions on the scan (map-side, no
+    explode); only the bigram mode needs the exploded relation, which is
+    pre-partitioned once on doc_id so BOTH groupBys (by (doc, bigram),
+    then by doc) reuse that single exchange — prefix partitioning
+    satisfies the wider clustering. The map-side stats return via a
+    broadcast-friendly join on doc_id. 100 TB shape: per-doc state is
+    bounded by doc length; the one shuffle moves bigram tokens, not
+    documents."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("_u"),
+    )
+    top = (
+        _doc_bigrams(spark, sf_dir)
+        .repartition("doc_id")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max("_c").alias("_mc"), F.count("*").alias("_nb"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(F.col("_u") / F.col("n_words"), 4).alias("uniq_ratio"),
+            F.round(
+                F.col("_mc") / (F.col("n_words") - 1), 4
+            ).alias("top_bigram_frac"),
+            F.col("_nb").alias("distinct_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Corpus-LM bigram scoring (round 5) — the conditional upgrade of
+    q_unigram_logprob: mean ln P(w2 | w1) per document under the corpus's
+    own MLE bigram model (P = C(w1 w2) / C(w1 ·), prefix count = w1's
+    occurrences as a non-final token, derived from the same bigram
+    relation so no smoothing is needed — every scored pair exists in the
+    model). The sharper junk-vs-English discriminator: shuffled word soup
+    keeps its unigram score but collapses here. Shuffles: two corpus-count
+    aggregations (map-side partial combine; results are vocab-sized), the
+    pair join on (w1, w2) and prefix join on w1 — hot prefixes like 'the'
+    are exactly the AQE skew-join case — then the per-doc regroup.
+    100 TB shape: identical to the unigram path plus one join; the model
+    tables stay orders of magnitude smaller than the token stream."""
+    bg = _doc_bigrams(spark, sf_dir)
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
+    pref = bg.groupBy("w1").agg(F.count("*").alias("_cp"))
+    return (
+        bg.join(pair, ["w1", "w2"])
+        .join(pref, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("_cb") / F.col("_cp"))), 4).alias(
+                "logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 IVF_K = 8  # coarse cells (scale rule: ~sqrt(n); 8 for the 500-vector gate)
 IVF_NPROBE = 3  # cells probed per query
 
@@ -2117,6 +2208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "unigram_logprob": q_unigram_logprob,
+        "gopher_repetition": q_gopher_repetition,
+        "bigram_logprob": q_bigram_logprob,
         "embedding_near_dups": q_embedding_near_dups,
     }
 
@@ -2705,6 +2798,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, count(*) AS n_toks,
                round(avg(ln(CAST(cnt AS DOUBLE) / n)), 4) AS logprob
         FROM t JOIN c USING (tok) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""",
+        "gopher_repetition": """
+        WITH s AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n,
+                 len(list_distinct(string_split(text, ' '))) AS u
+          FROM documents
+        ), t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), b AS (
+          SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+        ), c AS (
+          SELECT doc_id, w1, w2, count(*) AS cnt
+          FROM b GROUP BY doc_id, w1, w2
+        ), m AS (
+          SELECT doc_id, max(cnt) AS mc, count(*) AS nb
+          FROM c GROUP BY doc_id
+        )
+        SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_words,
+               round(CAST(u AS DOUBLE) / n, 4) AS uniq_ratio,
+               round(CAST(mc AS DOUBLE) / (n - 1), 4) AS top_bigram_frac,
+               nb AS distinct_bigrams
+        FROM s LEFT JOIN m USING (doc_id)
+        ORDER BY doc_id""",
+        "bigram_logprob": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), b AS (
+          SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+        ), pair AS (
+          SELECT w1, w2, count(*) AS cb FROM b GROUP BY w1, w2
+        ), pref AS (
+          SELECT w1, count(*) AS cp FROM b GROUP BY w1
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(ln(CAST(cb AS DOUBLE) / cp)), 4) AS logprob
+        FROM b JOIN pair USING (w1, w2) JOIN pref USING (w1)
         GROUP BY doc_id ORDER BY doc_id""",
         "ann_lsh_topk": _ann_oracle_sql(),
         "ann_ivf_topk": f"""

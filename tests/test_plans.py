@@ -249,3 +249,25 @@ def test_twa_m4_iqr_plans(spark):
     assert "SortMergeJoin" not in plan
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"iqr_outliers: {n} hash exchanges\n{plan[:2000]}"
+
+
+def test_gopher_and_bigram_lm_plans(spark):
+    """gopher_repetition: the bigram relation is pre-partitioned ONCE on
+    doc_id and both groupBys (by (doc, w1, w2), then by doc) reuse that
+    exchange — exactly 1 hashpartitioning in the whole plan, stats return
+    via broadcast. bigram_logprob: the two model counts and the per-doc
+    regroup are the only exchanges (3); the vocab-sized model tables come
+    back onto the token stream as BroadcastHashJoins, never reshuffling
+    it. Both UDF-free."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_gopher_repetition(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"gopher_repetition: {n} hash exchanges\n{plan[:2000]}"
+
+    plan = _plan(E.q_bigram_logprob(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 3, f"bigram_logprob: {n} hash exchanges\n{plan[:2000]}"
+    assert plan.count("BroadcastHashJoin") == 2, plan[:2000]
