@@ -699,6 +699,28 @@ def q_m4_downsample(spark, sf_dir):
     )
 
 
+LTTB_N_OUT = 40
+
+
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB perceptual downsample (round 5) — Steinarsson 2013: per user,
+    keep the LTTB_N_OUT real points whose triangles best preserve the line
+    shape (engine/downsample.py). Complements q_m4_downsample: M4 is the
+    pure-SQL pixel-exact aggregate; LTTB picks a fixed COUNT of real rows
+    and is inherently sequential (each pick depends on the last), so it is
+    the canonical applyInPandas operator — one hash exchange on the series
+    key, per-group NumPy kernel, no per-row Python. No DuckDB oracle: the
+    sequential argmax recursion has no faithful SQL twin (float op order in
+    the centroid mean would diverge on area ties); correctness is pinned in
+    tests/test_downsample.py against an independent straight-from-the-thesis
+    scalar reference, plus subset/endpoint/determinism contracts. The driver
+    records the rows-only check (same precedent as approx_distinct)."""
+    from engine.downsample import lttb
+
+    ev = _t(spark, sf_dir, "events")
+    return lttb(ev, LTTB_N_OUT).orderBy("user_id", "ts", "value")
+
+
 def q_iqr_outliers(spark, sf_dir):
     """Boxplot-rule (Tukey fence) outliers per user (round 5), with the
     quartile interpolation done in EXACT integer arithmetic: for cents c
@@ -2167,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": q_seasonal_profile,
         "time_weighted_avg": q_time_weighted_avg,
         "m4_downsample": q_m4_downsample,
+        "lttb_downsample": q_lttb_downsample,
         "iqr_outliers": q_iqr_outliers,
         "rollup_minute": q_rollup_minute,
         "cascade_hour": q_cascade_hour,

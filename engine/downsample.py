@@ -1,0 +1,116 @@
+"""LTTB visualization downsampling (round 5).
+
+Largest-Triangle-Three-Buckets — Steinarsson, "Downsampling Time Series for
+Visual Representation" (MSc thesis, University of Iceland, 2013), the
+standard perceptual downsampler (Grafana/InfluxDB "lttb"): keep the point
+per bucket that maximizes the triangle area with the previously kept point
+and the next bucket's centroid. Complements the M4 aggregate
+(__spark_entry__.q_m4_downsample): M4 is pixel-exact for line rendering at
+a fixed width and is pure SQL; LTTB picks a FIXED COUNT of real points and
+is inherently sequential (each choice depends on the previous one), so it
+is the engine's canonical applyInPandas operator — per-series state only,
+Arrow-batched, never row-at-a-time Python.
+
+Scale shape (100 TB): one hash exchange on the series key; per-group
+memory is one series (the same bound as exact quantiles / session windows);
+the inner loop is O(n_out) NumPy slices over the group, not O(n * n_out).
+Series too long for one group should be pre-reduced by the M4 SQL pass
+(e.g. M4 to ~10x n_out, then LTTB) — the documented two-stage plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
+    """Indices LTTB keeps for a series already sorted by x.
+
+    Deterministic: ties in triangle area resolve to the earliest point
+    (np.argmax takes the first maximum). Returns all indices when
+    n <= n_out or n_out < 3 (the algorithm needs first + last + one
+    bucket; below that, downsampling to fewer than 3 points has no
+    triangle to maximize and the caller gets the full series).
+    """
+    n = len(x)
+    if n_out >= n or n_out < 3:
+        return np.arange(n)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    # Bucket boundaries over the interior points [1, n-1); first and last
+    # points are always kept (the thesis's fixed anchors). ``every`` is
+    # divided once, then multiplied — the same op order as the thesis
+    # pseudocode, so floor() lands on identical floats.
+    every = (n - 2) / (n_out - 2)
+    bounds = 1 + np.floor(
+        np.arange(n_out - 1, dtype=np.float64) * every
+    ).astype(np.int64)
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    out[-1] = n - 1
+    a = 0  # previously selected index
+    for i in range(n_out - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        # Next bucket centroid (the final anchor point for the last bucket).
+        nlo, nhi = bounds[i + 1], (bounds[i + 2] if i + 2 < n_out - 1 else n)
+        if i == n_out - 3:
+            nlo, nhi = n - 1, n
+        cx = x[nlo:nhi].mean()
+        cy = y[nlo:nhi].mean()
+        bx = x[lo:hi]
+        by = y[lo:hi]
+        area2 = np.abs(
+            (x[a] - cx) * (by - y[a]) - (x[a] - bx) * (cy - y[a])
+        )
+        a = lo + int(np.argmax(area2))
+        out[i + 1] = a
+    return out
+
+
+def lttb(
+    df: DataFrame,
+    n_out: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Downsample each key's series to at most ``n_out`` real points.
+
+    Output schema is exactly (key, ts, value) with the INPUT column types
+    (rows are a subset of input rows — LTTB never synthesizes points).
+    Rows are ordered (key, ts) within each group; ties on ts break on
+    value (stable mergesort) so the selection is deterministic regardless
+    of upstream row order.
+    """
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (key_col, ts_col, value_col):
+        if c not in fields:
+            raise ValueError(f"missing column {c!r}")
+    out_schema = "  ,".join(
+        f"`{c}` {fields[c].dataType.simpleString()}"
+        for c in (key_col, ts_col, value_col)
+    )
+    is_ts = fields[ts_col].dataType.simpleString().startswith("timestamp")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [ts_col, value_col], kind="mergesort", ignore_index=True
+        )
+        t = pdf[ts_col]
+        xs = (
+            t.astype("int64").to_numpy() / 1e9
+            if is_ts
+            else t.to_numpy(dtype=np.float64)
+        )
+        idx = lttb_indices(xs, pdf[value_col].to_numpy(np.float64), n_out)
+        return pdf.iloc[idx]
+
+    return (
+        df.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(run, out_schema)
+    )
