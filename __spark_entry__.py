@@ -461,6 +461,136 @@ def q_acf_lags(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_trend_slope(spark, sf_dir):
+    """Per-series OLS trend line (round 5): slope / intercept / R² of
+    value regressed on time — the trend-estimation primitive of the
+    reference domain (a level drift that rolling z-scores normalize away
+    shows up here). Cross-engine determinism the acf_lags way: x is the
+    integer second offset from the series' own first sample (shift
+    invariance of OLS; keeps x small enough that every int64 sufficient
+    statistic — n, Σx, Σy, Σxy, Σx², Σy² on the cent scale — stays exact
+    at the gate SFs: x ≤ ~2.6e6 s span, so n·Σx² ≤ ~3e18 at sf0.1), and
+    the only floating point is the closed form evaluated from those exact
+    integers, identically spelled in the oracle (factors cast to double
+    BEFORE any product that could overflow; intercept from the slope, not
+    from the Σy·Σx² form, whose integer numerator would overflow at
+    ~1e23). Slope is reported per DAY (per-second slopes round to zero at
+    4 dp). One hash exchange on user_id: the min-over-partition window
+    and the final groupBy share it. NULL-safe: constant series or a
+    single sample yields NULL slope/R², not a division error."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    sec = F.expr("unix_timestamp(ts)")
+    b = ev.select(
+        "user_id",
+        (sec - F.min(sec).over(w)).alias("_x"),
+        F.round(F.col("value") * 100).cast("long").alias("_y"),
+    )
+    s = b.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxy, sxx, syy = F.col("_sxy"), F.col("_sxx"), F.col("_syy")
+    fx = (n * sxx - sx * sx).cast("double")
+    fy = (n * syy - sy * sy).cast("double")
+    num = (n * sxy - sx * sy).cast("double")
+    slope_c = num / fx  # cents per second
+    intercept = (sy.cast("double") - slope_c * sx.cast("double")) / n / 100
+    return s.select(
+        "user_id",
+        n.alias("n"),
+        F.when(fx > 0, F.round(slope_c * 86400 / 100, 4)).alias("slope_day"),
+        F.when(fx > 0, F.round(intercept, 4)).alias("intercept"),
+        F.when((fx > 0) & (fy > 0), F.round(num * num / (fx * fy), 4)).alias(
+            "r2"
+        ),
+    ).orderBy("user_id")
+
+
+PSI_BINS = 10
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index per event_type vs the pooled corpus
+    (round 5) — the standard distribution-drift score a training-data /
+    model-monitoring pipeline runs per source before ingestion (PSI
+    > 0.25 = major shift, banking-scorecard folklore): Σ_bins
+    (p−q)·ln(p/q) with Laplace (+1) smoothing so empty bins are defined.
+    Binning is deterministic across engines: PSI_BINS equal-width bins on
+    the integer cent scale from the GLOBAL min/max — pure int64
+    arithmetic ((c−lo)·B div (hi−lo+1)), no percentile interpolation to
+    disagree on. Zero-count bins must contribute their smoothed mass, and
+    the naive way — a type×bin grid LEFT JOINed back onto the counts —
+    replicates the corpus-count subtree per margin (measured: 10 parquet
+    scans at plan time, exchange reuse only partial). Instead the plan is
+    LINEAR: one global min/max probe (broadcast back), one (type,bin)
+    partial-agg count, then the grid is densified FROM the counts via a
+    per-type bin→count MAP exploded against the static bin list, and the
+    pooled/total margins attach as windows over that ≤ types×B-row
+    relation. 100 TB shape: the corpus is scanned exactly twice (bounds +
+    counts, plan-asserted), reduced map-side to ≤ types×B counters per
+    task; every later exchange moves dimension-sized rows only."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("_c")
+    )
+    bounds = b.agg(F.min("_c").alias("_lo"), F.max("_c").alias("_hi"))
+    binned = b.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr(f"(_c - _lo) * {PSI_BINS} div (_hi - _lo + 1)").alias("_bin"),
+    )
+    per_type = (
+        binned.groupBy("event_type", "_bin")
+        .count()
+        .groupBy("event_type")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_bin", "count"))
+            ).alias("_m"),
+            F.sum("count").alias("_tt"),
+        )
+    )
+    dense = per_type.select(
+        "event_type",
+        "_tt",
+        "_m",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(PSI_BINS - 1).cast("long"))
+        ).alias("_bin"),
+    ).select(
+        "event_type",
+        "_tt",
+        "_bin",
+        F.coalesce(F.element_at("_m", F.col("_bin")), F.lit(0)).alias(
+            "_cnt"
+        ),
+    )
+    wb = Window.partitionBy("_bin")
+    wall = Window.partitionBy()
+    dense = dense.select(
+        "event_type",
+        "_tt",
+        "_cnt",
+        F.sum("_cnt").over(wb).alias("_cb"),
+        F.sum("_cnt").over(wall).alias("_tot"),
+    )
+    p = (F.col("_cnt") + 1.0) / (F.col("_tt") + float(PSI_BINS))
+    q = (F.col("_cb") + 1.0) / (F.col("_tot") + float(PSI_BINS))
+    return (
+        dense.groupBy("event_type")
+        .agg(
+            F.max("_tt").alias("n_events"),
+            F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_counter_rate(spark, sf_dir):
     """Monotonic-counter increase/rate per 5-minute bucket (round 5) —
     the monitoring-domain rate() primitive (PromQL/Graphite semantics,
@@ -1245,6 +1375,45 @@ def q_unigram_logprob(spark, sf_dir):
             F.round(F.avg(F.log(F.col("cnt") / F.col("n"))), 4).alias(
                 "logprob"
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_word_entropy(spark, sf_dir):
+    """Per-document word-unigram Shannon entropy in bits (round 5) — the
+    information-density quality signal (CCNet/Gopher family): repetitive
+    boilerplate scores low, natural prose ~7-10 bits at these doc sizes,
+    random token soup approaches log2(n_words). Computed in the
+    order-independent decomposition H = log2(n) − Σ c·log2(c) / n over
+    per-word counts c (one term per DISTINCT word, so the float sum has
+    vocabulary-size terms, not token-count terms; 4-dp rounding absorbs
+    the engines' differing summation order — the established float
+    policy). One hash exchange: the exploded tokens are pre-partitioned
+    on doc_id so the (doc,word) count and the per-doc reduce reuse it
+    (prefix partitioning satisfies the wider clustering, same shape as
+    q_gopher_repetition). 100 TB shape: per-doc state is bounded by doc
+    vocabulary; the single shuffle moves words, not documents."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("_w")
+        )
+        .repartition("doc_id")
+        .groupBy("doc_id", "_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    n = F.sum("_c").cast("long")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            n.alias("n_words"),
+            F.count("*").cast("long").alias("uniq_words"),
+            F.round(
+                F.log2(n)
+                - F.sum(F.col("_c") * F.log2("_c")) / n,
+                4,
+            ).alias("entropy_bits"),
         )
         .orderBy("doc_id")
     )
@@ -2186,6 +2355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_smooth": q_holt_smooth,
         "acf_lags": q_acf_lags,
         "counter_rate": q_counter_rate,
+        "trend_slope": q_trend_slope,
+        "psi_drift": q_psi_drift,
         "seasonal_profile": q_seasonal_profile,
         "time_weighted_avg": q_time_weighted_avg,
         "m4_downsample": q_m4_downsample,
@@ -2231,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "unigram_logprob": q_unigram_logprob,
+        "word_entropy": q_word_entropy,
         "gopher_repetition": q_gopher_repetition,
         "bigram_logprob": q_bigram_logprob,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2472,6 +2644,75 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(i) AS DOUBLE) / 100 / 300, 4) AS rate_per_s
         FROM k GROUP BY user_id, bucket_start
         ORDER BY user_id, bucket_start""",
+        "trend_slope": """
+        WITH b AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                   - min(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id) AS x,
+                 CAST(round(value * 100) AS BIGINT) AS y
+          FROM events
+        ), s AS (
+          SELECT user_id, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM b GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE)
+                               * 86400 / 100, 4)
+               END AS slope_day,
+               CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                    THEN round((CAST(sy AS DOUBLE)
+                                - CAST(n * sxy - sx * sy AS DOUBLE)
+                                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(sx AS DOUBLE)) / n / 100, 4)
+               END AS intercept,
+               CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                     AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                               * CAST(n * sxy - sx * sy AS DOUBLE)
+                               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+               END AS r2
+        FROM s ORDER BY user_id""",
+        "psi_drift": """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), bounds AS (
+          SELECT min(c) AS lo, max(c) AS hi FROM b
+        ), binned AS (
+          SELECT event_type, (c - lo) * 10 // (hi - lo + 1) AS bin
+          FROM b CROSS JOIN bounds
+        ), g AS (
+          SELECT event_type, bin, count(*) AS cnt
+          FROM binned GROUP BY event_type, bin
+        ), tt AS (
+          SELECT event_type, sum(cnt) AS tt FROM g GROUP BY event_type
+        ), pooled AS (
+          SELECT bin, sum(cnt) AS cb FROM g GROUP BY bin
+        ), tot AS (
+          SELECT sum(cnt) AS tot FROM g
+        ), grid AS (
+          SELECT t.event_type, t.tt, bb.bin
+          FROM tt t CROSS JOIN
+               (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7, 8, 9]) AS bin) bb
+        ), j AS (
+          SELECT gr.event_type, gr.tt,
+                 (coalesce(g.cnt, 0) + 1.0) / (gr.tt + 10.0) AS p,
+                 (coalesce(p2.cb, 0) + 1.0) / (tot.tot + 10.0) AS q
+          FROM grid gr
+          LEFT JOIN g ON g.event_type = gr.event_type AND g.bin = gr.bin
+          LEFT JOIN pooled p2 ON p2.bin = gr.bin
+          CROSS JOIN tot
+        )
+        SELECT event_type, CAST(max(tt) AS BIGINT) AS n_events,
+               round(sum((p - q) * ln(p / q)), 4) AS psi
+        FROM j GROUP BY event_type ORDER BY event_type""",
         "time_weighted_avg": f"""
         WITH b AS (
           SELECT user_id,
@@ -2822,6 +3063,20 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ln(CAST(cnt AS DOUBLE) / n)), 4) AS logprob
         FROM t JOIN c USING (tok) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id""",
+        "word_entropy": """
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ), c AS (
+          SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS uniq_words,
+               round(log2(CAST(sum(c) AS BIGINT))
+                     - sum(c * log2(c)) / CAST(sum(c) AS BIGINT), 4)
+                 AS entropy_bits
+        FROM c GROUP BY doc_id ORDER BY doc_id""",
         "gopher_repetition": """
         WITH s AS (
           SELECT doc_id,

@@ -271,3 +271,37 @@ def test_gopher_and_bigram_lm_plans(spark):
     n = plan.count("Exchange hashpartitioning")
     assert n == 3, f"bigram_logprob: {n} hash exchanges\n{plan[:2000]}"
     assert plan.count("BroadcastHashJoin") == 2, plan[:2000]
+
+
+def test_trend_psi_entropy_plans(spark):
+    """trend_slope: the min-over-partition window and the sufficient-
+    statistics groupBy share ONE user_id hash exchange; one scan; UDF-free
+    closed form. word_entropy: the exploded tokens are pre-partitioned
+    once on doc_id and both groupBys reuse it (the gopher shape) — exactly
+    1 hashpartitioning, 1 scan. psi_drift: the corpus is scanned exactly
+    TWICE (global min/max probe + binned partial-agg count) and never
+    joined to itself — the dense grid is derived from the per-type count
+    MAP, so there is no replicated count subtree (the naive grid-join form
+    measured 10 scans); every exchange after the (type,bin) count moves
+    dimension-sized rows only."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_trend_slope(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"trend_slope: {n} hash exchanges\n{plan[:2000]}"
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+    plan = _plan(E.q_word_entropy(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"word_entropy: {n} hash exchanges\n{plan[:2000]}"
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+    plan = _plan(E.q_psi_drift(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    scans = plan.count("Scan parquet")
+    assert scans == 2, f"psi_drift: {scans} corpus scans\n{plan[:2500]}"
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"psi_drift: {n} hash exchanges\n{plan[:2500]}"
