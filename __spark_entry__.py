@@ -513,6 +513,64 @@ def q_trend_slope(spark, sf_dir):
 
 
 PSI_BINS = 10
+KS_BINS = 100
+
+
+def _binned_dense(spark, sf_dir, nbins):
+    """Shared drift-stat scaffold: events discretized into ``nbins``
+    equal-width integer-cent bins from the GLOBAL min/max, returned as
+    the DENSE (event_type, _bin) grid — zero-count bins present — with
+    per-type total ``_tt``, pooled per-bin count ``_cb``, and grand total
+    ``_tot``. Linear plan (no grid self-join): bounds probe broadcast
+    back, one (type,bin) partial-agg count, per-type bin→count MAP
+    exploded against the static bin list, margins as windows over the
+    ≤ types×nbins-row relation. Exactly two corpus scans, plan-asserted
+    via q_psi_drift/q_ks_drift."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("_c")
+    )
+    bounds = b.agg(F.min("_c").alias("_lo"), F.max("_c").alias("_hi"))
+    binned = b.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr(f"(_c - _lo) * {nbins} div (_hi - _lo + 1)").alias("_bin"),
+    )
+    per_type = (
+        binned.groupBy("event_type", "_bin")
+        .count()
+        .groupBy("event_type")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_bin", "count"))
+            ).alias("_m"),
+            F.sum("count").alias("_tt"),
+        )
+    )
+    dense = per_type.select(
+        "event_type",
+        "_tt",
+        "_m",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(nbins - 1).cast("long"))
+        ).alias("_bin"),
+    ).select(
+        "event_type",
+        "_tt",
+        "_bin",
+        F.coalesce(F.element_at("_m", F.col("_bin")), F.lit(0)).alias(
+            "_cnt"
+        ),
+    )
+    wb = Window.partitionBy("_bin")
+    wall = Window.partitionBy()
+    return dense.select(
+        "event_type",
+        "_tt",
+        "_bin",
+        "_cnt",
+        F.sum("_cnt").over(wb).alias("_cb"),
+        F.sum("_cnt").over(wall).alias("_tot"),
+    )
 
 
 def q_psi_drift(spark, sf_dir):
@@ -535,50 +593,7 @@ def q_psi_drift(spark, sf_dir):
     relation. 100 TB shape: the corpus is scanned exactly twice (bounds +
     counts, plan-asserted), reduced map-side to ≤ types×B counters per
     task; every later exchange moves dimension-sized rows only."""
-    ev = _t(spark, sf_dir, "events")
-    b = ev.select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("_c")
-    )
-    bounds = b.agg(F.min("_c").alias("_lo"), F.max("_c").alias("_hi"))
-    binned = b.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        F.expr(f"(_c - _lo) * {PSI_BINS} div (_hi - _lo + 1)").alias("_bin"),
-    )
-    per_type = (
-        binned.groupBy("event_type", "_bin")
-        .count()
-        .groupBy("event_type")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("_bin", "count"))
-            ).alias("_m"),
-            F.sum("count").alias("_tt"),
-        )
-    )
-    dense = per_type.select(
-        "event_type",
-        "_tt",
-        "_m",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(PSI_BINS - 1).cast("long"))
-        ).alias("_bin"),
-    ).select(
-        "event_type",
-        "_tt",
-        "_bin",
-        F.coalesce(F.element_at("_m", F.col("_bin")), F.lit(0)).alias(
-            "_cnt"
-        ),
-    )
-    wb = Window.partitionBy("_bin")
-    wall = Window.partitionBy()
-    dense = dense.select(
-        "event_type",
-        "_tt",
-        "_cnt",
-        F.sum("_cnt").over(wb).alias("_cb"),
-        F.sum("_cnt").over(wall).alias("_tot"),
-    )
+    dense = _binned_dense(spark, sf_dir, PSI_BINS)
     p = (F.col("_cnt") + 1.0) / (F.col("_tt") + float(PSI_BINS))
     q = (F.col("_cb") + 1.0) / (F.col("_tot") + float(PSI_BINS))
     return (
@@ -586,6 +601,43 @@ def q_psi_drift(spark, sf_dir):
         .agg(
             F.max("_tt").alias("n_events"),
             F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_ks_drift(spark, sf_dir):
+    """Binned two-sample Kolmogorov–Smirnov drift statistic per
+    event_type vs the pooled corpus (round 5) — the distribution-shape
+    complement of q_psi_drift: D = max over bins |ECDF_type − ECDF_pool|
+    on KS_BINS equal-width integer-cent bins. Exact KS needs global order
+    statistics (a full sort by value — the one thing to avoid at corpus
+    scale); the binned ECDF is the standard histogram discretization and
+    is computed EXACTLY by both engines: integer cumulative counts via a
+    running-sum window over the dense ≤ types×KS_BINS-row grid, one
+    int/int division per row (no float accumulation at all — each D
+    candidate is a single expression, max is order-independent, so this
+    oracle is bit-exact even before rounding). Same linear two-scan plan
+    as PSI via _binned_dense."""
+    dense = _binned_dense(spark, sf_dir, KS_BINS)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = dense.select(
+        "event_type",
+        "_tt",
+        (F.sum("_cnt").over(wcum) / F.col("_tt")).alias("_et"),
+        (F.sum("_cb").over(wcum) / F.col("_tot")).alias("_ep"),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("_tt").alias("n_events"),
+            F.round(F.max(F.abs(F.col("_et") - F.col("_ep"))), 4).alias(
+                "ks"
+            ),
         )
         .orderBy("event_type")
     )
@@ -2357,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "trend_slope": q_trend_slope,
         "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
         "seasonal_profile": q_seasonal_profile,
         "time_weighted_avg": q_time_weighted_avg,
         "m4_downsample": q_m4_downsample,
@@ -2713,6 +2766,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, CAST(max(tt) AS BIGINT) AS n_events,
                round(sum((p - q) * ln(p / q)), 4) AS psi
         FROM j GROUP BY event_type ORDER BY event_type""",
+        "ks_drift": """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), bounds AS (
+          SELECT min(c) AS lo, max(c) AS hi FROM b
+        ), binned AS (
+          SELECT event_type, (c - lo) * 100 // (hi - lo + 1) AS bin
+          FROM b CROSS JOIN bounds
+        ), g AS (
+          SELECT event_type, bin, count(*) AS cnt
+          FROM binned GROUP BY event_type, bin
+        ), tt AS (
+          SELECT event_type, sum(cnt) AS tt FROM g GROUP BY event_type
+        ), pooled AS (
+          SELECT bin, sum(cnt) AS cb FROM g GROUP BY bin
+        ), tot AS (
+          SELECT sum(cnt) AS tot FROM g
+        ), grid AS (
+          SELECT t.event_type, t.tt, bb.range AS bin
+          FROM tt t CROSS JOIN range(0, 100) bb
+        ), j AS (
+          SELECT gr.event_type, gr.tt, gr.bin,
+                 coalesce(g.cnt, 0) AS cnt,
+                 coalesce(p2.cb, 0) AS cb, tot.tot
+          FROM grid gr
+          LEFT JOIN g ON g.event_type = gr.event_type AND g.bin = gr.bin
+          LEFT JOIN pooled p2 ON p2.bin = gr.bin
+          CROSS JOIN tot
+        ), c AS (
+          SELECT event_type, tt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                   / tt AS et,
+                 sum(cb) OVER (PARTITION BY event_type ORDER BY bin)
+                   / tot AS ep
+          FROM j
+        )
+        SELECT event_type, CAST(max(tt) AS BIGINT) AS n_events,
+               round(max(abs(et - ep)), 4) AS ks
+        FROM c GROUP BY event_type ORDER BY event_type""",
         "time_weighted_avg": f"""
         WITH b AS (
           SELECT user_id,

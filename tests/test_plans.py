@@ -298,10 +298,11 @@ def test_trend_psi_entropy_plans(spark):
     assert n == 1, f"word_entropy: {n} hash exchanges\n{plan[:2000]}"
     assert plan.count("Scan parquet") == 1, plan[:2000]
 
-    plan = _plan(E.q_psi_drift(spark, "/root/testdata/sf0.001"))
-    assert "EvalPython" not in plan, plan[:1500]
-    assert "SortMergeJoin" not in plan, plan[:2000]
-    scans = plan.count("Scan parquet")
-    assert scans == 2, f"psi_drift: {scans} corpus scans\n{plan[:2500]}"
-    n = plan.count("Exchange hashpartitioning")
-    assert n <= 3, f"psi_drift: {n} hash exchanges\n{plan[:2500]}"
+    for q in (E.q_psi_drift, E.q_ks_drift):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "EvalPython" not in plan, plan[:1500]
+        assert "SortMergeJoin" not in plan, plan[:2000]
+        scans = plan.count("Scan parquet")
+        assert scans == 2, f"{q.__name__}: {scans} corpus scans\n{plan[:2500]}"
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= 4, f"{q.__name__}: {n} hash exchanges\n{plan[:2500]}"
