@@ -110,6 +110,44 @@ def q_detect(spark, sf_dir):
     )
 
 
+def q_anomaly_runs(spark, sf_dir):
+    """Anomaly EPISODE statistics (round 5): consecutive flagged points
+    (the R4 detect criterion, score > k strictly) collapse into runs via
+    the gaps-and-islands difference-of-row-numbers identity, and each
+    user reports total flagged points, number of distinct episodes, and
+    the longest episode — the alert-deduplication view every monitoring
+    stack serves (one page per episode, not per point). Exact integer
+    outputs, so the oracle is hash-exact with no float policy needed.
+    ONE user_id exchange end-to-end: the rolling-score window, both
+    row_number windows, the (user, island) groupBy, and the final per-
+    user aggregate all reuse HashPartitioning(user_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = _scored_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("_score") > K_EVENTS).alias("_f"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    islands = (
+        r.where("_f")
+        .select(
+            "user_id", (F.col("_rn") - F.row_number().over(w)).alias("_grp")
+        )
+        .groupBy("user_id", "_grp")
+        .agg(F.count("*").alias("_len"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("_len").cast("long").alias("n_anoms"),
+            F.count("*").cast("long").alias("n_episodes"),
+            F.max("_len").cast("long").alias("max_run"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (round 5): one row per (user, session)
     where a session is a maximal run of events with <= 5 minutes between
@@ -2398,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_score": q_anomaly_score,
         "detect": q_detect,
         "detect_count_per_user": q_detect_count_per_user,
+        "anomaly_runs": q_anomaly_runs,
         "sliding_window_counts": q_sliding_window_counts,
         "user_sessions": q_user_sessions,
         "bucket_quantiles": q_bucket_quantiles,
@@ -2524,6 +2563,30 @@ def oracle_sql() -> dict[str, str]:
         "detect_count_per_user": _ROLLING_SQL_BASE
         + f"SELECT user_id, CAST(count(*) FILTER ({score_expr} > {K_EVENTS}) AS BIGINT) AS anomalies "
         "FROM t GROUP BY user_id",
+        "anomaly_runs": _ROLLING_SQL_BASE
+        + f""",
+        s0 AS (
+          SELECT user_id, event_id, {score_expr} AS s FROM t
+        ), j AS (
+          SELECT s0.user_id, s0.event_id, e.ts, s0.s
+          FROM s0 JOIN events e USING (event_id)
+        ), r AS (
+          SELECT user_id, ts, event_id, s,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM j
+        ), fl AS (
+          SELECT user_id,
+                 rn - row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+          FROM r WHERE s > {K_EVENTS}
+        ), ep AS (
+          SELECT user_id, grp, count(*) AS len
+          FROM fl GROUP BY user_id, grp
+        )
+        SELECT user_id, CAST(sum(len) AS BIGINT) AS n_anoms,
+               count(*) AS n_episodes, CAST(max(len) AS BIGINT) AS max_run
+        FROM ep GROUP BY user_id ORDER BY user_id""",
         "rollup_minute": _ROLLING_SQL_BASE
         + f""",
         j AS (SELECT t.*, e.ts FROM t JOIN events e USING (event_id))

@@ -292,6 +292,11 @@ def test_trend_psi_entropy_plans(spark):
     assert n == 1, f"trend_slope: {n} hash exchanges\n{plan[:2000]}"
     assert plan.count("Scan parquet") == 1, plan[:2000]
 
+    plan = _plan(E.q_anomaly_runs(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"anomaly_runs: {n} hash exchanges\n{plan[:2000]}"
+
     plan = _plan(E.q_word_entropy(spark, "/root/testdata/sf0.001"))
     assert "EvalPython" not in plan, plan[:1500]
     n = plan.count("Exchange hashpartitioning")
