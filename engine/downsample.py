@@ -101,6 +101,9 @@ def lttb(
             [ts_col, value_col], kind="mergesort", ignore_index=True
         )
         t = pdf[ts_col]
+        # Raw int64 epoch ticks; the stored unit (us vs ns) is irrelevant
+        # because LTTB's argmax is invariant under any linear rescale of x
+        # (a common factor multiplies every candidate triangle area).
         xs = (
             t.astype("int64").to_numpy() / 1e9
             if is_ts

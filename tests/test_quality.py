@@ -123,3 +123,59 @@ def test_embedding_near_dup_pairs_recall_and_exactness(spark):
         assert pair in true and abs(true[pair] - c) < 1e-9, pair
     recall = len(got) / len(true)
     assert recall >= 0.25, (recall, len(got), len(true))
+
+
+def test_stat_queries_match_numpy_reference(spark):
+    """trend_slope / psi_drift / ks_drift vs straight-line NumPy
+    re-implementations — a third implementation independent of BOTH the
+    Spark plan and the DuckDB oracle SQL, so a shared conceptual bug in
+    the twin pair can't hide. Tolerance 5e-4 (the queries round to 4 dp;
+    NumPy aggregates in yet another float order)."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["c"] = (ev["value"] * 100).round().astype(np.int64)
+
+    # --- trend_slope
+    got = {
+        r["user_id"]: r
+        for r in E.q_trend_slope(spark, sf).collect()
+    }
+    for uid, g in ev.groupby("user_id"):
+        # datetime64[s] is unit-safe: the parquet column is stored in
+        # microseconds, so a raw int64 view would be 1e6-scaled
+        x = g["ts"].to_numpy(dtype="datetime64[s]").astype(np.int64)
+        x = (x - x.min()).astype(np.float64)
+        y = g["c"].to_numpy(np.float64) / 100.0
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        row = got[uid]
+        assert abs(row["slope_day"] - slope * 86400) < 5e-4, uid
+        assert abs(row["intercept"] - intercept) < 5e-4, uid
+        assert abs(row["r2"] - r * r) < 5e-4, uid
+
+    # --- psi_drift / ks_drift (shared binning)
+    lo, hi = ev["c"].min(), ev["c"].max()
+    psi_got = {r["event_type"]: r["psi"] for r in E.q_psi_drift(spark, sf).collect()}
+    ks_got = {r["event_type"]: r["ks"] for r in E.q_ks_drift(spark, sf).collect()}
+    for nbins, out in ((10, "psi"), (100, "ks")):
+        bins = ((ev["c"] - lo) * nbins // (hi - lo + 1)).to_numpy()
+        pooled = np.bincount(bins, minlength=nbins).astype(np.float64)
+        for et, g in ev.groupby("event_type"):
+            cnt = np.bincount(
+                ((g["c"] - lo) * nbins // (hi - lo + 1)).to_numpy(),
+                minlength=nbins,
+            ).astype(np.float64)
+            if out == "psi":
+                p = (cnt + 1) / (cnt.sum() + nbins)
+                q = (pooled + 1) / (pooled.sum() + nbins)
+                want = float(np.sum((p - q) * np.log(p / q)))
+                assert abs(psi_got[et] - want) < 5e-4, et
+            else:
+                d = np.abs(
+                    np.cumsum(cnt) / cnt.sum() - np.cumsum(pooled) / pooled.sum()
+                ).max()
+                assert abs(ks_got[et] - d) < 5e-4, et
