@@ -644,6 +644,46 @@ def q_psi_drift(spark, sf_dir):
     )
 
 
+def _psi_params(ev, nbins=PSI_BINS):
+    """Static calibration table for engine.streaming.psi_stream:
+    (event_type, lo, hi, ref: array<long>, rtot) — global integer-cent
+    bin edges plus the POOLED reference histogram, densified to the full
+    bin list exactly like _binned_dense. A one-off batch calibration
+    step; every relation here is bin- or type-sized after one corpus
+    aggregation."""
+    b = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("_c")
+    )
+    bounds = b.agg(F.min("_c").alias("lo"), F.max("_c").alias("hi"))
+    binned = b.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr(f"(_c - lo) * {nbins} div (hi - lo + 1)").alias("_bin"),
+    )
+    ref = (
+        binned.groupBy("_bin")
+        .count()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_bin", "count"))
+            ).alias("_m"),
+            F.sum("count").alias("rtot"),
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0, {nbins - 1}), "
+                "i -> coalesce(element_at(_m, cast(i AS bigint)), 0))"
+            ).alias("ref"),
+            "rtot",
+        )
+    )
+    return (
+        binned.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(ref))
+    )
+
+
 def q_ks_drift(spark, sf_dir):
     """Binned two-sample Kolmogorov–Smirnov drift statistic per
     event_type vs the pooled corpus (round 5) — the distribution-shape

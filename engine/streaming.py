@@ -414,3 +414,81 @@ def cusum_stream(
     return joined.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def psi_stream(
+    events_stream: DataFrame,
+    params: DataFrame,
+    nbins: int = 10,
+) -> DataFrame:
+    """Streaming Population Stability Index — the stateful twin of the
+    batch drift query (__spark_entry__.py::q_psi_drift): per event_type,
+    the PSI of the stream's CUMULATIVE value distribution against a
+    static calibration histogram, re-emitted after every micro-batch (the
+    model-monitoring shape: live traffic vs training-time reference; a
+    rising curve is the drift alarm).
+
+    ``params`` is the static calibration table from
+    __spark_entry__._psi_params — (event_type, lo, hi, ref: array<long>,
+    rtot) — broadcast into the stream like cusum_stream's calibration:
+    bin edges and reference mass come from a calibration window, never
+    from the live stream. State per key is the nbins int64 bin counters
+    (array<long> state column), O(nbins) regardless of stream length.
+    Counting is EXACT integer accumulation, so when the calibration
+    histogram is the pooled histogram of the same data the final per-type
+    PSI equals the batch query's to float reordering (≈1e-15; pinned in
+    test_streaming at 6e-5 against the 4-dp batch value). Stream values
+    outside the calibration range clip into the edge bins (documented
+    production behavior; a no-op under the parity fixture where lo/hi
+    are the data's own extrema).
+
+    Same ingest contract as the other stateful ops: file-drop source,
+    availableNow drains, checkpointed restart carries the counters.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "event_type string, n_events long, psi double"
+    state_schema = "cnt array<long>"
+    joined = events_stream.join(F.broadcast(params), "event_type")
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        cnt = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(nbins, dtype=np.int64)
+        )
+        chunks = [pdf for pdf in pdf_iter]
+        if not chunks:
+            state.update((cnt.tolist(),))
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        c = np.round(pdf["value"].to_numpy(np.float64) * 100).astype(
+            np.int64
+        )
+        lo = int(pdf["lo"].iloc[0])
+        hi = int(pdf["hi"].iloc[0])
+        b = (c - lo) * nbins // (hi - lo + 1)
+        b = np.clip(b, 0, nbins - 1)
+        cnt = cnt + np.bincount(b, minlength=nbins)
+        ref = np.asarray(pdf["ref"].iloc[0], dtype=np.float64)
+        rtot = float(pdf["rtot"].iloc[0])
+        n = float(cnt.sum())
+        # identical smoothing spelling to the batch query
+        p = (cnt + 1.0) / (n + float(nbins))
+        q = (ref + 1.0) / (rtot + float(nbins))
+        psi = float(np.sum((p - q) * np.log(p / q)))
+        state.update((cnt.tolist(),))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [int(cnt.sum())],
+                "psi": [psi],
+            }
+        )
+
+    return joined.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -662,3 +662,81 @@ def test_stream_detect_cli_cusum_mode(spark, tmp_path):
         for rr in entrymod._cusum_raw(ev).collect()
     }
     assert got == want
+
+
+def test_psi_batch_stream_parity(spark, tmp_path):
+    """Round-5 twin pin for the drift family: psi_stream over TWO file
+    drops with a checkpointed restart, calibrated on the full fixture's
+    pooled histogram, must end (last emitted row per type) within 6e-5 of
+    the 4-dp batch q_psi_drift on the same data — the integer bin
+    counters are carried exactly across the restart, so the only slack is
+    the batch value's rounding plus float reordering in the 10-term sum.
+    n_events must match exactly."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entrymod
+    from engine.streaming import psi_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    params = entrymod._psi_params(ev).cache()
+    params.count()
+
+    t_split = ev.agg(
+        F.expr("percentile(unix_timestamp(ts), 0.5)").cast("long").alias("t")
+    ).collect()[0]["t"]
+    src = str(tmp_path / "events_psi")
+    ckpt = str(tmp_path / "ckpt_psi")
+    outdir = str(tmp_path / "out_psi")
+    os.makedirs(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        ).parquet(f"{src}/*")
+        q = (
+            psi_stream(stream, params)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    ev.where(F.unix_timestamp("ts") < t_split).write.parquet(f"{src}/d1")
+    run()
+    ev.where(F.unix_timestamp("ts") >= t_split).write.parquet(f"{src}/d2")
+    run()
+
+    out = spark.read.parquet(outdir).collect()
+    # two emissions per type (one per drained drop); keep the final one
+    last = {}
+    for r in out:
+        if (
+            r["event_type"] not in last
+            or r["n_events"] > last[r["event_type"]]["n_events"]
+        ):
+            last[r["event_type"]] = r
+    want = {
+        r["event_type"]: r
+        for r in entrymod.q_psi_drift(spark, sf_dir).collect()
+    }
+    assert set(last) == set(want)
+    for et, w in want.items():
+        assert last[et]["n_events"] == w["n_events"], et
+        assert abs(last[et]["psi"] - w["psi"]) < 6e-5, (
+            et,
+            last[et]["psi"],
+            w["psi"],
+        )
+    # restart carried state: drop-2 emission reflects BOTH drops
+    assert all(
+        last[et]["n_events"] == want[et]["n_events"] for et in want
+    )
