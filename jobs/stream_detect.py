@@ -28,6 +28,13 @@ calibration table (user_id, med, iqr) written beforehand from a history
 window — e.g. ``__spark_entry__._cusum_params(batch_df).write.parquet(...)``
 — and is broadcast-joined into the stream. Output columns become
 (user_id, event_id, cpos, cneg, alarm).
+
+``--psi PARAMS.parquet`` (round 5) runs the streaming distribution-drift
+monitor instead (engine/streaming.py::psi_stream): PARAMS is the
+calibration table (event_type, lo, hi, ref, rtot) from
+``__spark_entry__._psi_params(batch_df)``; the sink receives one
+(event_type, n_events, psi) row per type per drained micro-batch — the
+row with the highest n_events per type is the current drift level.
 """
 
 from __future__ import annotations
@@ -42,6 +49,10 @@ from engine.session import get_spark
 from engine.streaming import stateful_detect_stream_late
 
 EVENTS_DDL = "event_id long, ts timestamp, user_id bigint, value double"
+PSI_EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id bigint, "
+    "event_type string, value double"
+)
 
 
 def start_detect_stream(
@@ -58,14 +69,21 @@ def start_detect_stream(
     max_files_per_trigger: int = 64,
     cusum_params: str | None = None,
     cusum_h_mult: float = 5.0,
+    psi_params: str | None = None,
 ):
     """Build and start the query; returns the StreamingQuery handle."""
+    ddl = PSI_EVENTS_DDL if psi_params is not None else EVENTS_DDL
     stream = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(ddl)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-    if cusum_params is not None:
+    if psi_params is not None:
+        from engine.streaming import psi_stream
+
+        params = spark.read.parquet(psi_params)
+        flagged = psi_stream(stream, params)
+    elif cusum_params is not None:
         from engine.streaming import cusum_stream
 
         params = spark.read.parquet(cusum_params)
@@ -105,6 +123,9 @@ def main() -> None:
                          "calibrated by this (user_id, med, iqr) table")
     ap.add_argument("--cusum-h-mult", type=float, default=5.0,
                     help="alarm threshold in IQR units (default 5)")
+    ap.add_argument("--psi", default=None, metavar="PARAMS_PARQUET",
+                    help="run the streaming PSI drift monitor instead, "
+                         "calibrated by this _psi_params table")
     ap.add_argument("--follow", action="store_true",
                     help="run continuously instead of draining and exiting")
     ap.add_argument("--trigger-seconds", type=int, default=5)
@@ -120,6 +141,7 @@ def main() -> None:
         flush_after_ms=args.flush_after_ms,
         available_now=not args.follow, trigger_seconds=args.trigger_seconds,
         cusum_params=args.cusum, cusum_h_mult=args.cusum_h_mult,
+        psi_params=args.psi,
     )
     if args.follow and args.timeout:
         q.awaitTermination(args.timeout)

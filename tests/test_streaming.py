@@ -740,3 +740,57 @@ def test_psi_batch_stream_parity(spark, tmp_path):
     assert all(
         last[et]["n_events"] == want[et]["n_events"] for et in want
     )
+
+
+def test_stream_detect_cli_psi_mode(spark, tmp_path):
+    """jobs/stream_detect.py --psi (round 5): the streaming drift monitor
+    is drivable from the CLI — calibration written by _psi_params, one
+    real process drains the drop, and the sink's final per-type rows
+    match batch q_psi_drift (exact n_events; psi within the 4-dp
+    rounding slack)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "events")
+    pdir = str(tmp_path / "params")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    os.makedirs(src)
+    ev.coalesce(1).write.parquet(f"{src}/d1")
+    entrymod._psi_params(ev).coalesce(1).write.parquet(pdir)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [
+        _sys.executable, os.path.join(repo, "jobs", "stream_detect.py"),
+        "--events", f"{src}/*", "--out", outdir, "--checkpoint", ckpt,
+        "--psi", pdir, "--master", "local[2]", "--timeout", "300",
+    ]
+    r = subprocess.run(cmd, cwd=repo, capture_output=True, text=True,
+                       env=dict(os.environ, SPARK_DRIVER_MEMORY="2g"),
+                       timeout=420)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    rows = spark.read.parquet(outdir).collect()
+    last = {}
+    for rr in rows:
+        if (
+            rr["event_type"] not in last
+            or rr["n_events"] > last[rr["event_type"]]["n_events"]
+        ):
+            last[rr["event_type"]] = rr
+    want = {
+        rr["event_type"]: rr
+        for rr in entrymod.q_psi_drift(spark, sf_dir).collect()
+    }
+    assert set(last) == set(want)
+    for et, w in want.items():
+        assert last[et]["n_events"] == w["n_events"], et
+        assert abs(last[et]["psi"] - w["psi"]) < 6e-5, et
