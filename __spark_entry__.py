@@ -550,6 +550,167 @@ def q_trend_slope(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_pettitt_change(spark, sf_dir):
+    """Pettitt changepoint test per series (round 5): the classic
+    rank-based single-changepoint detector (Pettitt 1979) — locates the
+    split t that maximizes |U_t| where U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i−x_j),
+    the level-shift complement to CUSUM (which needs a calibrated target)
+    and trend_slope (which assumes a linear drift). Exact integer
+    arithmetic end-to-end via the rank identity U_t = 2·S_t − t(n+1) with
+    midranks S_t: midranks are half-integers under even ties, so we carry
+    DOUBLED midranks d_i = 2·rank_i + (#peers − 1) (int64) and the
+    identity becomes U_t = Σ_{i≤t} d_i − t(n+1) exactly — no floats until
+    the final approximate p-value 2·exp(−6K²/(n³+n²)), evaluated from the
+    exact integers with identical spelling in both engines. One hash
+    exchange: every window partitions by user_id only (the tie count
+    reuses the value-sort via a RANGE CURRENT ROW peers frame instead of
+    a (user, value)-keyed window, which would add a second exchange);
+    Catalyst sorts the single exchange three times (by value, by time,
+    by |U|), all pipelined. Argmax is deterministic: earliest t wins
+    ties. NULL-safe: a 1-row series has no interior split and drops out
+    (t < n filter) in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    sec = F.expr("unix_timestamp(ts)")
+    base = ev.select(
+        "user_id", sec.alias("_sec"), "event_id", c.alias("_c")
+    )
+    w_val = Window.partitionBy("user_id").orderBy("_c")
+    w_peers = w_val.rangeBetween(Window.currentRow, Window.currentRow)
+    w_time = Window.partitionBy("user_id").orderBy("_sec", "event_id")
+    w_all = Window.partitionBy("user_id")
+    ranked = base.select(
+        "user_id",
+        "_sec",
+        (2 * F.rank().over(w_val) + F.count("*").over(w_peers) - 1)
+        .cast("long")
+        .alias("_d"),
+        F.row_number().over(w_time).cast("long").alias("_t"),
+        F.count("*").over(w_all).cast("long").alias("_n"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = ranked.select(
+        "user_id",
+        "_sec",
+        "_t",
+        "_n",
+        (F.sum("_d").over(w_cum) - F.col("_t") * (F.col("_n") + 1)).alias(
+            "_u"
+        ),
+    ).filter(F.col("_t") < F.col("_n"))
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.abs("_u").desc(), F.col("_t").asc()
+    )
+    best = u.select(
+        "user_id",
+        "_sec",
+        "_t",
+        "_n",
+        F.abs("_u").alias("_au"),
+        F.row_number().over(w_pick).alias("_rn"),
+    ).filter(F.col("_rn") == 1)
+    k = F.col("_au").cast("double")
+    nn = F.col("_n")
+    denom = (nn * nn * nn + nn * nn).cast("double")
+    return best.select(
+        "user_id",
+        nn.alias("n"),
+        F.col("_au").alias("k_stat"),
+        F.col("_t").alias("change_t"),
+        F.col("_sec").alias("change_sec"),
+        F.round(F.least(F.lit(1.0), 2 * F.exp(-6.0 * k * k / denom)), 6)
+        .alias("p_approx"),
+    ).orderBy("user_id")
+
+
+def q_seasonality_strength(spark, sf_dir):
+    """Seasonality-strength decomposition per series (round 5): the
+    variance-explained statistic 1 − SSW/SST of the hour-of-day one-way
+    decomposition — how much of a series' variance the 24-slot periodic
+    baseline (q_seasonal_profile's seasonal component) would remove; the
+    STL "strength of seasonality" measure for a single known period
+    (Cleveland et al. 1990, Hyndman FPP §12.2). Determinism: per-cell
+    sufficient statistics (n_h, Σy_h, Σy²_h) are exact int64 cents; each
+    cell's within-SS term Σy²_h − (Σy_h)²/n_h is ONE identically-spelled
+    double expression; and the ≤24 per-hour terms are summed by an
+    ORDERED left fold (sort_array + aggregate HOF / DuckDB list(ORDER BY)
+    + list_reduce — the q_ewma_score trick) instead of an unordered float
+    aggregate, so both engines produce bit-identical doubles. Peak/trough
+    hours argmax by per-hour mean with hod-asc tie-break. 100 TB shape:
+    ONE corpus shuffle to the (user × 24)-cell grid with map-side partial
+    aggregation; everything after runs on the tiny cell table (the
+    peak-hour conditional agg and the final join are users-sized)."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    cell = (
+        ev.select("user_id", F.hour("ts").alias("hod"), c.alias("_c"))
+        .groupBy("user_id", "hod")
+        .agg(
+            F.count("*").cast("long").alias("_nh"),
+            F.sum("_c").alias("_sh"),
+            F.sum(F.col("_c") * F.col("_c")).alias("_qh"),
+        )
+        .select(
+            "user_id",
+            "hod",
+            "_nh",
+            "_sh",
+            "_qh",
+            (
+                F.col("_qh").cast("double")
+                - F.col("_sh").cast("double")
+                * F.col("_sh").cast("double")
+                / F.col("_nh").cast("double")
+            ).alias("_term"),
+            (F.col("_sh").cast("double") / F.col("_nh").cast("double"))
+            .alias("_hmean"),
+        )
+    )
+    w_pk = Window.partitionBy("user_id").orderBy(
+        F.col("_hmean").desc(), F.col("hod").asc()
+    )
+    w_tr = Window.partitionBy("user_id").orderBy(
+        F.col("_hmean").asc(), F.col("hod").asc()
+    )
+    marks = cell.select(
+        "user_id",
+        "hod",
+        F.row_number().over(w_pk).alias("_rpk"),
+        F.row_number().over(w_tr).alias("_rtr"),
+    )
+    extremes = marks.groupBy("user_id").agg(
+        F.max(F.when(F.col("_rpk") == 1, F.col("hod"))).alias("peak_hour"),
+        F.max(F.when(F.col("_rtr") == 1, F.col("hod"))).alias("trough_hour"),
+    )
+    g = cell.groupBy("user_id").agg(
+        F.sum("_nh").cast("long").alias("_n"),
+        F.sum("_sh").alias("_sy"),
+        F.sum("_qh").alias("_syy"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("hod"), F.col("_term").alias("t")))
+        ).alias("_terms"),
+    )
+    ssw = F.expr("aggregate(_terms, 0.0d, (s, x) -> s + x.t)")
+    sst = (
+        F.col("_syy").cast("double")
+        - F.col("_sy").cast("double")
+        * F.col("_sy").cast("double")
+        / F.col("_n").cast("double")
+    )
+    scored = g.select(
+        "user_id",
+        F.col("_n").alias("n"),
+        F.when(sst > 0, F.round(1 - ssw / sst, 4)).alias(
+            "seasonal_strength"
+        ),
+    )
+    return scored.join(F.broadcast(extremes), "user_id").orderBy("user_id")
+
+
 PSI_BINS = 10
 KS_BINS = 100
 
@@ -2487,6 +2648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_lags": q_acf_lags,
         "counter_rate": q_counter_rate,
         "trend_slope": q_trend_slope,
+        "pettitt_change": q_pettitt_change,
+        "seasonality_strength": q_seasonality_strength,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "seasonal_profile": q_seasonal_profile,
@@ -2834,6 +2997,89 @@ def oracle_sql() -> dict[str, str]:
                                   * CAST(n * syy - sy * sy AS DOUBLE)), 4)
                END AS r2
         FROM s ORDER BY user_id""",
+        "pettitt_change": """
+        WITH b AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), r AS (
+          SELECT user_id, sec,
+                 2 * rank() OVER (PARTITION BY user_id ORDER BY c)
+                   + count(*) OVER (PARTITION BY user_id ORDER BY c
+                                    RANGE BETWEEN CURRENT ROW
+                                    AND CURRENT ROW) - 1 AS d,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY sec, event_id) AS t,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM b
+        ), s AS (
+          SELECT user_id, sec, t, n,
+                 sum(d) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) - t * (n + 1) AS u
+          FROM r
+        ), m AS (
+          SELECT user_id, n, abs(u) AS au, t, sec,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY abs(u) DESC, t ASC) AS rn
+          FROM s WHERE t < n
+        )
+        SELECT user_id, n,
+               CAST(au AS BIGINT) AS k_stat,
+               t AS change_t,
+               sec AS change_sec,
+               round(least(1.0,
+                     2 * exp(-6.0 * CAST(au AS DOUBLE) * CAST(au AS DOUBLE)
+                             / CAST(n * n * n + n * n AS DOUBLE))), 6)
+                 AS p_approx
+        FROM m WHERE rn = 1 ORDER BY user_id""",
+        "seasonality_strength": """
+        WITH cell AS (
+          SELECT user_id, CAST(hour(ts) AS INT) AS hod,
+                 CAST(count(*) AS BIGINT) AS nh,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS sh,
+                 sum(CAST(round(value * 100) AS BIGINT)
+                     * CAST(round(value * 100) AS BIGINT)) AS qh
+          FROM events GROUP BY 1, 2
+        ), t AS (
+          SELECT user_id, hod, nh, sh, qh,
+                 CAST(qh AS DOUBLE)
+                   - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)
+                     / CAST(nh AS DOUBLE) AS term,
+                 CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE) AS hmean
+          FROM cell
+        ), ex AS (
+          SELECT user_id,
+                 max(CASE WHEN rpk = 1 THEN hod END) AS peak_hour,
+                 max(CASE WHEN rtr = 1 THEN hod END) AS trough_hour
+          FROM (SELECT user_id, hod,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY hmean DESC, hod ASC)
+                         AS rpk,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY hmean ASC, hod ASC)
+                         AS rtr
+                FROM t) GROUP BY user_id
+        ), g AS (
+          SELECT user_id,
+                 CAST(sum(nh) AS BIGINT) AS n,
+                 sum(sh) AS sy, sum(qh) AS syy,
+                 list(term ORDER BY hod) AS terms
+          FROM t GROUP BY user_id
+        )
+        SELECT g.user_id, n,
+               CASE WHEN CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE) > 0
+                    THEN round(1 - list_reduce(
+                                 list_prepend(CAST(0.0 AS DOUBLE), terms),
+                                 (s, x) -> s + x)
+                               / (CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                    / CAST(n AS DOUBLE)), 4)
+               END AS seasonal_strength,
+               peak_hour, trough_hour
+        FROM g JOIN ex USING (user_id) ORDER BY user_id""",
         "psi_drift": """
         WITH b AS (
           SELECT event_type,

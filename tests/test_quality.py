@@ -179,3 +179,67 @@ def test_stat_queries_match_numpy_reference(spark):
                     np.cumsum(cnt) / cnt.sum() - np.cumsum(pooled) / pooled.sum()
                 ).max()
                 assert abs(ks_got[et] - d) < 5e-4, et
+
+
+def test_pettitt_and_seasonality_match_numpy_reference(spark):
+    """pettitt_change / seasonality_strength vs straight-from-definition
+    NumPy re-implementations — Pettitt as the brute-force double sum
+    U_t = sum_{i<=t} sum_{j>t} sign(x_i - x_j) (NOT the rank identity the
+    engine/oracle pair share, so a bug in the doubled-midrank algebra
+    cannot hide), and seasonality strength as literal per-hour residual
+    sums of squares. Integer stats (k_stat, change_t) must match exactly;
+    the float p-value/strength to 5e-4 (4-6 dp rounding + NumPy's own
+    summation order)."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["c"] = (ev["value"] * 100).round().astype(np.int64)
+
+    pet = {r["user_id"]: r for r in E.q_pettitt_change(spark, sf).collect()}
+    sea = {
+        r["user_id"]: r
+        for r in E.q_seasonality_strength(spark, sf).collect()
+    }
+    assert set(pet) == set(ev["user_id"].unique())
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        x = g["c"].to_numpy(np.float64)
+        n = len(x)
+        sgn = np.sign(x[:, None] - x[None, :])
+        u = np.array(
+            [sgn[: t + 1, t + 1 :].sum() for t in range(n - 1)]
+        )
+        au = np.abs(u)
+        k = int(au.max())
+        t_star = int(au.argmax()) + 1  # earliest-t tie-break == argmax
+        row = pet[uid]
+        assert row["k_stat"] == k, uid
+        assert row["change_t"] == t_star, uid
+        assert row["n"] == n, uid
+        p = min(1.0, 2 * math.exp(-6 * k * k / (n**3 + n**2)))
+        assert abs(row["p_approx"] - p) < 5e-4, uid
+
+        # seasonality strength: literal one-way ANOVA decomposition
+        hod = g["ts"].dt.hour.to_numpy()
+        sst = float(((x - x.mean()) ** 2).sum())
+        ssw = sum(
+            float(((x[hod == h] - x[hod == h].mean()) ** 2).sum())
+            for h in np.unique(hod)
+        )
+        srow = sea[uid]
+        if sst > 0:
+            assert abs(srow["seasonal_strength"] - (1 - ssw / sst)) < 5e-4, uid
+        else:
+            assert srow["seasonal_strength"] is None, uid
+        means = {
+            h: x[hod == h].mean() for h in np.unique(hod)
+        }
+        best = max(means.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        worst = min(means.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert srow["peak_hour"] == best, uid
+        assert srow["trough_hour"] == worst, uid
