@@ -711,6 +711,103 @@ def q_seasonality_strength(spark, sf_dir):
     return scored.join(F.broadcast(extremes), "user_id").orderBy("user_id")
 
 
+def q_winsorized_stats(spark, sf_dir):
+    """Winsorized robust location per series (round 5): clip each series
+    at its own exact p05/p95 (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the identity q_bucket_quantiles pinned) and report
+    the winsorized mean — the standard outlier-resistant location
+    estimate (Tukey/Dixon), the batch calibration for detector thresholds
+    that a handful of spikes would otherwise drag. Determinism without
+    float accumulation: values are int64 cents, and the clipped sum
+    decomposes as n_lo·lo + n_hi·hi + Σ(mid cents) — two products of an
+    int count with the interpolated double bound plus one EXACT integer
+    sum — so no engine ever adds a long run of doubles. One hash exchange:
+    the percentile windows and the final groupBy share the user_id
+    partitioning (no join back; the bounds ride each row). Exact
+    percentile holds one series in window memory — the per-key-bounded
+    shape; corpus-wide quantiles would switch to approx_percentile."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id")
+    base = ev.select("user_id", c.alias("_c")).select(
+        "user_id",
+        "_c",
+        F.expr("percentile(_c, 0.05)").over(w).alias("_lo"),
+        F.expr("percentile(_c, 0.95)").over(w).alias("_hi"),
+    )
+    zl = F.lit(0).cast("long")
+    agg = base.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.max("_lo").alias("_lo"),
+        F.max("_hi").alias("_hi"),
+        F.sum(F.when(F.col("_c") < F.col("_lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("_nlo"),
+        F.sum(F.when(F.col("_c") > F.col("_hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("_nhi"),
+        F.sum(
+            F.when(
+                (F.col("_c") >= F.col("_lo")) & (F.col("_c") <= F.col("_hi")),
+                F.col("_c"),
+            ).otherwise(zl)
+        ).alias("_smid"),
+    )
+    wmean = (
+        F.col("_nlo") * F.col("_lo")
+        + F.col("_nhi") * F.col("_hi")
+        + F.col("_smid").cast("double")
+    ) / F.col("_n") / 100
+    return agg.select(
+        "user_id",
+        F.col("_n").alias("n"),
+        F.round(F.col("_lo") / 100, 4).alias("p05"),
+        F.round(F.col("_hi") / 100, 4).alias("p95"),
+        (F.col("_nlo") + F.col("_nhi")).alias("n_clipped"),
+        F.round(wmean, 4).alias("wmean"),
+    ).orderBy("user_id")
+
+
+def q_corr_to_global(spark, sf_dir):
+    """Per-series synchrony with the corpus (round 5): Pearson
+    correlation between a user's minutely event count and the GLOBAL
+    minutely event count, over the minutes the user is active — the
+    "is this series moving with the fleet or on its own" discriminator
+    that separates a global incident (high corr) from a single-tenant
+    anomaly (low corr). All-integer sufficient statistics (counts, not
+    means, so no float accumulates anywhere), closed form spelled as in
+    q_acf_lags. 100 TB shape: ONE corpus shuffle to the (user, minute)
+    grid; the global series is derived from that grid (a minutes-sized
+    re-agg, never a second corpus scan) and comes back via broadcast
+    hash join; the final per-user agg reuses the grid's partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.expr("unix_timestamp(ts) DIV 60")
+    um = ev.groupBy("user_id", m.alias("minute")).agg(
+        F.count("*").cast("long").alias("_x")
+    )
+    gm = um.groupBy("minute").agg(F.sum("_x").alias("_y"))
+    j = um.join(F.broadcast(gm), "minute")
+    s = j.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxy, sxx, syy = F.col("_sxy"), F.col("_sxx"), F.col("_syy")
+    fx = (n * sxx - sx * sx).cast("double")
+    fy = (n * syy - sy * sy).cast("double")
+    num = (n * sxy - sx * sy).cast("double")
+    return s.select(
+        "user_id",
+        n.alias("n_minutes"),
+        F.when((fx > 0) & (fy > 0), F.round(num / F.sqrt(fx * fy), 4))
+        .alias("corr_global"),
+    ).orderBy("user_id")
+
+
 PSI_BINS = 10
 KS_BINS = 100
 
@@ -2650,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope": q_trend_slope,
         "pettitt_change": q_pettitt_change,
         "seasonality_strength": q_seasonality_strength,
+        "winsorized_stats": q_winsorized_stats,
+        "corr_to_global": q_corr_to_global,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "seasonal_profile": q_seasonal_profile,
@@ -3080,6 +3179,54 @@ def oracle_sql() -> dict[str, str]:
                END AS seasonal_strength,
                peak_hour, trough_hour
         FROM g JOIN ex USING (user_id) ORDER BY user_id""",
+        "winsorized_stats": """
+        WITH b AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), w AS (
+          SELECT user_id, c,
+                 quantile_cont(c, 0.05)
+                   OVER (PARTITION BY user_id) AS lo,
+                 quantile_cont(c, 0.95)
+                   OVER (PARTITION BY user_id) AS hi
+          FROM b
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               round(max(lo) / 100, 4) AS p05,
+               round(max(hi) / 100, 4) AS p95,
+               CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped,
+               round((sum(CASE WHEN c < lo THEN 1 ELSE 0 END) * max(lo)
+                      + sum(CASE WHEN c > hi THEN 1 ELSE 0 END) * max(hi)
+                      + CAST(sum(CASE WHEN c >= lo AND c <= hi
+                                      THEN c ELSE 0 END) AS DOUBLE))
+                     / count(*) / 100, 4) AS wmean
+        FROM w GROUP BY user_id ORDER BY user_id""",
+        "corr_to_global": """
+        WITH um AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), gm AS (
+          SELECT minute, CAST(sum(x) AS BIGINT) AS y FROM um GROUP BY 1
+        ), s AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM um JOIN gm USING (minute) GROUP BY 1
+        )
+        SELECT user_id, n AS n_minutes,
+               CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                     AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                      * CAST(n * syy - sy * sy AS DOUBLE)),
+                               4)
+               END AS corr_global
+        FROM s ORDER BY user_id""",
         "psi_drift": """
         WITH b AS (
           SELECT event_type,

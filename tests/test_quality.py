@@ -243,3 +243,42 @@ def test_pettitt_and_seasonality_match_numpy_reference(spark):
         worst = min(means.items(), key=lambda kv: (kv[1], kv[0]))[0]
         assert srow["peak_hour"] == best, uid
         assert srow["trough_hour"] == worst, uid
+
+
+def test_winsorize_and_corr_match_numpy_reference(spark):
+    """winsorized_stats / corr_to_global vs literal NumPy: np.clip at
+    np.percentile(linear) for the winsorized mean, np.corrcoef on the
+    minutely count series — independent of both the Spark plan and the
+    DuckDB oracle's decomposed integer forms."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["c"] = (ev["value"] * 100).round().astype(np.int64)
+    ev["minute"] = ev["ts"].to_numpy(dtype="datetime64[s]").astype(np.int64) // 60
+
+    win = {r["user_id"]: r for r in E.q_winsorized_stats(spark, sf).collect()}
+    cor = {r["user_id"]: r for r in E.q_corr_to_global(spark, sf).collect()}
+
+    gm = ev.groupby("minute").size()
+    for uid, g in ev.groupby("user_id"):
+        c = g["c"].to_numpy(np.float64)
+        lo, hi = np.percentile(c, [5, 95], method="linear")
+        row = win[uid]
+        assert abs(row["p05"] - lo / 100) < 5e-4, uid
+        assert abs(row["p95"] - hi / 100) < 5e-4, uid
+        assert row["n_clipped"] == int(((c < lo) | (c > hi)).sum()), uid
+        assert abs(row["wmean"] - np.clip(c, lo, hi).mean() / 100) < 5e-4, uid
+
+        um = g.groupby("minute").size()
+        x = um.to_numpy(np.float64)
+        y = gm.loc[um.index].to_numpy(np.float64)
+        row = cor[uid]
+        assert row["n_minutes"] == len(x), uid
+        if len(x) > 1 and x.std() > 0 and y.std() > 0:
+            r = float(np.corrcoef(x, y)[0, 1])
+            assert abs(row["corr_global"] - r) < 5e-4, uid
+        else:
+            assert row["corr_global"] is None, uid
