@@ -1673,6 +1673,127 @@ def q_top_ngrams(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (round 5): the classic salient-
+    term extraction a training-data pipeline runs for topic tagging and
+    boilerplate spotting (a doc whose top terms are navigation chrome is
+    a removal candidate). Smoothed IDF ln((N+1)/(df+1)). Exact and
+    deterministic: tf/df/N are integers, the score is ONE double product
+    per (doc, term) — no float accumulation anywhere — and ranking
+    ties (same tf, same df ⇒ bit-identical score) break on the term's
+    binary collation, which Spark UTF8String and DuckDB share for ASCII.
+    100 TB shape: one shuffle to the (doc, term) tf grid, a term-keyed
+    re-agg of THAT grid for df (never a second corpus scan), df comes
+    back on the term-keyed shuffle (AQE skew-join splits hot terms), N is
+    a one-row broadcast, and the top-3 filter is a bounded per-doc
+    window, never a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    nd = d.agg(F.count("*").cast("double").alias("_nd"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.log((F.col("_nd") + 1) / (F.col("df") + 1))
+            ).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_s").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("_s", 6).alias("tfidf"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("doc_id", "rn")
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9, pinned to 12
+# dp as shared literals so the Spark plan and the DuckDB oracle use
+# bit-identical constants (log10 is not guaranteed correctly rounded across
+# libm implementations).
+BENFORD_P = [
+    0.301029995664,
+    0.176091259056,
+    0.124938736608,
+    0.096910013008,
+    0.079181246048,
+    0.066946789631,
+    0.057991946978,
+    0.051152522447,
+    0.045757490561,
+]
+
+
+def q_first_digit_profile(spark, sf_dir):
+    """Benford first-significant-digit profile per event_type (round 5):
+    observed leading-digit counts of |value| against the Benford
+    expectation with the per-digit χ² contribution — the data-quality /
+    fabrication screen (Nigrini's forensic test; a metric whose digits
+    are uniform instead of Benford-ish is synthetic, clipped, or
+    unit-broken). Determinism: the leading digit comes from the DECIMAL
+    STRING of the int64 cent value (exact in both engines; a
+    floor(x/10^floor(log10 x)) form would ride each libm's log10
+    rounding), the expectation uses the shared 12-dp literals, and each
+    output row's χ² term is one self-contained double expression — the
+    dense (type × 9)-digit grid means no float ever accumulates across
+    rows. 100 TB shape: one corpus shuffle to the (type, digit) counts
+    (map-side combine), then everything runs on the 9×|types| grid."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.abs(F.round(F.col("value") * 100).cast("long"))
+    obs = (
+        ev.select(
+            "event_type",
+            F.substring(c.cast("string"), 1, 1).cast("int").alias("digit"),
+            c.alias("_c"),
+        )
+        .filter(F.col("_c") > 0)
+        .groupBy("event_type", "digit")
+        .agg(F.count("*").cast("long").alias("obs"))
+    )
+    types = obs.select("event_type").distinct()
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    grid = types.crossJoin(F.broadcast(digits))
+    dense = grid.join(obs, ["event_type", "digit"], "left").select(
+        "event_type",
+        "digit",
+        F.coalesce(F.col("obs"), F.lit(0).cast("long")).alias("obs"),
+    )
+    w = Window.partitionBy("event_type")
+    parr = F.array(*[F.lit(p) for p in BENFORD_P])
+    n = F.sum("obs").over(w)
+    exp = n * F.element_at(parr, F.col("digit"))
+    return dense.select(
+        "event_type",
+        "digit",
+        n.alias("n"),
+        "obs",
+        F.round(exp, 4).alias("expected"),
+        F.round((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6).alias(
+            "chi2_term"
+        ),
+    ).orderBy("event_type", "digit")
+
+
 def q_token_count(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
@@ -2776,6 +2897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
         "top_ngrams": q_top_ngrams,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "first_digit_profile": q_first_digit_profile,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "embedding_norms": q_embedding_norms,
@@ -3547,6 +3670,59 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY df DESC, shingle LIMIT 20""".replace(
             "_WPOS_", _WPOS_SQL.strip().rstrip()
         ).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY 1, 2
+        ), df AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), nd AS (
+          SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+        ), s AS (
+          SELECT doc_id, term, tf, df,
+                 tf * ln((nd + 1) / (df + 1)) AS s
+          FROM tf JOIN df USING (term) CROSS JOIN nd
+        ), r AS (
+          SELECT doc_id, term, tf, df, round(s, 6) AS tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, term ASC) AS rn
+          FROM s
+        )
+        SELECT doc_id, term, tf, df, tfidf, rn
+        FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
+        "first_digit_profile": f"""
+        WITH b AS (
+          SELECT event_type,
+                 abs(CAST(round(value * 100) AS BIGINT)) AS c
+          FROM events
+        ), obs AS (
+          SELECT event_type,
+                 CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+                 CAST(count(*) AS BIGINT) AS obs
+          FROM b WHERE c > 0 GROUP BY 1, 2
+        ), grid AS (
+          SELECT t.event_type, d.digit
+          FROM (SELECT DISTINCT event_type FROM obs) t
+          CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+        ), dense AS (
+          SELECT g.event_type, CAST(g.digit AS INT) AS digit,
+                 coalesce(o.obs, 0) AS obs
+          FROM grid g LEFT JOIN obs o
+            ON g.event_type = o.event_type AND g.digit = o.digit
+        ), x AS (
+          SELECT event_type, digit, obs,
+                 sum(obs) OVER (PARTITION BY event_type) AS n,
+                 CAST({BENFORD_P}[digit] AS DOUBLE) AS p
+          FROM dense
+        )
+        SELECT event_type, digit, CAST(n AS BIGINT) AS n, obs,
+               round(n * p, 4) AS expected,
+               round((obs - n * p) * (obs - n * p) / (n * p), 6)
+                 AS chi2_term
+        FROM x ORDER BY event_type, digit""",
         "decontaminate": """
         WITH _WPOS_, _SH_,
         ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 7),

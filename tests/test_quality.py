@@ -282,3 +282,55 @@ def test_winsorize_and_corr_match_numpy_reference(spark):
             assert abs(row["corr_global"] - r) < 5e-4, uid
         else:
             assert row["corr_global"] is None, uid
+
+
+def test_tfidf_and_benford_match_reference(spark):
+    """tfidf_top_terms / first_digit_profile vs literal Python
+    re-implementations (collections.Counter tf-idf; string-slice Benford
+    digits) — independent of both twin engines' relational forms."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    tfs = {r.doc_id: Counter(r.text.split(" ")) for r in docs.itertuples()}
+    dfc = Counter(t for tf in tfs.values() for t in tf)
+    nd = float(len(docs))
+    got = E.q_tfidf_top_terms(spark, sf).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(tfs)
+    for doc_id, rows in by_doc.items():
+        scored = sorted(
+            (
+                (-tf * math.log((nd + 1) / (dfc[t] + 1)), t)
+                for t, tf in tfs[doc_id].items()
+            )
+        )[:3]
+        assert [r["term"] for r in sorted(rows, key=lambda r: r["rn"])] == [
+            t for _, t in scored
+        ], doc_id
+        for r in rows:
+            assert r["tf"] == tfs[doc_id][r["term"]]
+            assert r["df"] == dfc[r["term"]]
+            want = r["tf"] * math.log((nd + 1) / (r["df"] + 1))
+            assert abs(r["tfidf"] - want) < 5e-6, (doc_id, r["term"])
+
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["c"] = (ev["value"] * 100).round().astype(np.int64).abs()
+    ev = ev[ev["c"] > 0]
+    ev["digit"] = ev["c"].astype(str).str[0].astype(int)
+    prof = E.q_first_digit_profile(spark, sf).collect()
+    for r in prof:
+        sub = ev[ev["event_type"] == r["event_type"]]
+        n = len(sub)
+        obs = int((sub["digit"] == r["digit"]).sum())
+        exp = n * E.BENFORD_P[r["digit"] - 1]
+        assert r["n"] == n and r["obs"] == obs, r
+        assert abs(r["expected"] - exp) < 5e-4, r
+        assert abs(r["chi2_term"] - (obs - exp) ** 2 / exp) < 5e-4, r
