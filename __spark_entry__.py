@@ -808,6 +808,99 @@ def q_corr_to_global(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_concurrency_sweep(spark, sf_dir):
+    """Sweep-line session concurrency (round 5): how many sessions are
+    simultaneously open at every instant the count changes — the
+    capacity/load-profile query (peak concurrent tenants) that interval
+    engines answer with a sweep line. Sessions are q_user_sessions'
+    5-minute-gap session_window islands, held open 300 s past their last
+    event; each contributes (+1 at start, −1 at expiry), net deltas
+    collapse per second, and concurrency is the prefix sum. 100 TB shape:
+    the prefix sum is DECOMPOSED, not a global window — the corpus-sized
+    running sum partitions by UTC day (one exchange, per-day in-partition
+    scan), while the only Window.orderBy-without-partition runs on the
+    days-sized day-total table (a deliberate, bounded driver-scale step:
+    ~36 k rows per century) whose cumulative offsets come back via
+    broadcast join. Exact int64 arithmetic end-to-end. The DuckDB twin
+    is the textbook single-window form, pinning the decomposition to the
+    direct sweep."""
+    ev = _t(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "user_id"
+    ).agg(
+        F.unix_timestamp(F.min("ts")).cast("long").alias("_s"),
+        (F.unix_timestamp(F.max("ts")).cast("long") + 300).alias("_e"),
+    )
+    deltas = sess.select(
+        F.col("_s").alias("sec"), F.lit(1).cast("long").alias("_d")
+    ).unionAll(
+        sess.select(F.col("_e").alias("sec"), F.lit(-1).cast("long").alias("_d"))
+    )
+    net = deltas.groupBy("sec").agg(F.sum("_d").cast("long").alias("net"))
+    day = net.withColumn("_day", F.expr("sec DIV 86400"))
+    w_run = (
+        Window.partitionBy("_day")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = day.select(
+        "_day", "sec", "net", F.sum("net").over(w_run).alias("_run")
+    )
+    daytot = day.groupBy("_day").agg(F.sum("net").alias("_tot"))
+    w_cum = (
+        Window.orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = daytot.select(
+        "_day",
+        F.coalesce(F.sum("_tot").over(w_cum), F.lit(0)).cast("long").alias(
+            "_off"
+        ),
+    )
+    return (
+        run.join(F.broadcast(offs), "_day")
+        .select(
+            "sec", "net", (F.col("_off") + F.col("_run")).alias("concurrency")
+        )
+        .orderBy("sec")
+    )
+
+
+RATE_LIMIT_N = 2  # trailing-minute event count at/above which we flag
+
+
+def q_rate_limit_flags(spark, sf_dir):
+    """Trailing-window rate limiting (round 5): every event annotated
+    with the user's event count over the trailing 60 s (RANGE frame on
+    the integer second — peers at the same second count each other, the
+    rate-limiter semantic) and a flag at >= RATE_LIMIT_N — the burst
+    screen an ingestion pipeline runs before admission. Pure Catalyst
+    RANGE window, exact integers; one hash exchange on user_id. The
+    time-key RANGE frame is the operator under test here — the
+    row-count frames (rolling_mean family) don't see wall-clock gaps."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-59, Window.currentRow)
+    )
+    cnt = F.count("*").over(w)
+    return base.select(
+        "user_id",
+        "event_id",
+        "sec",
+        cnt.cast("long").alias("cnt_60s"),
+        F.when(cnt >= RATE_LIMIT_N, 1).otherwise(0).cast("int").alias(
+            "limited"
+        ),
+    ).orderBy("user_id", "sec", "event_id")
+
+
 PSI_BINS = 10
 KS_BINS = 100
 
@@ -2870,6 +2963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_strength": q_seasonality_strength,
         "winsorized_stats": q_winsorized_stats,
         "corr_to_global": q_corr_to_global,
+        "concurrency_sweep": q_concurrency_sweep,
+        "rate_limit_flags": q_rate_limit_flags,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "seasonal_profile": q_seasonal_profile,
@@ -3350,6 +3445,48 @@ def oracle_sql() -> dict[str, str]:
                                4)
                END AS corr_global
         FROM s ORDER BY user_id""",
+        "concurrency_sweep": """
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 300
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+        sess AS (
+          SELECT user_id, sid,
+                 CAST(floor(epoch(min(ts))) AS BIGINT) AS st,
+                 CAST(floor(epoch(max(ts))) AS BIGINT) + 300 AS en
+          FROM s GROUP BY user_id, sid),
+        d AS (
+          SELECT st AS sec, CAST(1 AS BIGINT) AS dd FROM sess
+          UNION ALL
+          SELECT en AS sec, CAST(-1 AS BIGINT) AS dd FROM sess),
+        net AS (
+          SELECT sec, CAST(sum(dd) AS BIGINT) AS net FROM d GROUP BY sec)
+        SELECT sec, net,
+               CAST(sum(net) OVER (ORDER BY sec ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS concurrency
+        FROM net ORDER BY sec""",
+        "rate_limit_flags": f"""
+        WITH b AS (
+          SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          FROM events)
+        SELECT user_id, event_id, sec,
+               count(*) OVER (PARTITION BY user_id ORDER BY sec
+                              RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+                 AS cnt_60s,
+               CAST(CASE WHEN count(*) OVER (
+                        PARTITION BY user_id ORDER BY sec
+                        RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+                        >= {RATE_LIMIT_N}
+                    THEN 1 ELSE 0 END AS INT) AS limited
+        FROM b ORDER BY user_id, sec, event_id""",
         "psi_drift": """
         WITH b AS (
           SELECT event_type,

@@ -334,3 +334,38 @@ def test_tfidf_and_benford_match_reference(spark):
         assert r["n"] == n and r["obs"] == obs, r
         assert abs(r["expected"] - exp) < 5e-4, r
         assert abs(r["chi2_term"] - (obs - exp) ** 2 / exp) < 5e-4, r
+
+
+def test_concurrency_sweep_invariants_and_interval_probe(spark):
+    """concurrency_sweep: global invariants (every session's +1 has a -1,
+    so the final prefix is 0 and no prefix is negative) plus an
+    independent interval-counting probe — at sampled change points the
+    concurrency must equal the number of [start, end) session intervals
+    (pandas-derived, 5-min-gap islands) covering that second."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    rows = E.q_concurrency_sweep(spark, sf).collect()
+    assert rows[-1]["concurrency"] == 0
+    assert min(r["concurrency"] for r in rows) >= 0
+    assert max(r["concurrency"] for r in rows) >= 1
+
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    sec = ev["ts"].to_numpy(dtype="datetime64[s]").astype(np.int64)
+    # epoch() in the twins is fractional: break on true time diff > 300 s
+    frac = ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) / 1e6
+    uid = ev["user_id"].to_numpy()
+    new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+    gap = np.concatenate([[True], np.diff(frac) > 300])
+    sid = np.cumsum(new_user | gap)
+    df = pd.DataFrame({"sid": sid, "sec": sec})
+    g = df.groupby("sid")["sec"]
+    starts, ends = g.min().to_numpy(), g.max().to_numpy() + 300
+    for r in rows[:: max(1, len(rows) // 50)]:
+        t = r["sec"]
+        want = int(((starts <= t) & (t < ends)).sum())
+        assert r["concurrency"] == want, (t, r["concurrency"], want)
