@@ -901,6 +901,73 @@ def q_rate_limit_flags(spark, sf_dir):
     ).orderBy("user_id", "sec", "event_id")
 
 
+def q_type_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over event types (round 5):
+    corpus-wide counts and conditional probabilities of to_type given
+    from_type across each user's time-ordered stream — the sequence-
+    mining primitive behind "this path is unusual" session scoring (an
+    observed transition with near-zero trained probability is the
+    sequence anomaly). Exact: counts are int64; each probability is ONE
+    long/long double division (row count over the from_type window
+    total), no float accumulation. 100 TB shape: one corpus exchange on
+    user_id for the lag, map-side partial combine into the tiny
+    |types|² grid, and the conditional normalization windows over that
+    grid, never the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(w_from), 6).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+def q_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness per series (round 5): the Goh–Barabási
+    coefficient B = (σ−μ)/(σ+μ) of the inter-event gaps — −1 for a
+    metronome, →0 Poisson, →1 for heavy-tailed bursts; the single-number
+    regularity signature that separates machine heartbeats from human
+    activity. Exact integers to the last step: gaps are whole seconds
+    via lag, the population form multiplies through by n so B =
+    (√(n·Σd²−(Σd)²) − Σd) / (√(n·Σd²−(Σd)²) + Σd) needs NO division by
+    n and no float accumulation — one sqrt of an exact int64, spelled
+    identically in both engines. One hash exchange on user_id (lag
+    window + final agg share it). NULL-safe: <2 gaps or an all-zero gap
+    series yields NULL."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts").cast("long")
+    d = (sec - F.lag(sec).over(w)).alias("_d")
+    gaps = ev.select("user_id", d).filter(F.col("_d").isNotNull())
+    s = gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_d").alias("_sd"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sdd"),
+    )
+    n, sd, sdd = F.col("_n"), F.col("_sd"), F.col("_sdd")
+    num = (n * sdd - sd * sd).cast("double")
+    sd_d = sd.cast("double")
+    root = F.sqrt(num)
+    return s.select(
+        "user_id",
+        n.alias("n_gaps"),
+        F.round(sd_d / n.cast("double"), 4).alias("mean_gap_s"),
+        F.when(
+            (n >= 2) & ((root + sd_d) > 0),
+            F.round((root - sd_d) / (root + sd_d), 4),
+        ).alias("burstiness"),
+    ).orderBy("user_id")
+
+
 PSI_BINS = 10
 KS_BINS = 100
 
@@ -2965,6 +3032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_to_global": q_corr_to_global,
         "concurrency_sweep": q_concurrency_sweep,
         "rate_limit_flags": q_rate_limit_flags,
+        "type_transitions": q_type_transitions,
+        "burstiness": q_burstiness,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "seasonal_profile": q_seasonal_profile,
@@ -3487,6 +3556,45 @@ def oracle_sql() -> dict[str, str]:
                         >= {RATE_LIMIT_N}
                     THEN 1 ELSE 0 END AS INT) AS limited
         FROM b ORDER BY user_id, sec, event_id""",
+        "type_transitions": """
+        WITH p AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type,
+                 event_type AS to_type
+          FROM events
+        ), c AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+          FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, cnt,
+               round(CAST(cnt AS DOUBLE)
+                     / CAST(sum(cnt) OVER (PARTITION BY from_type)
+                            AS DOUBLE), 6) AS prob
+        FROM c ORDER BY from_type, to_type""",
+        "burstiness": """
+        WITH g AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+          FROM events
+        ), s AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 sum(d) AS sd, sum(d * d) AS sdd
+          FROM g WHERE d IS NOT NULL GROUP BY user_id
+        )
+        SELECT user_id, n AS n_gaps,
+               round(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 4)
+                 AS mean_gap_s,
+               CASE WHEN n >= 2
+                     AND sqrt(CAST(n * sdd - sd * sd AS DOUBLE))
+                         + CAST(sd AS DOUBLE) > 0
+                    THEN round((sqrt(CAST(n * sdd - sd * sd AS DOUBLE))
+                                - CAST(sd AS DOUBLE))
+                               / (sqrt(CAST(n * sdd - sd * sd AS DOUBLE))
+                                  + CAST(sd AS DOUBLE)), 4)
+               END AS burstiness
+        FROM s ORDER BY user_id""",
         "psi_drift": """
         WITH b AS (
           SELECT event_type,

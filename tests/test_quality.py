@@ -369,3 +369,50 @@ def test_concurrency_sweep_invariants_and_interval_probe(spark):
         t = r["sec"]
         want = int(((starts <= t) & (t < ends)).sum())
         assert r["concurrency"] == want, (t, r["concurrency"], want)
+
+
+def test_transitions_and_burstiness_match_numpy_reference(spark):
+    """type_transitions / burstiness vs literal NumPy/Counter forms —
+    transition probabilities from raw bigram counting, burstiness from
+    np.std/np.mean of the gap array (population ddof=0, matching the
+    multiplied-through closed form)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+
+    trans = Counter()
+    for _, g in ev.groupby("user_id"):
+        ts = g["event_type"].tolist()
+        trans.update(zip(ts[:-1], ts[1:]))
+    from_tot = Counter()
+    for (a, _), c in trans.items():
+        from_tot[a] += c
+    got = E.q_type_transitions(spark, sf).collect()
+    assert {(r["from_type"], r["to_type"]) for r in got} == set(trans)
+    for r in got:
+        key = (r["from_type"], r["to_type"])
+        assert r["cnt"] == trans[key], key
+        assert abs(r["prob"] - trans[key] / from_tot[key[0]]) < 5e-6, key
+
+    burst = {r["user_id"]: r for r in E.q_burstiness(spark, sf).collect()}
+    for uid, g in ev.groupby("user_id"):
+        sec = g["ts"].to_numpy(dtype="datetime64[s]").astype(np.int64)
+        d = np.diff(sec).astype(np.float64)
+        if len(d) == 0:
+            assert uid not in burst
+            continue
+        row = burst[uid]
+        assert row["n_gaps"] == len(d)
+        assert abs(row["mean_gap_s"] - d.mean()) < 5e-4, uid
+        mu, sig = d.mean(), d.std()
+        if len(d) >= 2 and sig + mu > 0:
+            assert abs(row["burstiness"] - (sig - mu) / (sig + mu)) < 5e-4, uid
+        else:
+            assert row["burstiness"] is None, uid
