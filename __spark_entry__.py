@@ -779,7 +779,9 @@ def q_corr_to_global(spark, sf_dir):
     q_acf_lags. 100 TB shape: ONE corpus shuffle to the (user, minute)
     grid; the global series is derived from that grid (a minutes-sized
     re-agg, never a second corpus scan) and comes back via broadcast
-    hash join; the final per-user agg reuses the grid's partitioning."""
+    hash join; the per-user re-agg shuffles only the grid (a (user,
+    minute) hash does not co-locate users, so this exchange is real —
+    but it moves the aggregate, never the corpus)."""
     ev = _t(spark, sf_dir, "events")
     m = F.expr("unix_timestamp(ts) DIV 60")
     um = ev.groupBy("user_id", m.alias("minute")).agg(
@@ -831,11 +833,23 @@ def q_concurrency_sweep(spark, sf_dir):
         F.unix_timestamp(F.min("ts")).cast("long").alias("_s"),
         (F.unix_timestamp(F.max("ts")).cast("long") + 300).alias("_e"),
     )
+    # explode, not unionAll: a union of two selects over `sess` would plan
+    # the session aggregation TWICE (no subtree reuse); one exploded
+    # 2-element array keeps a single session-window pass.
     deltas = sess.select(
-        F.col("_s").alias("sec"), F.lit(1).cast("long").alias("_d")
-    ).unionAll(
-        sess.select(F.col("_e").alias("sec"), F.lit(-1).cast("long").alias("_d"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_s").alias("sec"),
+                    F.lit(1).cast("long").alias("_d"),
+                ),
+                F.struct(
+                    F.col("_e").alias("sec"),
+                    F.lit(-1).cast("long").alias("_d"),
+                ),
+            )
+        ).alias("_x")
+    ).select("_x.sec", "_x._d")
     net = deltas.groupBy("sec").agg(F.sum("_d").cast("long").alias("net"))
     day = net.withColumn("_day", F.expr("sec DIV 86400"))
     w_run = (

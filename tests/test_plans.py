@@ -311,3 +311,57 @@ def test_trend_psi_entropy_plans(spark):
         assert scans == 2, f"{q.__name__}: {scans} corpus scans\n{plan[:2500]}"
         n = plan.count("Exchange hashpartitioning")
         assert n <= 4, f"{q.__name__}: {n} hash exchanges\n{plan[:2500]}"
+
+
+def test_round5c_query_plans(spark):
+    """Round-5c plan shapes. Single-exchange family: pettitt_change (all
+    three windows partition on user_id; the tie count rides the value
+    sort via a RANGE CURRENT ROW peers frame), winsorized_stats (the
+    percentile windows + final groupBy), rate_limit_flags (one RANGE
+    window), burstiness (lag + agg). corr_to_global / seasonality_
+    strength / first_digit_profile: the small side must come back
+    broadcast, never sort-merge. concurrency_sweep: exactly ONE
+    deliberate SinglePartition exchange (the days-sized offset window)
+    and no second session-agg subtree (the explode form). Everything
+    Python-free."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    for q in (
+        E.q_pettitt_change,
+        E.q_winsorized_stats,
+        E.q_rate_limit_flags,
+        E.q_burstiness,
+    ):
+        plan = _plan(q(spark, sf))
+        assert "EvalPython" not in plan, plan[:1500]
+        n = plan.count("Exchange hashpartitioning")
+        assert n == 1, f"{q.__name__}: {n} hash exchanges\n{plan[:2000]}"
+
+    for q in (
+        E.q_corr_to_global,
+        E.q_seasonality_strength,
+        E.q_first_digit_profile,
+    ):
+        plan = _plan(q(spark, sf))
+        assert "EvalPython" not in plan, plan[:1500]
+        assert "BroadcastHashJoin" in plan, (q.__name__, plan[:2000])
+        assert "SortMergeJoin" not in plan, (q.__name__, plan[:2000])
+
+    df = E.q_concurrency_sweep(spark, sf)
+    plan = _plan(df)
+    assert "EvalPython" not in plan, plan[:1500]
+    n_single = plan.count("Exchange SinglePartition")
+    assert n_single == 1, f"sweep: {n_single} single-partition exchanges"
+    # the running-sum branch and the day-total branch both hang off the
+    # same hashpartitioning(_day) exchange: AQE must REUSE it at runtime
+    # so the scan -> session agg -> net pipeline executes once, not twice
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 1, final[:3000]
+
+    for q in (E.q_type_transitions, E.q_tfidf_top_terms):
+        plan = _plan(q(spark, sf))
+        assert "EvalPython" not in plan, plan[:1500]
