@@ -23,6 +23,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from engine.trend import MK_Z_CRIT
+
 W_EVENTS = 30  # rolling window on the events series (engine default)
 K_EVENTS = 3.0  # detect threshold
 
@@ -718,10 +720,16 @@ def q_winsorized_stats(spark, sf_dir):
     the winsorized mean — the standard outlier-resistant location
     estimate (Tukey/Dixon), the batch calibration for detector thresholds
     that a handful of spikes would otherwise drag. Determinism without
-    float accumulation: values are int64 cents, and the clipped sum
-    decomposes as n_lo·lo + n_hi·hi + Σ(mid cents) — two products of an
-    int count with the interpolated double bound plus one EXACT integer
-    sum — so no engine ever adds a long run of doubles. One hash exchange:
+    float accumulation: values are int64 cents, and because p05/p95
+    interpolate at 0.05·(n−1) the bounds have exact 1/20 granularity —
+    20·bound is an exact integer — so the clipped sum decomposes as the
+    ALL-INTEGER numerator n_lo·lo20 + n_hi·hi20 + 20·Σ(mid cents) over
+    den = 2000·n, and the 4-dp wmean is rounded half-away-from-zero in
+    the INTEGER domain ((2|num|·10⁴ + den) div 2den). The float path hit
+    a real boundary at sf0.1 (user 1367's wmean is EXACTLY 49.57825:
+    bit-identical raw doubles, but Spark HALF_UPs the shortest decimal
+    repr while DuckDB rounds the ×10⁴ float product — 49.5783 vs
+    49.5782). One hash exchange:
     the percentile windows and the final groupBy share the user_id
     partitioning (no join back; the bounds ride each row). Exact
     percentile holds one series in window memory — the per-key-bounded
@@ -753,18 +761,27 @@ def q_winsorized_stats(spark, sf_dir):
             ).otherwise(zl)
         ).alias("_smid"),
     )
+    mid = agg.select(
+        "*",
+        (
+            F.col("_nlo") * F.round(F.col("_lo") * 20).cast("long")
+            + F.col("_nhi") * F.round(F.col("_hi") * 20).cast("long")
+            + 20 * F.col("_smid")
+        ).alias("_num"),
+        (2000 * F.col("_n")).alias("_den"),
+    )
     wmean = (
-        F.col("_nlo") * F.col("_lo")
-        + F.col("_nhi") * F.col("_hi")
-        + F.col("_smid").cast("double")
-    ) / F.col("_n") / 100
-    return agg.select(
+        F.when(F.col("_num") < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.expr("(2 * abs(_num) * 10000 + _den) div (2 * _den)")
+        / F.lit(10000.0)
+    )
+    return mid.select(
         "user_id",
         F.col("_n").alias("n"),
         F.round(F.col("_lo") / 100, 4).alias("p05"),
         F.round(F.col("_hi") / 100, 4).alias("p95"),
         (F.col("_nlo") + F.col("_nhi")).alias("n_clipped"),
-        F.round(wmean, 4).alias("wmean"),
+        wmean.alias("wmean"),
     ).orderBy("user_id")
 
 
@@ -980,6 +997,150 @@ def q_burstiness(spark, sf_dir):
             F.round((root - sd_d) / (root + sd_d), 4),
         ).alias("burstiness"),
     ).orderBy("user_id")
+
+
+HAMPEL_W = 15  # trailing window (odd, so both medians are exact integers)
+HAMPEL_K = 4.4478  # 3 sigma: 3 * 1.4826 (Gaussian MAD consistency), pinned
+
+
+def q_hampel_filter(spark, sf_dir):
+    """Hampel despiking filter (round 5): flag samples more than ~3σ from
+    the trailing 15-sample rolling MEDIAN, with σ estimated as 1.4826×
+    the rolling MAD — the standard robust spike detector (Hampel 1974;
+    Pearson's despiking identifier) that, unlike the rolling-mean z-score
+    (R1-R4), does not let the spike inflate its own threshold. Entirely
+    integer order statistics: cents in a 15-element array, median =
+    element 8 of sort_array (odd window ⇒ exact int), deviations
+    |x−med| are ints, MAD = element 8 of their sort — the ONLY float is
+    the single comparison against the pinned 4.4478 literal, identical
+    in both engines. Pure Catalyst array HOFs (collect_list +
+    sort_array + transform), no Python; one user_id exchange. O(w log w)
+    per row at w=15 — the bounded-window cost the round-1 perf memory
+    prices; short windows emit NULL (warm-up mask, the R1 min_periods
+    semantic)."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(HAMPEL_W - 1), 0)
+    )
+    mid = HAMPEL_W // 2 + 1
+    vs = ev.select(
+        "user_id",
+        "event_id",
+        c.alias("_c"),
+        F.collect_list(c).over(w).alias("_vs"),
+    )
+    med = vs.select(
+        "user_id",
+        "event_id",
+        "_c",
+        "_vs",
+        F.expr(
+            f"CASE WHEN size(_vs) = {HAMPEL_W} "
+            f"THEN element_at(sort_array(_vs), {mid}) END"
+        ).alias("_med"),
+    )
+    mad = med.select(
+        "user_id",
+        "event_id",
+        "_c",
+        "_med",
+        F.expr(
+            f"CASE WHEN _med IS NOT NULL THEN element_at("
+            f"sort_array(transform(_vs, x -> abs(x - _med))), {mid}) END"
+        ).alias("_mad"),
+    )
+    return mad.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("_c") / 100, 4).alias("value"),
+        F.round(F.col("_med") / 100, 4).alias("rolling_med"),
+        F.round(F.col("_mad") / 100, 4).alias("rolling_mad"),
+        F.when(
+            F.col("_mad").isNotNull(),
+            (
+                F.abs(F.col("_c") - F.col("_med"))
+                > F.lit(HAMPEL_K) * F.col("_mad")
+            ).cast("int"),
+        ).alias("is_spike"),
+    ).orderBy("event_id")
+
+
+def q_seasonal_naive_error(spark, sf_dir):
+    """Seasonal-naive forecast error per series (round 5): score each
+    point of the per-second series against the last observation at least
+    24 h older — the seasonal-naive baseline whose MAE is the MASE
+    denominator (Hyndman & Koehler 2006), i.e. "how much better than
+    'same as yesterday' would a model have to be". The 24 h as-of lookup
+    is ONE RANGE window (last over RANGE UNBOUNDED PRECEDING .. 86400
+    PRECEDING on the integer second) — no self-join; simultaneous
+    samples collapse first to a per-(user, second) MAX (a deterministic
+    aggregate, so `last` over the frame is unambiguous — RANGE peers
+    would otherwise make it engine-dependent). Errors stay int64 cents;
+    per-user MAE/bias are exact integer sums, rounded to 4 dp in the
+    INTEGER domain (half away from zero via `(2·|num|·100 + n) div 2n`)
+    before one final /1e4 — float `round` would hit rational ties like
+    -36561/5600 = -6.52875 where Spark and DuckDB break the tie
+    differently. One user_id exchange shared by the collapse, the
+    window, and the final agg."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    sec = F.expr("unix_timestamp(ts)")
+    per_sec = ev.groupBy("user_id", sec.alias("_sec")).agg(
+        F.max(c).alias("_mx")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_sec")
+        .rangeBetween(Window.unboundedPreceding, -86400)
+    )
+    scored = per_sec.select(
+        "user_id",
+        "_mx",
+        F.last("_mx").over(w).alias("_base"),
+    ).filter(F.col("_base").isNotNull())
+    e = F.col("_mx") - F.col("_base")
+    s = scored.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum(F.abs(e)).alias("_sae"),
+        F.sum(e).alias("_se"),
+    )
+    return s.select(
+        "user_id",
+        "n_scored",
+        (
+            F.expr("(2 * _sae * 100 + n_scored) div (2 * n_scored)")
+            / F.lit(10000.0)
+        ).alias("mae"),
+        (
+            F.when(F.col("_se") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "(2 * abs(_se) * 100 + n_scored) div (2 * n_scored)"
+            )
+            / F.lit(10000.0)
+        ).alias("bias"),
+    ).orderBy("user_id")
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test + Sen's slope per series (round 5): the
+    classic nonparametric drift detector — S = Σ_{i<j} sign(Δvalue) over
+    time-ordered pairs on int64 cents, tie-corrected variance numerator
+    kept as an exact integer, continuity-corrected z, and Sen's slope =
+    the median pairwise slope in value-units/day. Engine side is the
+    applyInPandas kernel in engine/trend.py (one user_id exchange,
+    vectorized pair set — Sen is pairwise BY DEFINITION, with a loud
+    MAX_MK_N pre-reduce guard); the DuckDB oracle is the literal O(n²)
+    pairwise self-join. No rounding anywhere: S/var/n are integers, z is
+    a fixed IEEE spelling, and the Sen median is rank-picked by
+    (slope, dc, dt) then averaged as sum/count on both sides — engine
+    median() interpolation is never invoked, so the doubles are
+    bit-identical."""
+    from engine.trend import mann_kendall
+
+    return mann_kendall(_t(spark, sf_dir, "events")).orderBy("user_id")
 
 
 PSI_BINS = 10
@@ -3048,6 +3209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit_flags": q_rate_limit_flags,
         "type_transitions": q_type_transitions,
         "burstiness": q_burstiness,
+        "hampel_filter": q_hampel_filter,
+        "seasonal_naive_error": q_seasonal_naive_error,
+        "mann_kendall": q_mann_kendall,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "seasonal_profile": q_seasonal_profile,
@@ -3492,19 +3656,36 @@ def oracle_sql() -> dict[str, str]:
                    OVER (PARTITION BY user_id) AS hi
           FROM b
         )
-        SELECT user_id,
-               CAST(count(*) AS BIGINT) AS n,
-               round(max(lo) / 100, 4) AS p05,
-               round(max(hi) / 100, 4) AS p95,
-               CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END)
-                    + sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_clipped,
-               round((sum(CASE WHEN c < lo THEN 1 ELSE 0 END) * max(lo)
-                      + sum(CASE WHEN c > hi THEN 1 ELSE 0 END) * max(hi)
-                      + CAST(sum(CASE WHEN c >= lo AND c <= hi
-                                      THEN c ELSE 0 END) AS DOUBLE))
-                     / count(*) / 100, 4) AS wmean
-        FROM w GROUP BY user_id ORDER BY user_id""",
+        , a AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 max(lo) AS lo, max(hi) AS hi,
+                 CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nlo,
+                 CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nhi,
+                 CAST(sum(CASE WHEN c >= lo AND c <= hi
+                               THEN c ELSE 0 END) AS BIGINT) AS smid
+          FROM w GROUP BY user_id
+        ), i AS (
+          -- 20*bound is an exact integer (interpolation at 0.05*(n-1)
+          -- has 1/20 granularity), so the winsorized numerator is exact
+          -- int64 and the 4-dp rounding happens in the integer domain
+          SELECT user_id, n, lo, hi, nlo + nhi AS n_clipped,
+                 nlo * CAST(round(lo * 20) AS BIGINT)
+                   + nhi * CAST(round(hi * 20) AS BIGINT)
+                   + 20 * smid AS num,
+                 2000 * n AS den
+          FROM a
+        )
+        SELECT user_id, n,
+               round(lo / 100, 4) AS p05,
+               round(hi / 100, 4) AS p95,
+               n_clipped,
+               (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(num) * 10000 + den) // (2 * den))
+                 / 10000.0 AS wmean
+        FROM i ORDER BY user_id""",
         "corr_to_global": """
         WITH um AS (
           SELECT user_id,
@@ -3609,6 +3790,134 @@ def oracle_sql() -> dict[str, str]:
                                   + CAST(sd AS DOUBLE)), 4)
                END AS burstiness
         FROM s ORDER BY user_id""",
+        "hampel_filter": f"""
+        WITH b AS (
+          SELECT user_id, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), w AS (
+          SELECT user_id, event_id, c,
+                 list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {HAMPEL_W - 1} PRECEDING
+                               AND CURRENT ROW) AS vs
+          FROM b
+        ), m AS (
+          SELECT user_id, event_id, c, vs,
+                 CASE WHEN len(vs) = {HAMPEL_W}
+                      THEN list_extract(list_sort(vs), {HAMPEL_W // 2 + 1})
+                 END AS med
+          FROM w
+        ), d AS (
+          SELECT user_id, event_id, c, med,
+                 CASE WHEN med IS NOT NULL
+                      THEN list_extract(
+                             list_sort(list_transform(vs,
+                                                      x -> abs(x - med))),
+                             {HAMPEL_W // 2 + 1})
+                 END AS mad
+          FROM m
+        )
+        SELECT user_id, event_id,
+               round(CAST(c AS DOUBLE) / 100, 4) AS value,
+               round(CAST(med AS DOUBLE) / 100, 4) AS rolling_med,
+               round(CAST(mad AS DOUBLE) / 100, 4) AS rolling_mad,
+               CASE WHEN mad IS NOT NULL
+                    THEN CAST(abs(c - med) > {HAMPEL_K} * mad AS INT)
+               END AS is_spike
+        FROM d ORDER BY event_id""",
+        "seasonal_naive_error": """
+        WITH p AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 max(CAST(round(value * 100) AS BIGINT)) AS mx
+          FROM events GROUP BY 1, 2
+        ), s AS (
+          SELECT user_id, mx,
+                 last_value(mx) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND 86400 PRECEDING) AS base
+          FROM p
+        ), a AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_scored,
+                 sum(abs(mx - base)) AS sae, sum(mx - base) AS se
+          FROM s WHERE base IS NOT NULL GROUP BY user_id
+        )
+        SELECT user_id, n_scored,
+               ((2 * sae * 100 + n_scored) // (2 * n_scored))
+                 / 10000.0 AS mae,
+               (CASE WHEN se < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(se) * 100 + n_scored) // (2 * n_scored))
+                 / 10000.0 AS bias
+        FROM a ORDER BY user_id""",
+        "mann_kendall": f"""
+        WITH b AS (
+          SELECT user_id, event_id, epoch_us(ts) AS usec,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), pr AS (
+          SELECT x.user_id, (y.c - x.c) AS dc, (y.usec - x.usec) AS dt
+          FROM b x JOIN b y
+            ON x.user_id = y.user_id
+           AND (x.usec < y.usec
+                OR (x.usec = y.usec AND x.event_id < y.event_id))
+        ), s AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN dc > 0 THEN 1
+                               WHEN dc < 0 THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s_stat
+          FROM pr GROUP BY user_id
+        ), nn AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY user_id
+        ), tie AS (
+          SELECT user_id,
+                 CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+          FROM (SELECT user_id, c, CAST(count(*) AS BIGINT) AS t
+                FROM b GROUP BY 1, 2)
+          GROUP BY user_id
+        ), sl AS (
+          SELECT user_id,
+                 CAST(dc AS DOUBLE) / 100.0 * 86400000000.0
+                   / CAST(dt AS DOUBLE) AS sl,
+                 dc, dt
+          FROM pr WHERE dt > 0
+        ), rk AS (
+          SELECT user_id, sl,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY sl, dc, dt) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS m
+          FROM sl
+        ), sen AS (
+          SELECT user_id, sum(sl) / count(*) AS sen_slope_day
+          FROM rk
+          WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+          GROUP BY user_id
+        ), fin AS (
+          SELECT nn.user_id, nn.n, coalesce(s.s_stat, 0) AS s_stat,
+                 nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                   - coalesce(tie.tt, 0) AS var_num,
+                 sen.sen_slope_day
+          FROM nn
+          LEFT JOIN s USING (user_id)
+          LEFT JOIN tie USING (user_id)
+          LEFT JOIN sen USING (user_id)
+          WHERE nn.n >= 2
+        ), zz AS (
+          SELECT *,
+                 CASE WHEN var_num = 0 THEN NULL
+                      WHEN s_stat > 0
+                        THEN (s_stat - 1) / sqrt(var_num / 18.0)
+                      WHEN s_stat < 0
+                        THEN (s_stat + 1) / sqrt(var_num / 18.0)
+                      ELSE 0.0 END AS z
+          FROM fin
+        )
+        SELECT user_id, n, s_stat, var_num, z, sen_slope_day,
+               CASE WHEN z IS NULL THEN NULL
+                    WHEN z > {MK_Z_CRIT} THEN 'increasing'
+                    WHEN z < -{MK_Z_CRIT} THEN 'decreasing'
+                    ELSE 'no trend' END AS trend
+        FROM zz ORDER BY user_id""",
         "psi_drift": """
         WITH b AS (
           SELECT event_type,

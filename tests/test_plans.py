@@ -365,3 +365,39 @@ def test_round5c_query_plans(spark):
     for q in (E.q_type_transitions, E.q_tfidf_top_terms):
         plan = _plan(q(spark, sf))
         assert "EvalPython" not in plan, plan[:1500]
+
+
+def test_round5d_query_plans(spark):
+    """Round-5d plan shapes. hampel_filter: ONE user_id exchange feeds
+    both order-statistic windows (median and MAD ride the same
+    collect_list), one corpus scan, Python-free. seasonal_naive_error:
+    exactly TWO exchanges by design — the (user, second) collapse gets
+    its map-side partial aggregate BEFORE the shuffle (the 100 TB
+    requirement: raw simultaneous samples never cross the wire), then
+    the already-collapsed rows re-key to user_id for the RANGE window +
+    final agg, which share that second exchange."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    plan = _plan(E.q_hampel_filter(spark, sf))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"hampel_filter: {n} hash exchanges\n{plan[:2000]}"
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+    plan = _plan(E.q_seasonal_naive_error(spark, sf))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 2, f"seasonal_naive_error: {n} hash exchanges\n{plan[:2000]}"
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    # partial agg must precede the first shuffle
+    assert plan.index("HashAggregate") < plan.index(
+        "Exchange hashpartitioning"
+    ), plan[:2500]
+
+    plan = _plan(E.q_mann_kendall(spark, sf))
+    assert "FlatMapGroupsInPandas" in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"mann_kendall: {n} hash exchanges\n{plan[:2000]}"
+    assert plan.count("Scan parquet") == 1, plan[:2000]

@@ -416,3 +416,70 @@ def test_transitions_and_burstiness_match_numpy_reference(spark):
             assert abs(row["burstiness"] - (sig - mu) / (sig + mu)) < 5e-4, uid
         else:
             assert row["burstiness"] is None, uid
+
+
+def test_hampel_and_seasonal_naive_match_numpy_reference(spark):
+    """hampel_filter / seasonal_naive_error vs straight-from-definition
+    pandas/NumPy forms — the Hampel identifier as literal np.median over
+    each trailing 15-window (NOT the sort_array/element_at spelling the
+    engine/oracle pair share), the seasonal-naive base as a linear scan
+    for the latest per-second max at least 86400 s older. Integer stats
+    (is_spike, n_scored) must match exactly; the rounded floats to
+    5e-4."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["c"] = (ev["value"] * 100).round().astype(np.int64)
+
+    # --- hampel_filter
+    got = {r["event_id"]: r for r in E.q_hampel_filter(spark, sf).collect()}
+    assert len(got) == len(ev)
+    w, k = E.HAMPEL_W, E.HAMPEL_K
+    n_spikes = 0
+    for _, g in ev.sort_values(["user_id", "ts", "event_id"]).groupby(
+        "user_id"
+    ):
+        cs = g["c"].to_numpy()
+        for i, eid in enumerate(g["event_id"]):
+            row = got[eid]
+            if i + 1 < w:
+                assert row["rolling_med"] is None, eid
+                assert row["is_spike"] is None, eid
+                continue
+            win = cs[i + 1 - w : i + 1]
+            med = float(np.median(win))
+            mad = float(np.median(np.abs(win - med)))
+            assert abs(row["rolling_med"] - med / 100) < 5e-4, eid
+            assert abs(row["rolling_mad"] - mad / 100) < 5e-4, eid
+            want = int(abs(cs[i] - med) > k * mad)
+            assert row["is_spike"] == want, eid
+            n_spikes += want
+    # the fixture must actually exercise both branches
+    assert n_spikes > 0
+
+    # --- seasonal_naive_error
+    got = {
+        r["user_id"]: r
+        for r in E.q_seasonal_naive_error(spark, sf).collect()
+    }
+    assert got, "fixture spans <24h: seasonal-naive base never exists"
+    ev["sec"] = ev["ts"].to_numpy(dtype="datetime64[s]").astype(np.int64)
+    for uid, g in ev.groupby("user_id"):
+        p = g.groupby("sec")["c"].max().sort_index()
+        secs, mx = p.index.to_numpy(), p.to_numpy()
+        errs = []
+        for i in range(len(secs)):
+            j = np.searchsorted(secs, secs[i] - 86400, side="right") - 1
+            if j >= 0:
+                errs.append(mx[i] - mx[j])
+        if not errs:
+            assert uid not in got, uid
+            continue
+        e = np.asarray(errs, dtype=np.float64)
+        row = got[uid]
+        assert row["n_scored"] == len(e), uid
+        assert abs(row["mae"] - np.abs(e).mean() / 100) < 5e-4, uid
+        assert abs(row["bias"] - e.mean() / 100) < 5e-4, uid
