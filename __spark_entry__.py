@@ -1143,6 +1143,52 @@ def q_mann_kendall(spark, sf_dir):
     return mann_kendall(_t(spark, sf_dir, "events")).orderBy("user_id")
 
 
+CHUNK_W = 32  # chunk window (tokens)
+CHUNK_S = 24  # stride (tokens) -> 8-token overlap between neighbors
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window passage chunking (round 5): split every document
+    into CHUNK_W-token chunks at stride CHUNK_S (8-token overlap) — the
+    standard pre-training/RAG sequence packer. Chunk starts are 0, s,
+    2s, ...; chunk count is 1 when n<=w else 1 + ceil((n-w)/s) via the
+    all-integer (n-w+s-1) div s, so every token is covered, the tail
+    chunk may be short, and no chunk is empty. Emits a per-chunk md5
+    fingerprint so downstream exact-dedup can run at chunk granularity
+    (the dedup_* family operates on whole docs). 100 TB shape: pure
+    map-side — split + sequence + posexplode + slice are all Catalyst
+    expressions; ZERO exchanges (plan-asserted), perfectly parallel, the
+    one shape that never bottlenecks. Tokenization is the engine-wide
+    split(text, ' ') == string_split twin."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_w")
+    ).select("doc_id", "_w", F.size("_w").alias("_n"))
+    nck = F.when(F.col("_n") <= CHUNK_W, F.lit(1)).otherwise(
+        F.expr(f"1 + (_n - {CHUNK_W} + {CHUNK_S - 1}) div {CHUNK_S}")
+    )
+    ex = base.select(
+        "doc_id",
+        "_w",
+        F.posexplode(
+            F.sequence(F.lit(0), (nck - 1) * CHUNK_S, F.lit(CHUNK_S))
+        ).alias("chunk_id", "_st"),
+    )
+    chunk = F.array_join(
+        F.slice(F.col("_w"), F.col("_st") + 1, CHUNK_W), " "
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("_st").cast("long").alias("start_tok"),
+        F.size(F.slice(F.col("_w"), F.col("_st") + 1, CHUNK_W))
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(chunk).alias("chunk_md5"),
+        chunk.alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 PSI_BINS = 10
 KS_BINS = 100
 
@@ -3007,6 +3053,31 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_approx_quantiles(spark, sf_dir):
+    """Quantile SKETCH per event_type (round 5): approx_percentile
+    (Greenwald-Khanna, accuracy 10000 -> rank error <= 1e-4) over int64
+    cents — the sketch companion to the EXACT q_bucket_quantiles /
+    q_winsorized_stats percentiles. This is the 100 TB shape for
+    corpus-WIDE quantiles: GK summaries are bounded-size, mergeable
+    map-side partials (one exchange of sketches, never of rows), where
+    exact percentile must hold each group's values; per-series quantiles
+    stay exact, corpus/type-wide ones use this. Approximate by design ->
+    rows-only driver check (SURVEY §2.4, like approx_distinct); the
+    rank-error bound vs the exact percentile is pinned in
+    tests/test_quality.py."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[
+            (
+                F.percentile_approx(c, F.lit(q), F.lit(10000)) / 100.0
+            ).alias(f"p{int(q * 100):02d}")
+            for q in (0.50, 0.95, 0.99)
+        ],
+    ).orderBy("event_type")
+
+
 _STOPWORDS = {
     "en": ("the", "and", "of"),
     "de": ("der", "und", "die"),
@@ -3212,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hampel_filter": q_hampel_filter,
         "seasonal_naive_error": q_seasonal_naive_error,
         "mann_kendall": q_mann_kendall,
+        "chunk_documents": q_chunk_documents,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "seasonal_profile": q_seasonal_profile,
@@ -3257,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_source_stats": q_salted_source_stats,
         "lang_source_cube": q_lang_source_cube,
         "approx_distinct": q_approx_distinct,
+        "approx_quantiles": q_approx_quantiles,
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3918,6 +3991,36 @@ def oracle_sql() -> dict[str, str]:
                     WHEN z < -{MK_Z_CRIT} THEN 'decreasing'
                     ELSE 'no trend' END AS trend
         FROM zz ORDER BY user_id""",
+        "chunk_documents": f"""
+        WITH b AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ), s AS (
+          SELECT doc_id, w, n,
+                 CASE WHEN n <= {CHUNK_W} THEN 1
+                      ELSE 1 + (n - {CHUNK_W} + {CHUNK_S - 1}) // {CHUNK_S}
+                 END AS nck
+          FROM b
+        ), e AS (
+          SELECT doc_id, w, unnest(range(nck)) AS chunk_id
+          FROM s
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(chunk_id * {CHUNK_S} AS BIGINT) AS start_tok,
+               CAST(len(list_slice(w, chunk_id * {CHUNK_S} + 1,
+                                   chunk_id * {CHUNK_S} + {CHUNK_W}))
+                    AS BIGINT) AS n_tok,
+               md5(array_to_string(
+                     list_slice(w, chunk_id * {CHUNK_S} + 1,
+                                chunk_id * {CHUNK_S} + {CHUNK_W}), ' '))
+                 AS chunk_md5,
+               array_to_string(
+                 list_slice(w, chunk_id * {CHUNK_S} + 1,
+                            chunk_id * {CHUNK_S} + {CHUNK_W}), ' ')
+                 AS chunk_text
+        FROM e ORDER BY doc_id, chunk_id""",
         "psi_drift": """
         WITH b AS (
           SELECT event_type,

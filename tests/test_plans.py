@@ -391,13 +391,35 @@ def test_round5d_query_plans(spark):
     n = plan.count("Exchange hashpartitioning")
     assert n == 2, f"seasonal_naive_error: {n} hash exchanges\n{plan[:2000]}"
     assert plan.count("Scan parquet") == 1, plan[:2000]
-    # partial agg must precede the first shuffle
-    assert plan.index("HashAggregate") < plan.index(
-        "Exchange hashpartitioning"
-    ), plan[:2500]
+    # the (user,sec) collapse must partial-aggregate BELOW its shuffle:
+    # plans print top-down, so the map-side HashAggregate sits after the
+    # LAST (lowest) exchange in the string, adjacent to the scan
+    assert "HashAggregate" in plan[plan.rindex("Exchange hashpartitioning"):], (
+        plan[:2500]
+    )
 
     plan = _plan(E.q_mann_kendall(spark, sf))
     assert "FlatMapGroupsInPandas" in plan, plan[:1500]
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"mann_kendall: {n} hash exchanges\n{plan[:2000]}"
     assert plan.count("Scan parquet") == 1, plan[:2000]
+
+    # chunk_documents: pure map-side (split/sequence/posexplode/slice are
+    # all Catalyst Generate/Project) — ZERO exchanges of any kind except
+    # the presentation sort
+    plan = _plan(E.q_chunk_documents(spark, sf))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 0, f"chunk_documents: {n} hash exchanges\n{plan[:2000]}"
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert plan.count("Generate") == 1, plan[:2000]
+
+    # approx_quantiles: GK sketches merge map-side (ObjectHashAggregate
+    # partial before the single exchange) — sketches shuffle, rows don't
+    plan = _plan(E.q_approx_quantiles(spark, sf))
+    assert "EvalPython" not in plan, plan[:1500]
+    # two ObjectHashAggregate nodes = partial (map-side, pre-shuffle)
+    # + final; the plan prints top-down so index ordering proves nothing
+    assert plan.count("ObjectHashAggregate") == 2, plan[:2000]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"approx_quantiles: {n} hash exchanges\n{plan[:2000]}"

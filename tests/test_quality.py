@@ -483,3 +483,33 @@ def test_hampel_and_seasonal_naive_match_numpy_reference(spark):
         assert row["n_scored"] == len(e), uid
         assert abs(row["mae"] - np.abs(e).mean() / 100) < 5e-4, uid
         assert abs(row["bias"] - e.mean() / 100) < 5e-4, uid
+
+
+def test_approx_quantiles_rank_error_bound(spark):
+    """q_approx_quantiles (GK sketch, accuracy=10000) vs the exact
+    per-type percentile: the returned value must sit within rank
+    epsilon = 1e-4 of the requested quantile, checked by computing each
+    estimate's true rank in the exact sorted values. (Value-distance is
+    the wrong metric for a rank sketch; rank-distance is the GK
+    guarantee.)"""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in E.q_approx_quantiles(spark, sf).collect()}
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["c"] = (ev["value"] * 100).round().astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        vals = np.sort(g["c"].to_numpy())
+        n = len(vals)
+        assert got[et]["n"] == n
+        for q, col in ((0.50, "p50"), (0.95, "p95"), (0.99, "p99")):
+            est_c = int(round(got[et][col] * 100))
+            # rank band of the estimate in the exact multiset
+            lo = np.searchsorted(vals, est_c, side="left")
+            hi = np.searchsorted(vals, est_c, side="right") - 1
+            target = q * (n - 1)
+            # epsilon*n plus one element of slack for the discrete grid
+            slack = 1e-4 * n + 1
+            assert lo - slack <= target <= hi + slack, (et, col, lo, hi, target)

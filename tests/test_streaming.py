@@ -794,3 +794,54 @@ def test_stream_detect_cli_psi_mode(spark, tmp_path):
     for et, w in want.items():
         assert last[et]["n_events"] == w["n_events"], et
         assert abs(last[et]["psi"] - w["psi"]) < 6e-5, et
+
+
+def test_dedup_stream_batch_parity(spark, tmp_path):
+    """dedup_stream (dropDuplicatesWithinWatermark) vs the batch exact
+    dedup over a stream where EVERY event is delivered twice (the same
+    parquet file copied twice into the source dir — the at-least-once
+    redelivery shape): the appended output must be exactly the distinct
+    row set, i.e. equal to batch DISTINCT on (event_id), no dupes, no
+    drops."""
+    import shutil
+    from pathlib import Path
+
+    from engine.streaming import dedup_stream
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+    src = str(tmp_path / "dup_stream")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "a.parquet"))
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "b.parquet"))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # the two deliveries land in
+        .parquet(src)                     # separate micro-batches
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedupstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT event_id, count(*) c FROM dedupstream GROUP BY event_id"
+    ).collect()
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n_distinct = batch.select("event_id").distinct().count()
+    assert len(got) == n_distinct
+    assert all(r["c"] == 1 for r in got), "stream emitted a duplicate"
+    # every batch event survived (first arrival kept)
+    total = spark.sql("SELECT count(*) c FROM dedupstream").collect()[0]["c"]
+    assert total == n_distinct
