@@ -149,13 +149,27 @@ class ParquetManifestFormat:
     def current_snapshot(self, table: str) -> int:
         return int(self._load(table)["current"])
 
-    def overwrite_partitions(self, df: DataFrame, table: str, n_buckets: int | None = None) -> int:
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        table: str,
+        n_buckets: int | None = None,
+        sort_within=None,
+    ) -> int:
         """S2: atomically replace exactly the partitions present in *df*.
 
         *df* must carry a ``part_hash`` column (K1). Data lands in an
         immutable per-snapshot directory first; the manifest swap is the
         commit point, exactly the Iceberg commit ordering the lineage
         protocol (L1) relies on.
+
+        ``sort_within`` (a Column expression or list of them) clusters
+        rows inside each task's file AFTER the part_hash co-location
+        shuffle — the Iceberg write sort-order / Delta OPTIMIZE ZORDER
+        hook (engine/zorder.py builds the Morton key). A pure expression
+        sort: nothing is materialized into the written schema, and the
+        snapshot/manifest protocol is unchanged — row ORDER inside
+        immutable files is the only difference.
         """
         if "part_hash" not in df.columns:
             raise ValueError("overwrite_partitions requires a part_hash column (K1)")
@@ -170,6 +184,9 @@ class ParquetManifestFormat:
         from engine.schema import DEFAULT_N_BUCKETS
 
         df = df.repartition(int(n_buckets or DEFAULT_N_BUCKETS), "part_hash")
+        if sort_within is not None:
+            cols = sort_within if isinstance(sort_within, list) else [sort_within]
+            df = df.sortWithinPartitions(*cols)
         df.write.partitionBy("part_hash").mode("errorifexists").parquet(data_dir)
         written = [
             int(name.split("=", 1)[1])

@@ -27,8 +27,13 @@ deliberately not done here.
 
 Run:
     python jobs/compact.py --warehouse /tmp/wh [--tiers 1m,1h,1d]
-        [--min-dirs 2]
+        [--min-dirs 2] [--cluster zorder]
     spark-submit --py-files engine.zip jobs/compact.py ...
+
+--cluster zorder additionally Morton-clusters rows inside each rewritten
+file by (doc-hash, bucket) — engine/zorder.py, the Delta OPTIMIZE ZORDER
+BY shape — so point reads by doc AND time-range scans both prune parquet
+row groups.
 """
 
 from __future__ import annotations
@@ -47,20 +52,38 @@ from engine.session import get_spark
 
 
 def compact_tier(spark, fmt: ParquetManifestFormat, warehouse: str,
-                 tier: str, min_dirs: int = 2, epoch: int = 0) -> dict:
-    """Compact one tier; returns {dirs_before, dirs_after, rows, skipped}."""
+                 tier: str, min_dirs: int = 2, epoch: int = 0,
+                 cluster: str = "none") -> dict:
+    """Compact one tier; returns {dirs_before, dirs_after, rows, skipped}.
+
+    cluster="zorder" additionally Morton-clusters rows inside each
+    rewritten file by (xxhash64(doc_id), bucket) — the Delta OPTIMIZE
+    ZORDER BY shape (engine/zorder.py): point reads by doc AND time-range
+    scans both get tight parquet row-group min/max rectangles instead of
+    one dimension's stripe. A zorder pass is worth running even at
+    min_dirs=1 (it rewrites for ORDER, not just dir count), so the
+    min-dirs skip only applies to cluster="none"."""
     table = f"rollup_{tier}"
     try:
         before = fmt.snapshot_dirs(table)
     except ValueError:
         return {"skipped": True, "reason": "no snapshot"}
-    if len(before) < min_dirs:
+    if cluster == "none" and len(before) < min_dirs:
         return {"skipped": True, "dirs_before": len(before)}
+    if cluster not in ("none", "zorder"):
+        raise ValueError(f"unknown cluster mode {cluster!r}")
     t0 = time.monotonic()
     # one read of the current view -> one overwrite of every live partition
     # (all of them are "present in df", so the new snapshot maps every
     # part_hash to the single new snap dir)
-    snap = fmt.overwrite_partitions(fmt.read(table), table)
+    sort_within = None
+    if cluster == "zorder":
+        from engine.zorder import rollup_zorder_key
+
+        sort_within = rollup_zorder_key()
+    snap = fmt.overwrite_partitions(
+        fmt.read(table), table, sort_within=sort_within
+    )
     written = fmt.read_at(table, snap)
     stats = partition_stats_from_rollup(written)
     lineage_record(
@@ -87,6 +110,10 @@ def main() -> None:
                          "at least this many data dirs")
     ap.add_argument("--epoch", type=int, default=0,
                     help="checkpoint epoch recorded on the lineage rows")
+    ap.add_argument("--cluster", default="none", choices=["none", "zorder"],
+                    help="zorder: Morton-cluster rows inside rewritten "
+                         "files by (doc-hash, bucket) for 2-D row-group "
+                         "pruning")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -94,7 +121,8 @@ def main() -> None:
     fmt = ParquetManifestFormat(spark, args.warehouse)
     for tier in args.tiers.split(","):
         m = compact_tier(spark, fmt, args.warehouse, tier,
-                         min_dirs=args.min_dirs, epoch=args.epoch)
+                         min_dirs=args.min_dirs, epoch=args.epoch,
+                         cluster=args.cluster)
         print(f"compact tier={tier} {m}")
 
 

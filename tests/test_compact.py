@@ -250,3 +250,82 @@ def test_pin_epoch_unmatched_refuses_before_deleting(spark, tmp_path):
         run_snapshot_expiry(spark, wh, ["1m"], keep_last=1, pin_epochs={99})
     # nothing was expired: every snapshot still present
     assert sorted(fmt._load("rollup_1m")["snapshots"]) == snaps_before
+
+
+def test_interleave_bits_morton_values(spark):
+    """interleave_bits (engine/zorder.py) against hand-computed Morton
+    codes and a scalar Python re-implementation over a coordinate grid."""
+    from engine.zorder import interleave_bits
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    # hand cases: x bits land at even positions, y at odd
+    assert morton(0b11, 0b01) == 0b0111
+    assert morton(0, 0b1) == 0b10
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(0, 70000, 4111) for y in range(0, 70000, 5333)],
+        "x long, y long",
+    )
+    got = df.select(
+        "x", "y", interleave_bits(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == morton(r["x"] & 0xFFFF, r["y"] & 0xFFFF), (r["x"], r["y"])
+
+
+def test_compact_zorder_clusters_rows_preserving_everything(spark, tmp_path):
+    """--cluster zorder: the rewrite is still row-preserving and
+    time-travel-safe, AND every written file's rows are non-decreasing in
+    the Morton key (the actual clustering mechanism parquet row-group
+    min/max pruning relies on)."""
+    import glob
+
+    import pandas as pd
+
+    from engine.zorder import rollup_zorder_key
+    from jobs.compact import compact_tier
+
+    wh = str(tmp_path / "whz")
+    d1 = synth_tokens(spark, 6, seed=3, n_tok=256)
+    d2 = synth_tokens(spark, 6, seed=5, n_tok=256).withColumn(
+        "doc_id", F.concat(F.lit("z_"), F.col("doc_id"))
+    )
+    run_rollup(spark, d1, wh, epoch=1, tiers=["1m"])
+    run_rollup(spark, d2, wh, epoch=2, tiers=["1m"])
+    fmt = ParquetManifestFormat(spark, wh)
+    pre_snap = fmt.current_snapshot("rollup_1m")
+    pre_rows = _rows(fmt.read("rollup_1m"))
+
+    m = compact_tier(spark, fmt, wh, "1m", cluster="zorder")
+    assert not m["skipped"] and m["dirs_after"] == 1
+
+    assert _rows(fmt.read("rollup_1m")) == pre_rows
+    assert _rows(fmt.read_at("rollup_1m", pre_snap)) == pre_rows
+
+    # per-file clustering: recompute the key on each file IN FILE ORDER
+    snap_dir = next(iter(fmt.snapshot_dirs("rollup_1m")))
+    files = glob.glob(os.path.join(snap_dir, "part_hash=*", "*.parquet"))
+    assert files
+    checked = 0
+    for f in files:
+        pdf = pd.read_parquet(f)
+        if len(pdf) < 2:
+            continue
+        zs = [
+            r["z"]
+            for r in spark.createDataFrame(pdf[["doc_id", "bucket"]])
+            .select(rollup_zorder_key().alias("z"))
+            .collect()
+        ]
+        assert zs == sorted(zs), f
+        checked += 1
+    assert checked > 0
+
+    # a zorder pass is not blocked by the min-dirs idempotence skip
+    m2 = compact_tier(spark, fmt, wh, "1m", cluster="zorder")
+    assert not m2["skipped"] and m2["dirs_after"] == 1
