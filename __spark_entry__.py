@@ -1143,6 +1143,60 @@ def q_mann_kendall(spark, sf_dir):
     return mann_kendall(_t(spark, sf_dir, "events")).orderBy("user_id")
 
 
+WINNOW_K = 4  # fingerprint k-gram size (words)
+WINNOW_W = 5  # winnowing window (grams)
+
+# 16-bit gram hash from md5 nibbles — the engine-wide md5-parity spelling
+# (_nibble); _G_ is substituted with the gram expression (a literal
+# placeholder: 'g' alone would collide with the 'g' in 'substring')
+_H16_SQL = (
+    "(instr('0123456789abcdef', substring(md5(_G_), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substring(md5(_G_), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substring(md5(_G_), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(_G_), 4, 1)) - 1)"
+)
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (round 5): the
+    Schleimer-Wilkerson-Aiken SIGMOD'03 scheme (MOSS) — hash every
+    WINNOW_K-word gram, slide a WINNOW_W-gram window, keep each window's
+    MINIMUM hash, emit the distinct minima as the doc's fingerprint set.
+    The guarantee the md5/simhash/minhash family doesn't give: any shared
+    run of >= w+k-1 tokens between two docs shares at least one
+    fingerprint, with only ~2/(w+1) of grams retained — the
+    local-match-detection primitive (plagiarism / license / boilerplate
+    spans), complementing whole-doc (md5), near-whole-doc (minhash LSH)
+    and topical (simhash) dedup. All-integer 16-bit gram hashes from md5
+    nibbles (the engine-wide parity spelling); selection by VALUE so the
+    rightmost-tie rule is moot under the final distinct. 100 TB shape:
+    pure map-side array HOFs (transform/slice/array_min) — ZERO
+    exchanges before the presentation sort, O(n·w) per doc with both
+    constants pinned."""
+    return _winnow(_t(spark, sf_dir, "documents")).orderBy("doc_id", "fp")
+
+
+def _winnow(d: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, fp) winnowing fingerprint rows."""
+    base = d.select("doc_id", F.split("text", " ").alias("_w"))
+    hexpr = _H16_SQL.replace(
+        "_G_", f"array_join(slice(_w, i, {WINNOW_K}), ' ')"
+    )
+    grams = F.expr(
+        f"CASE WHEN size(_w) >= {WINNOW_K} THEN "
+        f"transform(sequence(1, size(_w) - {WINNOW_K - 1}), i -> {hexpr}) "
+        f"ELSE cast(array() as array<int>) END"
+    )
+    g = base.select("doc_id", grams.alias("_g")).where(F.size("_g") > 0)
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(_g) - {WINNOW_W - 1}, 1)), "
+        f"j -> array_min(slice(_g, j, {WINNOW_W})))"
+    )
+    return g.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    ).select("doc_id", F.col("fp").cast("long").alias("fp"))
+
+
 CHUNK_W = 32  # chunk window (tokens)
 CHUNK_S = 24  # stride (tokens) -> 8-token overlap between neighbors
 
@@ -3284,6 +3338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_error": q_seasonal_naive_error,
         "mann_kendall": q_mann_kendall,
         "chunk_documents": q_chunk_documents,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "seasonal_profile": q_seasonal_profile,
@@ -4021,6 +4076,36 @@ def oracle_sql() -> dict[str, str]:
                             chunk_id * {CHUNK_S} + {CHUNK_W}), ' ')
                  AS chunk_text
         FROM e ORDER BY doc_id, chunk_id""",
+        "winnow_fingerprints": f"""
+        WITH b AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= {WINNOW_K} THEN
+                   list_transform(range(1, len(w) - {WINNOW_K} + 2), i ->
+                     (strpos('0123456789abcdef', substr(md5(
+                        array_to_string(list_slice(w, i, i + {WINNOW_K - 1}),
+                                        ' ')), 1, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substr(md5(
+                        array_to_string(list_slice(w, i, i + {WINNOW_K - 1}),
+                                        ' ')), 2, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substr(md5(
+                        array_to_string(list_slice(w, i, i + {WINNOW_K - 1}),
+                                        ' ')), 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(
+                        array_to_string(list_slice(w, i, i + {WINNOW_K - 1}),
+                                        ' ')), 4, 1)) - 1))
+                 ELSE [] END AS g
+          FROM b
+        ), m AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(len(g) - {WINNOW_W - 1}, 1) + 1), j ->
+                     list_min(list_slice(g, j, j + {WINNOW_W - 1}))) AS mins
+          FROM g WHERE len(g) > 0
+        )
+        SELECT doc_id, CAST(unnest(list_distinct(mins)) AS BIGINT) AS fp
+        FROM m ORDER BY doc_id, fp""",
         "psi_drift": """
         WITH b AS (
           SELECT event_type,

@@ -423,3 +423,10 @@ def test_round5d_query_plans(spark):
     assert plan.count("ObjectHashAggregate") == 2, plan[:2000]
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"approx_quantiles: {n} hash exchanges\n{plan[:2000]}"
+
+    # winnow_fingerprints: map-side array HOFs + one Generate (explode)
+    plan = _plan(E.q_winnow_fingerprints(spark, sf))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 0, f"winnow_fingerprints: {n} hash exchanges\n{plan[:2000]}"
+    assert plan.count("Scan parquet") == 1, plan[:2000]

@@ -513,3 +513,38 @@ def test_approx_quantiles_rank_error_bound(spark):
             # epsilon*n plus one element of slack for the discrete grid
             slack = 1e-4 * n + 1
             assert lo - slack <= target <= hi + slack, (et, col, lo, hi, target)
+
+
+def test_winnowing_guarantee_and_sparsity(spark):
+    """The SIGMOD'03 winnowing contract on crafted docs: two documents
+    sharing a token run of length >= w+k-1 share at least one
+    fingerprint; unrelated random-token docs (almost surely) don't; and
+    the selected set is sparse (<< gram count). Also: short docs
+    (< k tokens) emit nothing rather than erroring."""
+    import random
+
+    from __spark_entry__ import WINNOW_K, WINNOW_W, _winnow
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(5000)]
+    shared = " ".join(rng.choice(vocab) for _ in range(WINNOW_W + WINNOW_K - 1))
+
+    def rand_text(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    docs = [
+        (0, rand_text(30) + " " + shared + " " + rand_text(30)),
+        (1, rand_text(40) + " " + shared + " " + rand_text(20)),
+        (2, rand_text(80)),
+        (3, "a b c"),  # < k tokens -> no grams -> no rows
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {}
+    for r in _winnow(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 3 not in fps
+    assert fps[0] & fps[1], "shared >= w+k-1 run must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    # sparsity: ~2/(w+1) of grams retained; allow generous slack
+    n_grams0 = len(docs[0][1].split()) - WINNOW_K + 1
+    assert len(fps[0]) < 0.75 * n_grams0
