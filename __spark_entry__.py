@@ -1143,6 +1143,71 @@ def q_mann_kendall(spark, sf_dir):
     return mann_kendall(_t(spark, sf_dir, "events")).orderBy("user_id")
 
 
+def q_hjorth_params(spark, sf_dir):
+    """Hjorth parameters per series (round 5): activity = var(x),
+    mobility = sqrt(var(Δx)/var(x)), complexity = mobility(Δx)/
+    mobility(x) — Hjorth 1970, the three classic time-domain signal
+    descriptors (variance, dominant-frequency proxy, bandwidth proxy)
+    that summarize a series' shape without an FFT. The acf_lags recipe:
+    first/second differences from lag windows, then ONE aggregation of
+    exact int64 sufficient statistics (n, Σc, Σc², and the same for Δ
+    and Δ²) — order-independent sums, population-variance numerators
+    n·Σx²−(Σx)² kept as exact int64 — and the only floating point is the
+    final closed form, identically spelled on both sides (each variance
+    factor cast to double BEFORE any product; results emitted UNROUNDED
+    since sqrt spellings are deterministic IEEE). One user_id exchange
+    shared by the lag windows and the groupBy. NULL-safe: var(x)=0 →
+    NULL mobility; var(Δx)=0 or n<3 → NULL complexity."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("long")
+    d = c - F.lag(c).over(w)
+    base = ev.select("user_id", "ts", "event_id", c.alias("_c"), d.alias("_d"))
+    dd = F.col("_d") - F.lag("_d").over(w)
+    base = base.select("user_id", "_c", "_d", dd.alias("_dd"))
+    z = F.lit(0).cast("long")
+
+    def _stats(col, tag):
+        ok = col.isNotNull()
+        return [
+            F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias(f"_n{tag}"),
+            F.sum(F.when(ok, col).otherwise(z)).alias(f"_s{tag}"),
+            F.sum(F.when(ok, col * col).otherwise(z)).alias(f"_q{tag}"),
+        ]
+
+    stats = base.groupBy("user_id").agg(
+        *_stats(F.col("_c"), "x"), *_stats(F.col("_d"), "d"),
+        *_stats(F.col("_dd"), "dd")
+    )
+    # population-variance numerators, exact int64
+    vx = F.col("_nx") * F.col("_qx") - F.col("_sx") * F.col("_sx")
+    vd = F.col("_nd") * F.col("_qd") - F.col("_sd") * F.col("_sd")
+    vdd = F.col("_ndd") * F.col("_qdd") - F.col("_sdd") * F.col("_sdd")
+    st = stats.select(
+        "user_id", F.col("_nx").alias("n"),
+        vx.alias("_vx"), vd.alias("_vd"), vdd.alias("_vdd"),
+        F.col("_nd").alias("_m"), F.col("_ndd").alias("_m2"),
+    )
+    fn = F.col("n").cast("double")
+    fm = F.col("_m").cast("double")
+    fm2 = F.col("_m2").cast("double")
+    dvx = F.col("_vx").cast("double")
+    dvd = F.col("_vd").cast("double")
+    dvdd = F.col("_vdd").cast("double")
+    mob = F.sqrt(dvd * (fn * fn) / (dvx * (fm * fm)))
+    mob_d = F.sqrt(dvdd * (fm * fm) / (dvd * (fm2 * fm2)))
+    return st.select(
+        "user_id",
+        "n",
+        (dvx / (fn * fn) / F.lit(10000.0)).alias("activity"),
+        F.when(F.col("_vx") > 0, mob).alias("mobility"),
+        F.when(
+            (F.col("_vx") > 0) & (F.col("_vd") > 0) & (F.col("_m2") > 0),
+            mob_d / mob,
+        ).alias("complexity"),
+    ).orderBy("user_id")
+
+
 WINNOW_K = 4  # fingerprint k-gram size (words)
 WINNOW_W = 5  # winnowing window (grams)
 
@@ -3337,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hampel_filter": q_hampel_filter,
         "seasonal_naive_error": q_seasonal_naive_error,
         "mann_kendall": q_mann_kendall,
+        "hjorth_params": q_hjorth_params,
         "chunk_documents": q_chunk_documents,
         "winnow_fingerprints": q_winnow_fingerprints,
         "psi_drift": q_psi_drift,
@@ -4046,6 +4112,61 @@ def oracle_sql() -> dict[str, str]:
                     WHEN z < -{MK_Z_CRIT} THEN 'decreasing'
                     ELSE 'no trend' END AS trend
         FROM zz ORDER BY user_id""",
+        "hjorth_params": """
+        WITH b AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), b1 AS (
+          SELECT user_id, ts, event_id, c,
+                 c - lag(c) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS d
+          FROM b
+        ), b2 AS (
+          SELECT user_id, c, d,
+                 d - lag(d) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dd
+          FROM b1
+        ), a AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS nx,
+                 CAST(sum(c) AS BIGINT) AS sx,
+                 CAST(sum(c * c) AS BIGINT) AS qx,
+                 CAST(count(d) AS BIGINT) AS nd,
+                 CAST(coalesce(sum(d), 0) AS BIGINT) AS sd,
+                 CAST(coalesce(sum(d * d), 0) AS BIGINT) AS qd,
+                 CAST(count(dd) AS BIGINT) AS ndd,
+                 CAST(coalesce(sum(dd), 0) AS BIGINT) AS sdd,
+                 CAST(coalesce(sum(dd * dd), 0) AS BIGINT) AS qdd
+          FROM b2 GROUP BY user_id
+        ), v AS (
+          SELECT user_id, nx AS n, nd, ndd,
+                 nx * qx - sx * sx AS vx,
+                 nd * qd - sd * sd AS vd,
+                 ndd * qdd - sdd * sdd AS vdd
+          FROM a
+        )
+        SELECT user_id, n,
+               CAST(vx AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 / 10000.0 AS activity,
+               CASE WHEN vx > 0 THEN
+                 sqrt(CAST(vd AS DOUBLE)
+                        * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                      / (CAST(vx AS DOUBLE)
+                         * (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE))))
+               END AS mobility,
+               CASE WHEN vx > 0 AND vd > 0 AND ndd > 0 THEN
+                 sqrt(CAST(vdd AS DOUBLE)
+                        * (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE))
+                      / (CAST(vd AS DOUBLE)
+                         * (CAST(ndd AS DOUBLE) * CAST(ndd AS DOUBLE))))
+                 / sqrt(CAST(vd AS DOUBLE)
+                          * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                        / (CAST(vx AS DOUBLE)
+                           * (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE))))
+               END AS complexity
+        FROM v ORDER BY user_id""",
         "chunk_documents": f"""
         WITH b AS (
           SELECT doc_id, string_split(text, ' ') AS w,

@@ -430,3 +430,11 @@ def test_round5d_query_plans(spark):
     n = plan.count("Exchange hashpartitioning")
     assert n == 0, f"winnow_fingerprints: {n} hash exchanges\n{plan[:2000]}"
     assert plan.count("Scan parquet") == 1, plan[:2000]
+
+    # hjorth_params: two stacked lag windows + the aggregate all share
+    # ONE user_id exchange
+    plan = _plan(E.q_hjorth_params(spark, sf))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"hjorth_params: {n} hash exchanges\n{plan[:2000]}"
+    assert plan.count("Scan parquet") == 1, plan[:2000]

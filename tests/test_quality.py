@@ -548,3 +548,37 @@ def test_winnowing_guarantee_and_sparsity(spark):
     # sparsity: ~2/(w+1) of grams retained; allow generous slack
     n_grams0 = len(docs[0][1].split()) - WINNOW_K + 1
     assert len(fps[0]) < 0.75 * n_grams0
+
+
+def test_hjorth_params_match_numpy_reference(spark):
+    """hjorth_params vs literal np.var/np.diff forms — a third
+    implementation independent of the shared int64 sufficient-statistic
+    algebra, so a bug in the n·Σx²−(Σx)² spelling can't hide."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r for r in E.q_hjorth_params(spark, sf).collect()}
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ev["c"] = (ev["value"] * 100).round().astype(np.int64)
+    for uid, g in ev.groupby("user_id"):
+        x = g["c"].to_numpy(np.float64)
+        d = np.diff(x)
+        dd = np.diff(d)
+        row = got[uid]
+        assert row["n"] == len(x)
+        vx, vd = np.var(x), np.var(d)
+        assert abs(row["activity"] - vx / 1e4) < max(5e-4, 1e-9 * vx), uid
+        if vx == 0:
+            assert row["mobility"] is None
+            continue
+        mob = np.sqrt(vd / vx)
+        assert abs(row["mobility"] - mob) < 5e-6 * max(1.0, mob), uid
+        if vd == 0 or len(dd) == 0:
+            assert row["complexity"] is None
+            continue
+        comp = np.sqrt(np.var(dd) / vd) / mob
+        assert abs(row["complexity"] - comp) < 5e-6 * max(1.0, comp), uid
