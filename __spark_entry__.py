@@ -1208,6 +1208,23 @@ def q_hjorth_params(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_fft_top_periods(spark, sf_dir):
+    """Dominant periods per series via the periodogram (round 5):
+    engine/spectral.py — per-minute mean grid built in Spark (the kernel
+    never sees raw-event volume), mean-filled densify, |rfft|² power,
+    top-3 non-DC bins with deterministic tie-break, reported as
+    period_min = span/bin + power share. The frequency-domain complement
+    to seasonal_profile/seasonality_strength (which score a KNOWN
+    period). No SQL twin exists for an FFT → rows-only driver check
+    (SURVEY §2.4, the lttb precedent); known-period recovery is pinned
+    in tests/test_spectral.py."""
+    from engine.spectral import fft_top_periods
+
+    return fft_top_periods(_t(spark, sf_dir, "events")).orderBy(
+        "user_id", "rank"
+    )
+
+
 WINNOW_K = 4  # fingerprint k-gram size (words)
 WINNOW_W = 5  # winnowing window (grams)
 
@@ -3403,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_error": q_seasonal_naive_error,
         "mann_kendall": q_mann_kendall,
         "hjorth_params": q_hjorth_params,
+        "fft_top_periods": q_fft_top_periods,
         "chunk_documents": q_chunk_documents,
         "winnow_fingerprints": q_winnow_fingerprints,
         "psi_drift": q_psi_drift,

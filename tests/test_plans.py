@@ -438,3 +438,15 @@ def test_round5d_query_plans(spark):
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"hjorth_params: {n} hash exchanges\n{plan[:2000]}"
     assert plan.count("Scan parquet") == 1, plan[:2000]
+
+    # fft_top_periods: TWO exchanges by design — raw events combine
+    # map-side on (user, minute) BEFORE the first shuffle (partial agg
+    # below the lowest exchange), then only the minute grid reshuffles
+    # to the per-user FFT kernel
+    plan = _plan(E.q_fft_top_periods(spark, sf))
+    assert "FlatMapGroupsInPandas" in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 2, f"fft_top_periods: {n} hash exchanges\n{plan[:2000]}"
+    assert "HashAggregate" in plan[plan.rindex("Exchange hashpartitioning"):], (
+        plan[:2500]
+    )
