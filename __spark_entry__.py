@@ -1279,6 +1279,103 @@ def _winnow(d: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("fp").cast("long").alias("fp"))
 
 
+WINNOW_MAX_FP = 50  # a fingerprint shared by more docs is boilerplate
+WINNOW_MIN_SHARED = 2  # pairs must share >= 2 fingerprints
+
+# shared DuckDB CTE chain: words -> gram hashes -> window minima ("m")
+_WINNOW_CTES = f"""b AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= {WINNOW_K} THEN
+                   list_transform(range(1, len(w) - {WINNOW_K} + 2), i ->
+                     (strpos('0123456789abcdef', substr(md5(
+                        array_to_string(list_slice(w, i, i + {WINNOW_K - 1}),
+                                        ' ')), 1, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substr(md5(
+                        array_to_string(list_slice(w, i, i + {WINNOW_K - 1}),
+                                        ' ')), 2, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substr(md5(
+                        array_to_string(list_slice(w, i, i + {WINNOW_K - 1}),
+                                        ' ')), 3, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(
+                        array_to_string(list_slice(w, i, i + {WINNOW_K - 1}),
+                                        ' ')), 4, 1)) - 1))
+                 ELSE [] END AS g
+          FROM b
+        ), m AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(len(g) - {WINNOW_W - 1}, 1) + 1), j ->
+                     list_min(list_slice(g, j, j + {WINNOW_W - 1}))) AS mins
+          FROM g WHERE len(g) > 0
+        )"""
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Local-overlap candidate pairs from winnowing fingerprints
+    (round 5): docs sharing >= WINNOW_MIN_SHARED retained fingerprints —
+    the MOSS pair-detection stage over q_winnow_fingerprints, catching
+    SHARED SPANS (quoted passages, boilerplate, licenses) that whole-doc
+    minhash misses when the rest of the docs differ. Scale shape is the
+    LSH discipline: fingerprints hotter than WINNOW_MAX_FP docs are
+    dropped BEFORE the self-join (corpus-wide boilerplate — exactly the
+    grams you don't want pairing the corpus quadratically), so pair
+    volume is sum-over-fps of C(df,2) with df capped; the join is
+    equi-keyed on fp (never cartesian, plan-asserted d1<d2 dedup)."""
+    fp = _winnow(_t(spark, sf_dir, "documents"))
+    w = Window.partitionBy("fp")
+    kept = fp.select(
+        "doc_id", "fp", F.count("*").over(w).alias("_df")
+    ).where(F.col("_df") <= WINNOW_MAX_FP)
+    a = kept.select(F.col("doc_id").alias("d1"), "fp")
+    b = kept.select(F.col("doc_id").alias("d2"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+        .orderBy("d1", "d2")
+    )
+
+
+def q_activity_gini(spark, sf_dir):
+    """Gini coefficient of per-user event counts (round 5): the standard
+    inequality summary of load concentration across series — the
+    skew-monitoring scalar behind the K2 salting decision (G→0 uniform
+    fleet, G→1 one tenant dominates). Exact integer path: x_u = int64
+    event counts, ranked by (x, user_id) — the deterministic tie order —
+    and the closed form G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) keeps
+    numerator and denominator as exact int64; the single 4-dp result is
+    rounded half-away-from-zero in the INTEGER domain (num ≥ 0 since
+    ranks are ascending). One corpus exchange for the per-user count; the
+    rank/sum run over the n-users aggregate, never the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("_x"))
+    w = Window.orderBy("_x", "user_id")
+    ranked = per.select(
+        "_x", F.row_number().over(w).cast("long").alias("_r")
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_r") * F.col("_x")).alias("_rx"),
+    )
+    num = 2 * F.col("_rx") - (F.col("_n") + 1) * F.col("_s")
+    mid = agg.select(
+        "_n", "_s", num.alias("_num"), (F.col("_n") * F.col("_s")).alias("_den")
+    )
+    return mid.select(
+        F.col("_n").alias("n_users"),
+        F.col("_s").alias("n_events"),
+        (
+            F.expr("(2 * _num * 10000 + _den) div (2 * _den)")
+            / F.lit(10000.0)
+        ).alias("gini"),
+    )
+
+
 CHUNK_W = 32  # chunk window (tokens)
 CHUNK_S = 24  # stride (tokens) -> 8-token overlap between neighbors
 
@@ -3423,6 +3520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fft_top_periods": q_fft_top_periods,
         "chunk_documents": q_chunk_documents,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
+        "activity_gini": q_activity_gini,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "seasonal_profile": q_seasonal_profile,
@@ -4216,35 +4315,44 @@ def oracle_sql() -> dict[str, str]:
                  AS chunk_text
         FROM e ORDER BY doc_id, chunk_id""",
         "winnow_fingerprints": f"""
-        WITH b AS (
-          SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        ), g AS (
-          SELECT doc_id,
-                 CASE WHEN len(w) >= {WINNOW_K} THEN
-                   list_transform(range(1, len(w) - {WINNOW_K} + 2), i ->
-                     (strpos('0123456789abcdef', substr(md5(
-                        array_to_string(list_slice(w, i, i + {WINNOW_K - 1}),
-                                        ' ')), 1, 1)) - 1) * 4096
-                     + (strpos('0123456789abcdef', substr(md5(
-                        array_to_string(list_slice(w, i, i + {WINNOW_K - 1}),
-                                        ' ')), 2, 1)) - 1) * 256
-                     + (strpos('0123456789abcdef', substr(md5(
-                        array_to_string(list_slice(w, i, i + {WINNOW_K - 1}),
-                                        ' ')), 3, 1)) - 1) * 16
-                     + (strpos('0123456789abcdef', substr(md5(
-                        array_to_string(list_slice(w, i, i + {WINNOW_K - 1}),
-                                        ' ')), 4, 1)) - 1))
-                 ELSE [] END AS g
-          FROM b
-        ), m AS (
-          SELECT doc_id,
-                 list_transform(
-                   range(1, greatest(len(g) - {WINNOW_W - 1}, 1) + 1), j ->
-                     list_min(list_slice(g, j, j + {WINNOW_W - 1}))) AS mins
-          FROM g WHERE len(g) > 0
-        )
+        WITH {_WINNOW_CTES}
         SELECT doc_id, CAST(unnest(list_distinct(mins)) AS BIGINT) AS fp
         FROM m ORDER BY doc_id, fp""",
+        "winnow_pairs": f"""
+        WITH {_WINNOW_CTES}, fps AS (
+          SELECT doc_id,
+                 CAST(unnest(list_distinct(mins)) AS BIGINT) AS fp
+          FROM m
+        ), kept AS (
+          SELECT doc_id, fp FROM (
+            SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+            FROM fps)
+          WHERE df <= {WINNOW_MAX_FP}
+        )
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+        ORDER BY d1, d2""",
+        "activity_gini": """
+        WITH per AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY user_id
+        ), r AS (
+          SELECT x,
+                 CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT)
+                   AS rk
+          FROM per
+        ), a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s,
+                 CAST(sum(rk * x) AS BIGINT) AS rx
+          FROM r
+        )
+        SELECT n AS n_users, s AS n_events,
+               ((2 * (2 * rx - (n + 1) * s) * 10000 + n * s)
+                  // (2 * n * s)) / 10000.0 AS gini
+        FROM a""",
         "psi_drift": """
         WITH b AS (
           SELECT event_type,

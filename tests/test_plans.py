@@ -450,3 +450,19 @@ def test_round5d_query_plans(spark):
     assert "HashAggregate" in plan[plan.rindex("Exchange hashpartitioning"):], (
         plan[:2500]
     )
+
+    # winnow_pairs: fp-keyed equi-join only (never cartesian), hot
+    # fingerprints dropped before the join
+    plan = _plan(E.q_winnow_pairs(spark, sf))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan[:1500]
+
+    # activity_gini: the only SinglePartition exchange runs over the
+    # n-users aggregate, never the corpus (partial agg below the lowest
+    # hash exchange)
+    plan = _plan(E.q_activity_gini(spark, sf))
+    assert "EvalPython" not in plan, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "HashAggregate" in plan[plan.rindex("Exchange hashpartitioning"):]

@@ -582,3 +582,73 @@ def test_hjorth_params_match_numpy_reference(spark):
             continue
         comp = np.sqrt(np.var(dd) / vd) / mob
         assert abs(row["complexity"] - comp) < 5e-6 * max(1.0, comp), uid
+
+
+def test_activity_gini_matches_scalar_reference(spark):
+    """activity_gini vs the textbook O(n log n) scalar Gini (sort, then
+    G = (2Σi·x_i − (n+1)Σx)/(nΣx)) and vs the definitional mean-absolute-
+    difference double loop on a small prefix — two independent forms."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    row = E.q_activity_gini(spark, sf).collect()[0]
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    x = np.sort(ev.groupby("user_id").size().to_numpy(np.int64))
+    n, s = len(x), int(x.sum())
+    assert row["n_users"] == n and row["n_events"] == s
+    g_rank = (2 * int((np.arange(1, n + 1) * x).sum()) - (n + 1) * s) / (n * s)
+    assert abs(row["gini"] - g_rank) < 5e-5
+    # definitional: mean absolute difference / (2 * mean)
+    mad = np.abs(x[:, None] - x[None, :]).mean()
+    assert abs(g_rank - mad / (2 * x.mean())) < 1e-12
+
+
+def test_winnow_pairs_detects_shared_span_via_operator_parts(spark):
+    """winnow_pairs mechanics on crafted docs routed through the same
+    Spark expressions: two docs sharing a long span pair up with
+    shared_fps >= WINNOW_MIN_SHARED; unrelated docs don't pair; a
+    fingerprint hotter than WINNOW_MAX_FP cannot create pairs."""
+    import random
+
+    from __spark_entry__ import (
+        WINNOW_MAX_FP,
+        WINNOW_MIN_SHARED,
+        _winnow,
+    )
+    from pyspark.sql import Window as W
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(4000)]
+    span = " ".join(rng.choice(vocab) for _ in range(20))
+    boiler = " ".join(rng.choice(vocab) for _ in range(8))
+
+    docs = [(0, span + " " + " ".join(rng.choice(vocab) for _ in range(25))),
+            (1, " ".join(rng.choice(vocab) for _ in range(25)) + " " + span)]
+    # WINNOW_MAX_FP+1 docs that share ONLY the boilerplate snippet
+    for i in range(2, 2 + WINNOW_MAX_FP + 1):
+        docs.append((i, boiler + " " + " ".join(rng.choice(vocab) for _ in range(30))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    fp = _winnow(df)
+    w = W.partitionBy("fp")
+    kept = fp.select("doc_id", "fp", F.count("*").over(w).alias("df")).where(
+        F.col("df") <= WINNOW_MAX_FP
+    )
+    a = kept.select(F.col("doc_id").alias("d1"), "fp")
+    b = kept.select(F.col("doc_id").alias("d2"), "fp")
+    pairs = {
+        (r["d1"], r["d2"]): r["shared"]
+        for r in a.join(b, "fp")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= WINNOW_MIN_SHARED)
+        .collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= WINNOW_MIN_SHARED
+    # the boilerplate-only docs must NOT appear in any pair: their only
+    # shared fingerprints exceed the hotness cap
+    flat = {d for p in pairs for d in p}
+    assert flat == {0, 1}, pairs
