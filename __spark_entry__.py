@@ -1279,6 +1279,45 @@ def _winnow(d: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("fp").cast("long").alias("fp"))
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (round 5): the class-prototype
+    vectors every embedding pipeline maintains (IVF coarse training,
+    nearest-class-mean classification, per-class drift monitoring).
+    Cross-engine exactness where naive float means fail: components are
+    quantized once to int64 micro-units (round(x·10⁶) — exact for
+    float32 inputs), so the per-(label, dim) sums are ORDER-INDEPENDENT
+    exact integers, and the mean is rounded half-away-from-zero in the
+    INTEGER domain over den = n·10⁶ (a corpus-spanning float sum would
+    make the hash depend on aggregation order). 100 TB shape: posexplode
+    then ONE (label, dim) exchange whose map-side partial aggregate
+    collapses each partition to labels×dims rows before the wire."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.round(F.col("x").cast("double") * 1000000).cast("long")
+    agg = (
+        e.select("label", F.posexplode("embedding").alias("i", "x"))
+        .select("label", "i", q.alias("_q"))
+        .groupBy("label", "i")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("_q").alias("_s"))
+    )
+    mid = agg.select(
+        "label",
+        F.col("i").cast("long").alias("dim"),
+        "n",
+        "_s",
+        (F.col("n") * F.lit(1000000)).alias("_den"),
+    )
+    return mid.select(
+        "label",
+        "dim",
+        "n",
+        (
+            F.when(F.col("_s") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr("(2 * abs(_s) * 10000 + _den) div (2 * _den)")
+            / F.lit(10000.0)
+        ).alias("mean"),
+    ).orderBy("label", "dim")
+
+
 WINNOW_MAX_FP = 50  # a fingerprint shared by more docs is boilerplate
 WINNOW_MIN_SHARED = 2  # pairs must share >= 2 fingerprints
 
@@ -3522,6 +3561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "activity_gini": q_activity_gini,
+        "label_centroids": q_label_centroids,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "seasonal_profile": q_seasonal_profile,
@@ -4334,6 +4374,26 @@ def oracle_sql() -> dict[str, str]:
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
         ORDER BY d1, d2""",
+        "label_centroids": """
+        WITH p AS (
+          SELECT label,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                   AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                      AS BIGINT) AS q
+          FROM embeddings
+        ), a AS (
+          SELECT label, dim,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) * 1000000 AS den
+          FROM p GROUP BY label, dim
+        )
+        SELECT label, dim, n,
+               (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(s) * 10000 + den) // (2 * den))
+                 / 10000.0 AS mean
+        FROM a ORDER BY label, dim""",
         "activity_gini": """
         WITH per AS (
           SELECT user_id, CAST(count(*) AS BIGINT) AS x

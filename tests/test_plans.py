@@ -466,3 +466,12 @@ def test_round5d_query_plans(spark):
     assert "EvalPython" not in plan, plan[:1500]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "HashAggregate" in plan[plan.rindex("Exchange hashpartitioning"):]
+
+    # label_centroids: posexplode feeds ONE (label, dim) exchange with
+    # the partial aggregate below it (explode volume collapses to
+    # labels x dims rows map-side before the wire)
+    plan = _plan(E.q_label_centroids(spark, sf))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"label_centroids: {n} hash exchanges\n{plan[:2000]}"
+    assert "HashAggregate" in plan[plan.rindex("Exchange hashpartitioning"):]

@@ -652,3 +652,25 @@ def test_winnow_pairs_detects_shared_span_via_operator_parts(spark):
     # shared fingerprints exceed the hotness cap
     flat = {d for p in pairs for d in p}
     assert flat == {0, 1}, pairs
+
+
+def test_label_centroids_match_numpy_reference(spark):
+    """label_centroids vs np.mean over the stacked per-label matrix."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["label"], r["dim"]): r
+        for r in E.q_label_centroids(spark, sf).collect()
+    }
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    for label, g in emb.groupby("label"):
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        means = m.mean(axis=0)
+        for d in range(m.shape[1]):
+            row = got[(label, d)]
+            assert row["n"] == len(g)
+            assert abs(row["mean"] - means[d]) < 6e-5, (label, d)
+    assert len(got) == emb["label"].nunique() * m.shape[1]
