@@ -517,3 +517,38 @@ def dedup_stream(
     return events_stream.withWatermark(
         "ts", watermark
     ).dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
+def interval_pair_stream(
+    a_stream: DataFrame,
+    b_stream: DataFrame,
+    interval_s: int = 60,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval self-join — the remaining §2.10 join
+    surface: same-user event pairs with b.ts in (a.ts, a.ts+interval],
+    exactly the batch q_event_pairs_within_minute predicate (pinned to
+    it in test_streaming). Both sides carry event-time watermarks and
+    the join condition bounds b_ts relative to a_ts on BOTH ends, so
+    Spark can size the join state and EVICT rows once the watermark
+    passes a_ts + interval — the only stream-stream join shape whose
+    state is bounded at 100 TB/day (an unbounded-range condition would
+    buffer each side forever). Emits the joined pairs append-mode; any
+    aggregation belongs downstream (or in batch on the sink)."""
+    a = a_stream.select(
+        "user_id",
+        F.col("event_id").alias("a_event_id"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", watermark)
+    b = b_stream.select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", watermark)
+    return a.join(
+        b,
+        F.expr(
+            f"user_id = b_user_id AND b_ts > a_ts "
+            f"AND b_ts <= a_ts + interval {int(interval_s)} seconds"
+        ),
+    ).select("user_id", "a_event_id", "b_event_id", "a_ts", "b_ts")

@@ -845,3 +845,67 @@ def test_dedup_stream_batch_parity(spark, tmp_path):
     # every batch event survived (first arrival kept)
     total = spark.sql("SELECT count(*) c FROM dedupstream").collect()[0]["c"]
     assert total == n_distinct
+
+
+def test_stream_stream_interval_join_matches_batch_pairs(spark, tmp_path):
+    """interval_pair_stream (stream-stream interval join with two-sided
+    event-time bounds) vs the batch q_event_pairs_within_minute: per-user
+    pair counts over the same events fixture must be identical."""
+    import shutil
+    from pathlib import Path
+
+    import __spark_entry__ as entrymod
+    from engine.streaming import interval_pair_stream
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+    src = str(tmp_path / "pair_stream")
+    tbl = os.path.join(src, "events.parquet")  # a DIRECTORY: fixture + burst
+    os.makedirs(tbl)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(tbl, "part-0.parquet"))
+    # a crafted 20-event burst (5 s apart) makes the pair volume
+    # non-trivial: 20 events x 12 successors inside 60 s
+    burst = spark.createDataFrame(
+        [(10_000 + i, i * 5, 999, "burst", 1.0, "{}") for i in range(20)],
+        "event_id long, off long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.expr(
+            "timestamp'2024-01-05 00:00:00' + make_interval(0,0,0,0,0,0,off)"
+        ).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    burst.coalesce(1).write.mode("append").parquet(tbl)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    a = spark.readStream.schema(schema).parquet(tbl)
+    b = spark.readStream.schema(schema).parquet(tbl)
+    q = (
+        interval_pair_stream(a, b)
+        .writeStream.format("memory")
+        .queryName("pairstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pairs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["user_id"]: r["pairs"]
+        for r in spark.sql(
+            "SELECT user_id, count(*) pairs FROM pairstream GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["pairs"]
+        for r in entrymod.queries()["event_pairs_within_minute"](
+            spark, src
+        ).collect()
+    }
+    assert got == want
+    # 20 events 5 s apart: event i pairs with min(12, 19-i) successors
+    assert got[999] == sum(min(12, 19 - i) for i in range(20))  # = 162
+    assert sum(got.values()) > 100
