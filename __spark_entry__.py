@@ -1318,6 +1318,53 @@ def q_label_centroids(spark, sf_dir):
     ).orderBy("label", "dim")
 
 
+def q_gap_profile(spark, sf_dir):
+    """Per-series missingness profile on the minute grid (round 5): the
+    operational complement to the G1 gap_fill operator — BEFORE choosing
+    a fill policy you measure what's missing. Per user over
+    [first, last] active minute: present minutes, span, missing count,
+    coverage (4-dp, integer-domain rounding), number of gaps and the
+    longest gap (consecutive-present-minute lag differences — the
+    gaps-and-islands shape of q_anomaly_runs). All outputs are exact
+    integers except coverage. One user_id exchange: the distinct-minute
+    collapse aggregates map-side on (user, minute), then the lag window
+    and final agg share the user partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "user_id", F.expr("unix_timestamp(ts) DIV 60").alias("_m")
+    ).agg(F.lit(1).alias("_one"))
+    w = Window.partitionBy("user_id").orderBy("_m")
+    g = m.select(
+        "user_id", "_m", (F.col("_m") - F.lag("_m").over(w)).alias("_d")
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("present_min"),
+        (F.max("_m") - F.min("_m") + 1).alias("span_min"),
+        F.sum(F.when(F.col("_d") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_gaps"),
+        F.coalesce(
+            F.max(F.when(F.col("_d") > 1, F.col("_d") - 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("longest_gap_min"),
+    )
+    return agg.select(
+        "user_id",
+        "present_min",
+        "span_min",
+        (F.col("span_min") - F.col("present_min")).alias("missing_min"),
+        "n_gaps",
+        "longest_gap_min",
+        (
+            F.expr(
+                "(2 * present_min * 10000 + span_min) div (2 * span_min)"
+            )
+            / F.lit(10000.0)
+        ).alias("coverage"),
+    ).orderBy("user_id")
+
+
 WINNOW_MAX_FP = 50  # a fingerprint shared by more docs is boilerplate
 WINNOW_MIN_SHARED = 2  # pairs must share >= 2 fingerprints
 
@@ -3562,6 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "activity_gini": q_activity_gini,
         "label_centroids": q_label_centroids,
+        "gap_profile": q_gap_profile,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "seasonal_profile": q_seasonal_profile,
@@ -4374,6 +4422,30 @@ def oracle_sql() -> dict[str, str]:
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
         ORDER BY d1, d2""",
+        "gap_profile": """
+        WITH m AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m
+          FROM events GROUP BY 1, 2
+        ), g AS (
+          SELECT user_id, m,
+                 m - lag(m) OVER (PARTITION BY user_id ORDER BY m) AS d
+          FROM m
+        ), a AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS present_min,
+                 max(m) - min(m) + 1 AS span_min,
+                 CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gaps,
+                 CAST(coalesce(max(CASE WHEN d > 1 THEN d - 1 END), 0)
+                      AS BIGINT) AS longest_gap_min
+          FROM g GROUP BY user_id
+        )
+        SELECT user_id, present_min, span_min,
+               span_min - present_min AS missing_min,
+               n_gaps, longest_gap_min,
+               ((2 * present_min * 10000 + span_min) // (2 * span_min))
+                 / 10000.0 AS coverage
+        FROM a ORDER BY user_id""",
         "label_centroids": """
         WITH p AS (
           SELECT label,

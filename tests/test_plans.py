@@ -475,3 +475,11 @@ def test_round5d_query_plans(spark):
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"label_centroids: {n} hash exchanges\n{plan[:2000]}"
     assert "HashAggregate" in plan[plan.rindex("Exchange hashpartitioning"):]
+
+    # gap_profile: minute collapse partial-aggregates map-side; the lag
+    # window + final agg reuse the user partitioning (2 exchanges total)
+    plan = _plan(E.q_gap_profile(spark, sf))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 2, f"gap_profile: {n} hash exchanges\n{plan[:2000]}"
+    assert "HashAggregate" in plan[plan.rindex("Exchange hashpartitioning"):]

@@ -674,3 +674,26 @@ def test_label_centroids_match_numpy_reference(spark):
             assert row["n"] == len(g)
             assert abs(row["mean"] - means[d]) < 6e-5, (label, d)
     assert len(got) == emb["label"].nunique() * m.shape[1]
+
+
+def test_gap_profile_matches_numpy_reference(spark):
+    """gap_profile vs a literal np.unique/np.diff minute-grid scan."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r for r in E.q_gap_profile(spark, sf).collect()}
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["m"] = ev["ts"].to_numpy(dtype="datetime64[s]").astype(np.int64) // 60
+    for uid, g in ev.groupby("user_id"):
+        m = np.unique(g["m"].to_numpy())
+        d = np.diff(m)
+        row = got[uid]
+        assert row["present_min"] == len(m)
+        span = int(m.max() - m.min() + 1)
+        assert row["span_min"] == span
+        assert row["missing_min"] == span - len(m)
+        assert row["n_gaps"] == int((d > 1).sum())
+        assert row["longest_gap_min"] == (int(d.max() - 1) if (d > 1).any() else 0)
+        assert abs(row["coverage"] - len(m) / span) < 5e-5
