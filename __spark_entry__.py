@@ -1318,6 +1318,36 @@ def q_label_centroids(spark, sf_dir):
     ).orderBy("label", "dim")
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_type_by_hour(spark, sf_dir):
+    """PIVOT surface (round 5): hour-of-day × event_type count matrix —
+    the wide serving shape dashboards ask for, via the DataFrame
+    ``pivot()`` operator. The pivot VALUES are the pinned EVENT_TYPES
+    list, not discovered at plan time: passing explicit values is the
+    100 TB rule (pivot without values runs a blocking distinct scan
+    before planning) and keeps the output schema stable for the oracle,
+    which spells the same matrix as conditional aggregation. Missing
+    cells are 0 (count over no rows), spelled with coalesce on both
+    sides. One hash exchange; 24×|types| output."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("(unix_timestamp(ts) DIV 3600) % 24").alias("hour")
+    piv = (
+        ev.select(hour, "event_type")
+        .groupBy("hour")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "hour",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    ).orderBy("hour")
+
+
 def q_gap_profile(spark, sf_dir):
     """Per-series missingness profile on the minute grid (round 5): the
     operational complement to the G1 gap_fill operator — BEFORE choosing
@@ -3610,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_gini": q_activity_gini,
         "label_centroids": q_label_centroids,
         "gap_profile": q_gap_profile,
+        "pivot_type_by_hour": q_pivot_type_by_hour,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "seasonal_profile": q_seasonal_profile,
@@ -4422,6 +4453,20 @@ def oracle_sql() -> dict[str, str]:
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
         ORDER BY d1, d2""",
+        "pivot_type_by_hour": """
+        SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+               CAST(coalesce(sum(CASE WHEN event_type = 'click'
+                                      THEN 1 END), 0) AS BIGINT) AS n_click,
+               CAST(coalesce(sum(CASE WHEN event_type = 'error'
+                                      THEN 1 END), 0) AS BIGINT) AS n_error,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 END), 0) AS BIGINT)
+                 AS n_purchase,
+               CAST(coalesce(sum(CASE WHEN event_type = 'signup'
+                                      THEN 1 END), 0) AS BIGINT) AS n_signup,
+               CAST(coalesce(sum(CASE WHEN event_type = 'view'
+                                      THEN 1 END), 0) AS BIGINT) AS n_view
+        FROM events GROUP BY 1 ORDER BY hour""",
         "gap_profile": """
         WITH m AS (
           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m

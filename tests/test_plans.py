@@ -483,3 +483,14 @@ def test_round5d_query_plans(spark):
     n = plan.count("Exchange hashpartitioning")
     assert n == 2, f"gap_profile: {n} hash exchanges\n{plan[:2000]}"
     assert "HashAggregate" in plan[plan.rindex("Exchange hashpartitioning"):]
+
+    # pivot_type_by_hour: explicit pivot values -> no plan-time distinct
+    # scan; pivot's canonical TWO-aggregate plan (count on (hour, type),
+    # pivotfirst on hour), both with map-side partials
+    plan = _plan(E.q_pivot_type_by_hour(spark, sf))
+    assert "EvalPython" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 2, f"pivot: {n} hash exchanges\n{plan[:2000]}"
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "pivotfirst" in plan, plan[:2000]
+    assert "HashAggregate" in plan[plan.rindex("Exchange hashpartitioning"):]
