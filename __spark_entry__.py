@@ -187,20 +187,49 @@ def q_bucket_quantiles(spark, sf_dir):
     quantiles hold the GROUP's values in memory — bounded here by a
     minute-bucket per user, the continuous-aggregate shape that stays
     bounded at 100 TB; corpus-wide quantiles would switch to
-    approx_percentile (t-digest sketch, mergeable map-side)."""
+    approx_percentile (t-digest sketch, mergeable map-side).
+
+    Determinism (hardened round 5 — the adversarial random-oracle
+    harness caught the original float spelling on a 4-dp half-tie, the
+    winsorized_stats bug class): percentiles run on int64 CENTS, where
+    interpolation at 0.5·(n−1) / 0.95·(n−1) has exact 1/2 / 1/20
+    granularity — so 2·p50 and 20·p95 are exact integers — and the 4-dp
+    output rounds half-away-from-zero in the INTEGER domain on both
+    engines."""
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
+    c = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        ev.select(
             "user_id",
             F.expr("unix_timestamp(ts) DIV 60").alias("bucket"),
+            c.alias("_c"),
         )
+        .groupBy("user_id", "bucket")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(_c, 0.5)") * 2)
+            .cast("long")
+            .alias("_i2"),
+            F.round(F.expr("percentile(_c, 0.95)") * 20)
+            .cast("long")
+            .alias("_i20"),
         )
-        .orderBy("user_id", "bucket")
     )
+
+    def _q4(name, den):
+        return (
+            F.when(F.col(name) < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(f"(2 * abs({name}) * 10000 + {den}) div (2 * {den})")
+            / F.lit(10000.0)
+        )
+
+    return agg.select(
+        "user_id",
+        "bucket",
+        "cnt",
+        _q4("_i2", 200).alias("p50"),
+        _q4("_i20", 2000).alias("p95"),
+    ).orderBy("user_id", "bucket")
 
 
 def q_ewma_score(spark, sf_dir):
@@ -4725,11 +4754,24 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 4) AS vsum
         FROM s GROUP BY user_id, sid ORDER BY user_id, first_ts""",
         "bucket_quantiles": """
-        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 60 AS bucket,
-               count(*) AS cnt,
-               round(quantile_cont(value, 0.5), 4) AS p50,
-               round(quantile_cont(value, 0.95), 4) AS p95
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        WITH a AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 60 AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(round(quantile_cont(
+                        CAST(round(value * 100) AS BIGINT), 0.5) * 2)
+                      AS BIGINT) AS i2,
+                 CAST(round(quantile_cont(
+                        CAST(round(value * 100) AS BIGINT), 0.95) * 20)
+                      AS BIGINT) AS i20
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, bucket, cnt,
+               (CASE WHEN i2 < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(i2) * 10000 + 200) // 400) / 10000.0 AS p50,
+               (CASE WHEN i20 < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(i20) * 10000 + 2000) // 4000) / 10000.0 AS p95
+        FROM a ORDER BY user_id, bucket""",
         "sliding_window_counts": """
         WITH e AS (
           SELECT user_id, value,

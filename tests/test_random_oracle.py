@@ -1,0 +1,142 @@
+"""Randomized adversarial replay of the Spark-vs-DuckDB twin contract.
+
+tools/check_oracle.py replays the driver gate on the FIXED testdata; this
+harness re-runs the events-only exact twins on a seeded random corpus
+BUILT to hit the failure modes the fixed corpus may miss — a 4-dp
+rounding lattice (values k·0.0025, the class of input that exposed the
+round-5 winsorized_stats half-way tie), duplicated timestamps (window
+peer / pair-orientation semantics), constant series, singleton users,
+and same-second collisions. Any Spark/DuckDB divergence on ANY seed is a
+real twin bug by construction (both sides claim exact semantics)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+QUERIES = [
+    "winsorized_stats",
+    "hampel_filter",
+    "seasonal_naive_error",
+    "mann_kendall",
+    "hjorth_params",
+    "gap_profile",
+    "activity_gini",
+    "pivot_type_by_hour",
+    "burstiness",
+    "robust_zscore",
+    "bucket_quantiles",
+    "iqr_outliers",
+]
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _norm_cell(x):
+    if x is None:
+        return None
+    if isinstance(x, bool):
+        return bool(x)
+    if isinstance(x, float):
+        return "NaN" if math.isnan(x) else float(x)
+    if isinstance(x, int):
+        return float(x) if abs(x) < 2**52 else x
+    return str(x)
+
+
+def _norm_rows(rows):
+    return sorted(
+        [tuple(_norm_cell(c) for c in row) for row in rows],
+        key=lambda r: tuple((v is None, str(type(v)), str(v)) for v in r),
+    )
+
+
+def _build_events(seed: int) -> "pd.DataFrame":
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    eid = 0
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    for uid in range(40):
+        if uid == 0:
+            n = 1  # singleton series
+        elif uid == 1:
+            n = 40  # constant values
+        elif uid == 2:
+            n = 30  # all events at the SAME microsecond
+        else:
+            n = int(rng.integers(2, 90))
+        for i in range(n):
+            if uid == 2:
+                ts = t0 + np.timedelta64(3600_000_000, "us")
+            else:
+                # 3-day span, second resolution, frequent same-second hits
+                ts = t0 + np.timedelta64(
+                    int(rng.integers(0, 3 * 86400)) * 1_000_000, "us"
+                )
+            if uid == 1:
+                v = 7.25
+            else:
+                # 4-dp lattice: k * 0.0025 -> cents land on x.25/x.5/x.75
+                # boundaries, maximizing round-tie exposure
+                v = float(rng.integers(-2000, 20000)) * 0.0025
+            rows.append(
+                (
+                    eid,
+                    ts,
+                    uid,
+                    EVENT_TYPES[int(rng.integers(0, len(EVENT_TYPES)))],
+                    v,
+                    "{}",
+                )
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    # testdata parquet stores MICROSECOND timestamps; nanos would be an
+    # illegal parquet type for Spark's reader
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return pdf
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_twins_agree_on_adversarial_random_corpus(spark, tmp_path, seed):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    pdf = _build_events(seed)
+    sf = str(tmp_path / f"rnd{seed}")
+    os.makedirs(sf)
+    path = os.path.join(sf, "events.parquet")
+    pdf.to_parquet(path, index=False)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name in QUERIES:
+        sdf = queries[name](spark, sf)
+        cols = sorted(sdf.columns)
+        got = _norm_rows(
+            [tuple(r) for r in sdf.select(*cols).collect()]
+        )
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        order = [ocols.index(c) for c in sorted(ocols)]
+        assert sorted(ocols) == cols, (name, cols, sorted(ocols))
+        want = _norm_rows(
+            [tuple(row[i] for i in order) for row in cur.fetchall()]
+        )
+        if got != want:
+            diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
+            failures.append((name, len(got), len(want), diff))
+    assert not failures, failures
