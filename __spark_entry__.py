@@ -83,10 +83,35 @@ WITH t AS (
 
 
 def q_rolling_mean(spark, sf_dir):
+    """R1 on events — hardened round 5: the adversarial random-oracle
+    harness caught the original float avg at a 4-dp half-tie (window
+    mean = cents/(w·100), a bounded-denominator rational — e.g. w-window
+    sums at 1/8-cent granularity land exactly on x.xxxx5). ma is now the
+    EXACT int64 window sum of cents over den = w·100, rounded
+    half-away-from-zero in the integer domain on both engines. The
+    unrounded score paths (_rolling_cols) are tie-immune and unchanged."""
     ev = _t(spark, sf_dir, "events")
-    ma, _ = _rolling_cols(ev)
-    return ev.select(
-        "event_id", "user_id", F.round(ma, 4).alias("ma")
+    c = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(W_EVENTS - 1), 0)
+    )
+    den = W_EVENTS * 100
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.count("value").over(w) == W_EVENTS, F.sum(c).over(w))
+        .alias("_s"),
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        (
+            F.when(F.col("_s") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(f"(2 * abs(_s) * 10000 + {den}) div (2 * {den})")
+            / F.lit(10000.0)
+        ).alias("ma"),
     )
 
 
@@ -2143,26 +2168,44 @@ def q_rollup_minute(spark, sf_dir):
 
 def q_cascade_hour(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
     minute = (
         ev.withColumn("bucket", F.expr("unix_timestamp(ts) DIV 60"))
         .groupBy("user_id", "bucket")
         .agg(
             F.count("value").alias("cnt"),
-            F.min("value").alias("vmin"),
-            F.max("value").alias("vmax"),
-            F.sum("value").alias("vsum"),
+            F.min(c).alias("vmin"),
+            F.max(c).alias("vmax"),
+            F.sum(c).alias("vsum"),
         )
     )
-    return (
-        minute.withColumn("hbucket", F.expr("bucket DIV 60"))
-        .groupBy("user_id", "hbucket")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.round(F.min("vmin"), 4).alias("vmin"),
-            F.round(F.max("vmax"), 4).alias("vmax"),
-            F.round(F.sum("vsum"), 4).alias("vsum"),
-            F.round(F.sum("vsum") / F.sum("cnt"), 4).alias("vmean"),
-        )
+    # hardened round 5 (adversarial harness): all aggregates on exact
+    # int64 cents — float vsum was order-dependent and vmean (a rational
+    # vsum/cnt) hit 4-dp half-ties; vmin/vmax/vsum are exact 2-dp values
+    # emitted as the identical cents/100 spelling, vmean rounds in the
+    # integer domain over den = cnt·100
+    hr = minute.withColumn("hbucket", F.expr("bucket DIV 60")).groupBy(
+        "user_id", "hbucket"
+    ).agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("vmin").alias("_mn"),
+        F.max("vmax").alias("_mx"),
+        F.sum("vsum").alias("_sm"),
+    )
+    return hr.select(
+        "user_id",
+        "hbucket",
+        "cnt",
+        (F.col("_mn").cast("double") / 100.0).alias("vmin"),
+        (F.col("_mx").cast("double") / 100.0).alias("vmax"),
+        (F.col("_sm").cast("double") / 100.0).alias("vsum"),
+        (
+            F.when(F.col("_sm") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "(2 * abs(_sm) * 10000 + cnt * 100) div (2 * cnt * 100)"
+            )
+            / F.lit(10000.0)
+        ).alias("vmean"),
     )
 
 
@@ -3777,8 +3820,22 @@ def oracle_sql() -> dict[str, str]:
         "THEN abs(value - ma_raw) / sd_raw END"
     )
     return {
-        "rolling_mean": _ROLLING_SQL_BASE
-        + "SELECT event_id, user_id, round(ma_raw, 4) AS ma FROM t",
+        "rolling_mean": f"""
+        WITH t AS (
+          SELECT event_id, user_id,
+                 CASE WHEN count(value) OVER w = {W_EVENTS} THEN
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) END AS s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {W_EVENTS - 1} PRECEDING
+                       AND CURRENT ROW)
+        )
+        SELECT event_id, user_id,
+               (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(s) * 10000 + {W_EVENTS * 100})
+                      // (2 * {W_EVENTS * 100})) / 10000.0 AS ma
+        FROM t""",
         "rolling_std": _ROLLING_SQL_BASE
         + "SELECT event_id, user_id, round(sd_raw, 4) AS sd FROM t",
         "anomaly_score": _ROLLING_SQL_BASE
@@ -4786,15 +4843,27 @@ def oracle_sql() -> dict[str, str]:
         "cascade_hour": """
         WITH minute AS (
           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 60 AS bucket,
-                 count(value) AS cnt, min(value) AS vmin, max(value) AS vmax,
-                 sum(value) AS vsum
-          FROM events GROUP BY 1, 2)
-        SELECT user_id, bucket // 60 AS hbucket,
-               CAST(sum(cnt) AS BIGINT) AS cnt,
-               round(min(vmin), 4) AS vmin, round(max(vmax), 4) AS vmax,
-               round(sum(vsum), 4) AS vsum,
-               round(sum(vsum) / sum(cnt), 4) AS vmean
-        FROM minute GROUP BY 1, 2""",
+                 count(value) AS cnt,
+                 min(CAST(round(value * 100) AS BIGINT)) AS vmin,
+                 max(CAST(round(value * 100) AS BIGINT)) AS vmax,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS vsum
+          FROM events GROUP BY 1, 2
+        ), hr AS (
+          SELECT user_id, bucket // 60 AS hbucket,
+                 CAST(sum(cnt) AS BIGINT) AS cnt,
+                 CAST(min(vmin) AS BIGINT) AS mn,
+                 CAST(max(vmax) AS BIGINT) AS mx,
+                 CAST(sum(vsum) AS BIGINT) AS sm
+          FROM minute GROUP BY 1, 2
+        )
+        SELECT user_id, hbucket, cnt,
+               CAST(mn AS DOUBLE) / 100.0 AS vmin,
+               CAST(mx AS DOUBLE) / 100.0 AS vmax,
+               CAST(sm AS DOUBLE) / 100.0 AS vsum,
+               (CASE WHEN sm < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(sm) * 10000 + cnt * 100) // (2 * cnt * 100))
+                 / 10000.0 AS vmean
+        FROM hr""",
         "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -18,18 +18,19 @@ import numpy as np
 import pytest
 
 QUERIES = [
-    "winsorized_stats",
-    "hampel_filter",
-    "seasonal_naive_error",
-    "mann_kendall",
-    "hjorth_params",
-    "gap_profile",
-    "activity_gini",
-    "pivot_type_by_hour",
-    "burstiness",
-    "robust_zscore",
-    "bucket_quantiles",
-    "iqr_outliers",
+    # every oracle-checked query whose only input table is `events`
+    "rolling_mean", "rolling_std", "sliding_window_counts",
+    "user_sessions", "bucket_quantiles", "ewma_score", "cusum_detect",
+    "robust_zscore", "holt_smooth", "acf_lags", "counter_rate",
+    "trend_slope", "pettitt_change", "seasonality_strength",
+    "winsorized_stats", "corr_to_global", "concurrency_sweep",
+    "rate_limit_flags", "type_transitions", "burstiness",
+    "hampel_filter", "seasonal_naive_error", "mann_kendall",
+    "hjorth_params", "activity_gini", "gap_profile",
+    "pivot_type_by_hour", "seasonal_profile", "time_weighted_avg",
+    "m4_downsample", "iqr_outliers", "cascade_hour", "json_extract",
+    "map_props", "first_digit_profile", "event_pairs_within_minute",
+    "psi_drift", "ks_drift",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
