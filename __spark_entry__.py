@@ -2428,8 +2428,11 @@ def q_stratified_sample(spark, sf_dir):
         (_nibble(hx, i + 1) * (16 ** (3 - i)) for i in range(4)),
         F.lit(0),
     )
+    # try_cast: the srcN numeric suffix is the testdata domain; any other
+    # source spelling falls back to stratum 0 (rate 10%) instead of an
+    # ANSI cast crash (caught by the adversarial doc harness)
     rate = F.lit(10) + F.lit(3) * (
-        F.substring("source", 4, 8).cast("int") % 7
+        F.expr("coalesce(try_cast(substring(source, 4, 8) AS int), 0)") % 7
     )
     return (
         d.select("doc_id", "source", (hv % 100).alias("hmod"), rate.alias("rate"))
@@ -2735,9 +2738,15 @@ def _doc_bigrams(spark, sf_dir):
     (transform over sequence) so the token stream explodes exactly once
     and never needs a per-doc window sort."""
     d = _t(spark, sf_dir, "documents")
+    # size(_w)=1 must short-circuit: sequence(1, 0) yields the DESCENDING
+    # [1, 0] and element_at(_w, 2) is an ANSI error — a single-word doc
+    # (real at corpus scale; caught by the adversarial doc harness) has
+    # zero bigrams, exactly like DuckDB's empty range(1, 1)
     bg = F.expr(
+        "CASE WHEN size(_w) >= 2 THEN "
         "transform(sequence(1, size(_w) - 1), "
-        "i -> struct(element_at(_w, i) AS w1, element_at(_w, i + 1) AS w2))"
+        "i -> struct(element_at(_w, i) AS w1, element_at(_w, i + 1) AS w2)) "
+        "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
     )
     return (
         d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
@@ -4951,7 +4960,8 @@ def oracle_sql() -> dict[str, str]:
                + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
                + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
                + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS hv,
-                 10 + 3 * (CAST(substring(source, 4, 8) AS INT) % 7) AS rate
+                 10 + 3 * (coalesce(
+                   TRY_CAST(substring(source, 4, 8) AS INT), 0) % 7) AS rate
           FROM documents)
         SELECT doc_id, source FROM h WHERE hv % 100 < rate ORDER BY doc_id""",
         "top_ngrams": """

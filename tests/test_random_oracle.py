@@ -141,3 +141,112 @@ def test_twins_agree_on_adversarial_random_corpus(spark, tmp_path, seed):
             diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
             failures.append((name, len(got), len(want), diff))
     assert not failures, failures
+
+
+DOC_QUERIES = [
+    "chunk_documents", "winnow_fingerprints", "winnow_pairs",
+    "scalar_funcs", "udaf_weighted_chars", "doc_fingerprint",
+    "stratified_sample", "tfidf_top_terms", "token_count",
+    "quality_score", "dedup_keep", "simhash", "salted_source_stats",
+    "lang_source_cube", "lang_id", "unigram_logprob", "word_entropy",
+    "gopher_repetition", "minhash_signatures", "lsh_candidates",
+    "ngram_jaccard", "dedup_clusters", "top_ngrams", "bigram_logprob",
+]
+
+
+def _build_documents(seed: int) -> "pd.DataFrame":
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"tok{i}" for i in range(300)]  # small vocab -> heavy reuse
+    langs = ["en", "de", "fr", "es"]
+    # srcN is the real documents.source domain (numeric suffix drives
+    # the stratified-sample rate); one off-domain value stays in to pin
+    # the try_cast fallback path
+    sources = ["src0", "src3", "src7", "src12", "weird-src"]
+
+    def rand_text(n):
+        return " ".join(str(rng.choice(vocab)) for _ in range(n))
+
+    rows = []
+    did = 0
+
+    def add(text, lang=None, source=None):
+        nonlocal did
+        rows.append(
+            (
+                did,
+                text,
+                lang or str(rng.choice(langs)),
+                source or str(rng.choice(sources)),
+                len(text),
+            )
+        )
+        did += 1
+
+    # ratio-tie sizes: powers of two make count ratios land on 4-dp
+    # boundaries (1/32 = 0.03125, 3/64, ...)
+    for n in (8, 16, 32, 64):
+        for _ in range(3):
+            add(rand_text(n))
+    # exact duplicate pair + triple
+    d = rand_text(40)
+    add(d); add(d)
+    t = rand_text(25)
+    add(t); add(t); add(t)
+    # near-dup pairs (one word changed) for minhash/LSH/jaccard/clusters
+    base = rand_text(50).split(" ")
+    for k in range(3):
+        v = list(base)
+        v[10 + k] = "mut" + str(k)
+        add(" ".join(v))
+    # shared-span pair (winnowing) without being near-dups
+    span = rand_text(12)
+    add(rand_text(30) + " " + span)
+    add(span + " " + rand_text(35))
+    # degenerate docs: single word, all-identical words, stopword-heavy
+    add("solo")
+    add(" ".join(["same"] * 32))
+    add("the and of " * 8 + "the", lang="en")
+    add("der und die " * 6, lang="de")
+    # bulk randoms
+    for _ in range(30):
+        add(rand_text(int(rng.integers(5, 80))))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+@pytest.mark.parametrize("seed", [303])
+def test_document_twins_agree_on_adversarial_corpus(spark, tmp_path, seed):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    pdf = _build_documents(seed)
+    sf = str(tmp_path / f"doc{seed}")
+    os.makedirs(sf)
+    path = os.path.join(sf, "documents.parquet")
+    pdf.to_parquet(path, index=False)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name in DOC_QUERIES:
+        sdf = queries[name](spark, sf)
+        cols = sorted(sdf.columns)
+        got = _norm_rows([tuple(r) for r in sdf.select(*cols).collect()])
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        order = [ocols.index(c) for c in sorted(ocols)]
+        assert sorted(ocols) == cols, (name, cols, sorted(ocols))
+        want = _norm_rows(
+            [tuple(row[i] for i in order) for row in cur.fetchall()]
+        )
+        if got != want:
+            diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
+            failures.append((name, len(got), len(want), diff))
+    assert not failures, failures
