@@ -2641,17 +2641,21 @@ def q_embedding_topk(spark, sf_dir):
     q = pts.where("vec_id = 0").select(
         F.col("i").alias("qi"), F.col("x").alias("qx")
     )
+    # cosine is undefined for a zero vector: ANSI division by the zero
+    # norm is a hard crash (caught by the adversarial embedding harness)
+    # — zero-norm points are excluded on BOTH engines
     sims = (
         pts.join(F.broadcast(q), pts.i == q.qi)
         .groupBy("vec_id")
         .agg(
-            (
-                F.sum(F.col("x") * F.col("qx"))
-                / (
-                    F.sqrt(F.sum(F.col("x") * F.col("x")))
-                    * F.sqrt(F.sum(F.col("qx") * F.col("qx")))
-                )
-            ).alias("_cos")
+            F.sum(F.col("x") * F.col("qx")).alias("_dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("_nx"),
+            F.sqrt(F.sum(F.col("qx") * F.col("qx"))).alias("_nq"),
+        )
+        .where(F.col("_nx") > 0)
+        .select(
+            "vec_id",
+            (F.col("_dot") / (F.col("_nx") * F.col("_nq"))).alias("_cos"),
         )
     )
     return (
@@ -5295,7 +5299,8 @@ def oracle_sql() -> dict[str, str]:
         sims AS (
           SELECT vec_id,
                  sum(x * qx) / (sqrt(sum(x * x)) * sqrt(sum(qx * qx))) AS c
-          FROM pts JOIN q ON pts.i = q.qi GROUP BY vec_id)
+          FROM pts JOIN q ON pts.i = q.qi GROUP BY vec_id
+          HAVING sqrt(sum(x * x)) > 0)
         SELECT vec_id, round(c, 4) AS cos_sim FROM sims
         WHERE vec_id != 0 ORDER BY c DESC, vec_id LIMIT 10""",
     }

@@ -250,3 +250,64 @@ def test_document_twins_agree_on_adversarial_corpus(spark, tmp_path, seed):
             diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
             failures.append((name, len(got), len(want), diff))
     assert not failures, failures
+
+
+EMB_QUERIES = ["embedding_norms", "embedding_topk", "label_centroids"]
+
+
+def _build_embeddings(seed: int) -> "pd.DataFrame":
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    dim = 64
+    q = rng.normal(size=dim).astype(np.float32)
+    rows.append((0, q, 0))  # the top-k query vector
+    for vid in range(1, 120):
+        if vid == 1:
+            v = np.zeros(dim, dtype=np.float32)  # zero vector: |v| = 0
+        elif vid == 2:
+            v = q.copy()  # exact duplicate of the query (cos = 1)
+        elif vid == 3:
+            v = (-2.0 * q).astype(np.float32)  # antipodal (cos = -1)
+        elif vid == 4:
+            v = np.full(dim, 0.25, dtype=np.float32)  # exact-lattice comps
+        else:
+            v = rng.normal(size=dim).astype(np.float32)
+        rows.append((vid, v, int(rng.integers(0, 7))))
+    return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+
+
+@pytest.mark.parametrize("seed", [404])
+def test_embedding_twins_agree_on_adversarial_corpus(spark, tmp_path, seed):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    pdf = _build_embeddings(seed)
+    sf = str(tmp_path / f"emb{seed}")
+    os.makedirs(sf)
+    path = os.path.join(sf, "embeddings.parquet")
+    pdf.to_parquet(path, index=False)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name in EMB_QUERIES:
+        sdf = queries[name](spark, sf)
+        cols = sorted(sdf.columns)
+        got = _norm_rows([tuple(r) for r in sdf.select(*cols).collect()])
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        order = [ocols.index(c) for c in sorted(ocols)]
+        assert sorted(ocols) == cols, (name, cols, sorted(ocols))
+        want = _norm_rows(
+            [tuple(row[i] for i in order) for row in cur.fetchall()]
+        )
+        if got != want:
+            diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
+            failures.append((name, len(got), len(want), diff))
+    assert not failures, failures
