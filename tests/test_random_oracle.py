@@ -311,3 +311,144 @@ def test_embedding_twins_agree_on_adversarial_corpus(spark, tmp_path, seed):
             diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
             failures.append((name, len(got), len(want), diff))
     assert not failures, failures
+
+
+REL_QUERIES = [
+    "pricing_summary", "top_customers", "region_nation_rollup",
+    "customers_without_orders", "orders_with_big_lineitem", "rank_orders",
+    "order_gaps", "nations_intersect", "nations_except", "distinct_aggs",
+    "orders_customers_merge",
+]
+
+
+def _build_tpch(seed: int) -> dict:
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def lat():  # 2-dp money lattice (the TPC-H domain): pure sums stay
+        # 2-dp-exact, but AVERAGES become bounded-denominator rationals,
+        # so rounding half-ties are reachable in-domain
+        return float(rng.integers(1, 9999)) * 0.01
+
+    region = pd.DataFrame(
+        [(i, f"R{i}") for i in range(3)], columns=["r_regionkey", "r_name"]
+    )
+    nation = pd.DataFrame(
+        [(i, f"N{i}", i % 3) for i in range(6)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    customer = pd.DataFrame(
+        [
+            (
+                c,
+                f"Customer#{c:03d}",
+                int(rng.integers(0, 6)),
+                lat() if c % 5 else -lat(),  # negative balances too
+                ["BUILDING", "AUTOMOBILE", "MACHINERY"][c % 3],
+            )
+            for c in range(25)
+        ],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    )
+    supplier = pd.DataFrame(
+        [
+            (s, f"Supplier#{s:03d}", int(rng.integers(3, 6)), lat())
+            for s in range(8)
+        ],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    part = pd.DataFrame(
+        [
+            (p, f"part {p}", f"Brand#{p % 4}", f"TYPE {p % 3}",
+             int(rng.integers(1, 50)), lat())
+            for p in range(12)
+        ],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+    )
+    dup_price = lat()
+    dup_date = t0 + np.timedelta64(40 * 86400_000_000, "us")
+    orders_rows = []
+    for o in range(70):
+        cust = int(rng.integers(0, 20))  # custkeys 20-24 have NO orders
+        # duplicate totalprice AND orderdate inside a custkey: rank/gap
+        # tie-break determinism is exactly what this probes
+        price = dup_price if o % 7 == 0 else lat()
+        date = (
+            dup_date
+            if o % 9 == 0
+            else t0 + np.timedelta64(int(rng.integers(0, 90)) * 86400_000_000, "us")
+        )
+        orders_rows.append(
+            (o, cust, ["O", "F", "P"][o % 3], price, date,
+             f"{1 + o % 5}-PRIO")
+        )
+    orders = pd.DataFrame(
+        orders_rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    li_rows = []
+    for i in range(170):
+        ok = int(rng.integers(0, 60))  # orderkeys 60-69 have NO lineitems
+        li_rows.append(
+            (
+                ok, int(rng.integers(0, 12)), int(rng.integers(0, 8)),
+                i % 7 + 1, float(rng.integers(1, 50)), lat(),
+                float(rng.integers(0, 4)) * 0.0025,  # lattice discount
+                float(rng.integers(0, 3)) * 0.0025,
+                ["A", "N", "R"][i % 3], ["O", "F"][i % 2],
+                t0 + np.timedelta64(int(rng.integers(0, 100)) * 86400_000_000, "us"),
+            )
+        )
+    lineitem = pd.DataFrame(
+        li_rows,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    lineitem["l_shipdate"] = lineitem["l_shipdate"].astype("datetime64[us]")
+    return {
+        "region": region, "nation": nation, "customer": customer,
+        "supplier": supplier, "part": part, "orders": orders,
+        "lineitem": lineitem,
+    }
+
+
+@pytest.mark.parametrize("seed", [505])
+def test_relational_twins_agree_on_adversarial_corpus(spark, tmp_path, seed):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    tables = _build_tpch(seed)
+    sf = str(tmp_path / f"tpch{seed}")
+    os.makedirs(sf)
+    con = duckdb.connect()
+    for t, pdf in tables.items():
+        path = os.path.join(sf, f"{t}.parquet")
+        pdf.to_parquet(path, index=False)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name in REL_QUERIES:
+        sdf = queries[name](spark, sf)
+        cols = sorted(sdf.columns)
+        got = _norm_rows([tuple(r) for r in sdf.select(*cols).collect()])
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        order = [ocols.index(c) for c in sorted(ocols)]
+        assert sorted(ocols) == cols, (name, cols, sorted(ocols))
+        want = _norm_rows(
+            [tuple(row[i] for i in order) for row in cur.fetchall()]
+        )
+        if got != want:
+            diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
+            failures.append((name, len(got), len(want), diff))
+    assert not failures, failures
