@@ -392,6 +392,9 @@ def _build_tpch(seed: int) -> dict:
                  "o_orderdate", "o_orderpriority"],
     )
     orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    # pricing_summary filters l_shipdate <= 1998-09-02: shipdates must
+    # live in the TPC-H era or the whole query is vacuous on the fixture
+    s0 = np.datetime64("1995-06-01T00:00:00", "us")
     li_rows = []
     for i in range(170):
         ok = int(rng.integers(0, 60))  # orderkeys 60-69 have NO lineitems
@@ -399,11 +402,22 @@ def _build_tpch(seed: int) -> dict:
             (
                 ok, int(rng.integers(0, 12)), int(rng.integers(0, 8)),
                 i % 7 + 1, float(rng.integers(1, 50)), lat(),
-                float(rng.integers(0, 4)) * 0.0025,  # lattice discount
-                float(rng.integers(0, 3)) * 0.0025,
+                float(rng.integers(0, 11)) * 0.01,  # 2-dp discount domain
+                float(rng.integers(0, 9)) * 0.01,
                 ["A", "N", "R"][i % 3], ["O", "F"][i % 2],
-                t0 + np.timedelta64(int(rng.integers(0, 100)) * 86400_000_000, "us"),
+                s0 + np.timedelta64(int(rng.integers(0, 100)) * 86400_000_000, "us"),
             )
+        )
+    # deterministic IN-DOMAIN tie probes for pricing_summary:
+    #  - group ('Z','O'): one row with price 0.10, disc 0.05 ->
+    #    sum_disc_price = 0.0950 exactly, a 2-dp rounding half-tie
+    #  - group ('Z','F'): 8 rows, one 1% discount -> avg_disc = 0.00125,
+    #    a 4-dp rounding half-tie
+    li_rows.append((0, 0, 0, 1, 1.0, 0.10, 0.05, 0.0, "Z", "O", s0))
+    for j in range(8):
+        li_rows.append(
+            (0, 0, 0, 2 + j, 1.0, 1.00, 0.01 if j == 0 else 0.0, 0.0,
+             "Z", "F", s0)
         )
     lineitem = pd.DataFrame(
         li_rows,
