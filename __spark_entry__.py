@@ -301,11 +301,15 @@ def _cusum_params(ev):
     broadcast-joins against the event stream. groupBy `percentile` and the
     window `percentile` in _cusum_raw interpolate over the same multiset,
     so the two paths see identical doubles."""
+    c = "cast(round(value * 100) as bigint)"
     return ev.groupBy("user_id").agg(
-        F.expr("percentile(value, 0.5)").alias("med"),
+        (F.expr(f"percentile({c}, 0.5)") / 100.0).alias("med"),
         (
-            F.expr("percentile(value, 0.75)")
-            - F.expr("percentile(value, 0.25)")
+            (
+                F.expr(f"percentile({c}, 0.75)")
+                - F.expr(f"percentile({c}, 0.25)")
+            )
+            / 100.0
         ).alias("iqr"),
     )
 
@@ -318,11 +322,16 @@ def _cusum_raw(ev):
     wp = wu.orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    med = F.expr("percentile(value, 0.5)").over(wu)
+    # percentiles run on exact int64 CENTS then /100: interpolated halves
+    # and quarters of integers are exactly representable, so Spark's and
+    # DuckDB's differently-ordered interpolation formulas cannot diverge
+    # by an ulp (the robust_zscore lesson; on raw 2-dp doubles they can)
+    c = "cast(round(value * 100) as bigint)"
+    med = F.expr(f"percentile({c}, 0.5)").over(wu) / 100.0
     iqr = (
-        F.expr("percentile(value, 0.75)").over(wu)
-        - F.expr("percentile(value, 0.25)").over(wu)
-    )
+        F.expr(f"percentile({c}, 0.75)").over(wu)
+        - F.expr(f"percentile({c}, 0.25)").over(wu)
+    ) / 100.0
     base = ev.select(
         "event_id",
         "user_id",
@@ -380,11 +389,15 @@ def q_cusum_detect(spark, sf_dir):
     state pair per user), pinned bit-exactly to _cusum_raw by
     test_streaming's parity test."""
     raw = _cusum_raw(_t(spark, sf_dir, "events"))
+    # explicit floor(x*1e4 + 0.5)/1e4 spelled on BOTH engines (the
+    # robust_zscore convention): cpos/cneg are non-negative rationals on
+    # the quarter-cent grid, so engine round() half-ties are reachable —
+    # the adversarial harness caught one at seed 777
     return raw.select(
         "event_id",
         "user_id",
-        F.round(F.col("_cpos"), 4).alias("cpos"),
-        F.round(F.col("_cneg"), 4).alias("cneg"),
+        (F.floor(F.col("_cpos") * 10000 + 0.5) / 10000).alias("cpos"),
+        (F.floor(F.col("_cneg") * 10000 + 0.5) / 10000).alias("cneg"),
         "alarm",
     ).orderBy("event_id")
 
@@ -3909,9 +3922,12 @@ def oracle_sql() -> dict[str, str]:
         "cusum_detect": """
         WITH m AS (
           SELECT event_id, user_id, ts, value,
-                 quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med,
-                 (quantile_cont(value, 0.75) OVER (PARTITION BY user_id)
-                  - quantile_cont(value, 0.25) OVER (PARTITION BY user_id))
+                 quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+                   OVER (PARTITION BY user_id) / 100.0 AS med,
+                 (quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75)
+                    OVER (PARTITION BY user_id)
+                  - quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25)
+                    OVER (PARTITION BY user_id)) / 100.0
                    AS iqr
           FROM events
         ), ps AS (
@@ -3929,8 +3945,8 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         )
         SELECT event_id, user_id,
-               round(sp - least(0, mp), 4) AS cpos,
-               round(sn - least(0, mn), 4) AS cneg,
+               floor((sp - least(0, mp)) * 10000 + 0.5) / 10000 AS cpos,
+               floor((sn - least(0, mn)) * 10000 + 0.5) / 10000 AS cneg,
                (sp - least(0, mp) > 5.0 * iqr
                 OR sn - least(0, mn) > 5.0 * iqr) AS alarm
         FROM mm ORDER BY event_id""",

@@ -106,7 +106,13 @@ def _build_events(seed: int) -> "pd.DataFrame":
     return pdf
 
 
-@pytest.mark.parametrize("seed", [101, 202])
+# deepen the fuzz without editing code: SPARK_GRAFT_ADV_SEEDS=1,2,3 ...
+_ADV_SEEDS = [
+    int(x) for x in os.environ.get("SPARK_GRAFT_ADV_SEEDS", "101,202").split(",")
+]
+
+
+@pytest.mark.parametrize("seed", _ADV_SEEDS)
 def test_twins_agree_on_adversarial_random_corpus(spark, tmp_path, seed):
     import duckdb
 
