@@ -4745,7 +4745,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, k * {TWA_BUCKET_S} AS bucket_start,
                floor(CAST(sum(c * dt) AS DOUBLE) / sum(dt) / 100 * 10000
                      + 0.5) / 10000 AS twa,
-               sum(dt) AS covered_s
+               CAST(sum(dt) AS BIGINT) AS covered_s
         FROM d GROUP BY user_id, k
         ORDER BY user_id, bucket_start""",
         "m4_downsample": f"""

@@ -149,6 +149,12 @@ class ParquetManifestFormat:
     def current_snapshot(self, table: str) -> int:
         return int(self._load(table)["current"])
 
+    def snapshot_ids(self, table: str) -> set[int]:
+        """All snapshot ids still present in the manifest (time-travelable).
+        Iceberg's ``table.snapshots()`` metadata listing — lets callers
+        verify a pin BEFORE asking expire_snapshots to preserve it."""
+        return {int(s) for s in self._load(table)["snapshots"]}
+
     def overwrite_partitions(
         self,
         df: DataFrame,

@@ -465,9 +465,11 @@ def psi_stream(
             state.update((cnt.tolist(),))
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        c = np.round(pdf["value"].to_numpy(np.float64) * 100).astype(
-            np.int64
-        )
+        # HALF_UP (away from zero), matching the batch twin's
+        # F.round(value*100) — np.round is half-to-even and would bin
+        # exact-.5 cents differently stream-vs-batch.
+        v = pdf["value"].to_numpy(np.float64) * 100
+        c = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
         lo = int(pdf["lo"].iloc[0])
         hi = int(pdf["hi"].iloc[0])
         b = (c - lo) * nbins // (hi - lo + 1)

@@ -137,6 +137,23 @@ def run_snapshot_expiry(
                 f"any of tiers {list(tiers)} — refusing to expire (re-check "
                 "the epoch id; nothing has been deleted)"
             )
+        # lineage rows OUTLIVE snapshot expiry, so an epoch whose snapshot
+        # a previous --expire-snapshots already deleted resolves "cleanly"
+        # here and would then be silently skipped by expire_snapshots'
+        # membership guard — the run would exit 0 while preserving nothing
+        # the operator asked for (ADVICE r5). Verify each resolved pin
+        # still exists in its tier's manifest before deleting anything.
+        gone = {
+            t: sorted(pins[t] - fmt.snapshot_ids(f"rollup_{t}"))
+            for t in tiers
+            if pins[t] - fmt.snapshot_ids(f"rollup_{t}")
+        }
+        if gone:
+            raise ValueError(
+                f"--pin-epoch resolves to already-expired snapshots {gone}: "
+                "those epochs are no longer time-travelable — refusing to "
+                "expire (nothing has been deleted)"
+            )
     metrics = {}
     for tier in tiers:
         try:

@@ -252,6 +252,37 @@ def test_pin_epoch_unmatched_refuses_before_deleting(spark, tmp_path):
     assert sorted(fmt._load("rollup_1m")["snapshots"]) == snaps_before
 
 
+def test_pin_epoch_already_expired_refuses(spark, tmp_path):
+    """ADVICE r5: lineage rows outlive snapshot expiry, so a --pin-epoch
+    whose snapshot a PREVIOUS expire-snapshots run already deleted used to
+    resolve cleanly and then be silently skipped by expire_snapshots'
+    membership guard — exit 0, nothing preserved. The pre-flight must now
+    verify each resolved pin against the live manifest and refuse."""
+    import pytest
+
+    from jobs.retention import run_snapshot_expiry
+
+    wh = str(tmp_path / "whexppin")
+    run_rollup(spark, synth_tokens(spark, 4, seed=1, n_tok=128), wh,
+               epoch=1, tiers=["1m"])
+    run_rollup(
+        spark,
+        synth_tokens(spark, 4, seed=2, n_tok=128).withColumn(
+            "doc_id", F.concat(F.lit("z_"), F.col("doc_id"))
+        ),
+        wh, epoch=2, tiers=["1m"],
+    )
+    fmt = ParquetManifestFormat(spark, wh)
+    # first cycle (no pins) legitimately expires the epoch-1 snapshot
+    m = run_snapshot_expiry(spark, wh, ["1m"], keep_last=1)
+    assert m["1m"]["expired_snapshots"]
+    snaps_after = fmt.snapshot_ids("rollup_1m")
+    # pinning the now-gone epoch must refuse loudly, before deleting
+    with pytest.raises(ValueError, match="already-expired"):
+        run_snapshot_expiry(spark, wh, ["1m"], keep_last=1, pin_epochs={1})
+    assert fmt.snapshot_ids("rollup_1m") == snaps_after
+
+
 def test_interleave_bits_morton_values(spark):
     """interleave_bits (engine/zorder.py) against hand-computed Morton
     codes and a scalar Python re-implementation over a coordinate grid."""

@@ -909,3 +909,26 @@ def test_stream_stream_interval_join_matches_batch_pairs(spark, tmp_path):
     # 20 events 5 s apart: event i pairs with min(12, 19-i) successors
     assert got[999] == sum(min(12, 19 - i) for i in range(20))  # = 162
     assert sum(got.values()) > 100
+
+
+def test_psi_stream_cent_quantization_matches_batch_round(spark):
+    """ADVICE r5: psi_stream quantizes cents with sign-aware
+    floor(|v|*100 + 0.5) — HALF_UP, the same semantics as the batch
+    twin's F.round(value*100) — not np.round's half-to-even. Pin the
+    two spellings equal on exact-.5 cents (0.125 -> 13, not 12) and
+    negatives (-0.125 -> -13), the cases the parity fixture avoids."""
+    import numpy as np
+
+    vals = [0.125, -0.125, 0.135, -0.135, 2.005, -2.005, 0.0, 1.0,
+            0.124999, 12.345, -12.345, 0.005, -0.005]
+    want = [
+        r["c"]
+        for r in spark.createDataFrame(
+            [(v,) for v in vals], "value double"
+        )
+        .select(F.round(F.col("value") * 100).cast("long").alias("c"))
+        .collect()
+    ]
+    v = np.asarray(vals, dtype=np.float64) * 100
+    got = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    assert got.tolist() == want

@@ -86,6 +86,22 @@ def main() -> int:
             print(f"{name:28s} SPARK-ERROR {type(e).__name__}: {str(e)[:160]}")
             continue
         try:
+            # Output-type lint (round-5 verdict task #1): DuckDB's
+            # sum(BIGINT) silently widens to HUGEINT (int128) and
+            # sum/avg over DECIMAL stays DECIMAL — both hash differently
+            # from Spark's BIGINT/DOUBLE under a typed (Arrow) compare
+            # even when every value is equal. House style: every oracle
+            # casts its sums, so any HUGEINT/DECIMAL output column is a
+            # missed cast. Binding is cheap (no execution).
+            bad_types = [
+                (c, str(t))
+                for c, t in zip(con.sql(sql).columns, con.sql(sql).types)
+                if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+            ]
+            if bad_types:
+                failures += 1
+                print(f"{name:28s} ORACLE-TYPE-LINT {bad_types} (cast sums to BIGINT/DOUBLE)")
+                continue
             res = con.execute(sql)
             dcols_raw = [d[0] for d in res.description]
             drows_raw = res.fetchall()
