@@ -2036,6 +2036,27 @@ def q_lttb_downsample(spark, sf_dir):
     return lttb(ev, LTTB_N_OUT).orderBy("user_id", "ts", "value")
 
 
+def q_lttb_two_stage(spark, sf_dir):
+    """M4->LTTB two-stage downsample (round 6) — the serving-layer shape
+    for over-long series: a pure-Catalyst M4 preselection (Jugel et al.
+    PVLDB'14) caps the LTTB kernel's per-group input at
+    4 * prereduce * n_out rows whatever the series length, then the
+    Steinarsson 2013 kernel picks the final LTTB_N_OUT real points
+    (engine/downsample.py:lttb_two_stage). prereduce=2 here puts the
+    bypass bound at 320 rows — sf0.01 users (~667 events) genuinely
+    exercise the M4 stage. Both stages and the kernel regroup share ONE
+    hash exchange (plan-asserted in tests/test_downsample.py). No DuckDB
+    oracle for the same reason as lttb_downsample (sequential argmax
+    recursion); pinned in pytest: bit-parity with direct lttb() under the
+    kernel bound, subset/endpoint/cap/determinism contracts above it."""
+    from engine.downsample import lttb_two_stage
+
+    ev = _t(spark, sf_dir, "events")
+    return lttb_two_stage(ev, LTTB_N_OUT, prereduce=2).orderBy(
+        "user_id", "ts", "value"
+    )
+
+
 def q_iqr_outliers(spark, sf_dir):
     """Boxplot-rule (Tukey fence) outliers per user (round 5), with the
     quartile interpolation done in EXACT integer arithmetic: for cents c
@@ -3745,6 +3766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "m4_downsample": q_m4_downsample,
         "lttb_downsample": q_lttb_downsample,
+        "lttb_two_stage": q_lttb_two_stage,
         "iqr_outliers": q_iqr_outliers,
         "rollup_minute": q_rollup_minute,
         "cascade_hour": q_cascade_hour,

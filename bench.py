@@ -153,22 +153,42 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Key order is deliberate (round-5 verdict task #2): the driver's
+    # record keeps the TAIL of a too-long line, and BENCH_r05.json lost
+    # its headline medians because they led the object while the bulky
+    # hostmeter sidecars trailed. Bulky diagnostics go FIRST; the metric,
+    # value, medians, and throughput — the numbers a clipped record must
+    # still carry — go LAST. json.dumps preserves insertion order.
     out = {
-        "metric": "headline_queries_plus_pipeline_seconds",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
         "queries_runs": runs,
         "queries_host": runs_host,
         "host": host,
         "drift_control_queries": ["pricing_summary", "rank_orders", "order_gaps"],
         "runs_per_query": n_runs,
-        "sf": sf_val,
-        "pipeline_tokens_per_sec": round(PIPELINE_DOCS * PIPELINE_LEN / pipeline_sec),
         "pipeline_tokens": PIPELINE_DOCS * PIPELINE_LEN,
         "cores": cpus,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "sf": sf_val,
+        "queries": timings,
+        "pipeline_tokens_per_sec": round(PIPELINE_DOCS * PIPELINE_LEN / pipeline_sec),
+        "metric": "headline_queries_plus_pipeline_seconds",
+        "unit": "sec",
+        "value": round(sum(timings.values()), 3),
     }
+    # Durable in-repo twin: the full record survives regardless of how the
+    # driver clips stdout. Round number = one past the newest BENCH_r<N>
+    # the driver has recorded (this bench runs before the round is filed).
+    repo = Path(__file__).resolve().parent
+    try:
+        n = 1 + max(
+            (int(p.stem.split("_r")[-1]) for p in repo.glob("BENCH_r*.json")),
+            default=0,
+        )
+        twin = repo / "BENCH" / f"bench_r{n:02d}.json"
+        twin.write_text(json.dumps(out, indent=1))
+        print(f"full record: {twin}", file=sys.stderr, flush=True)
+    except OSError:
+        pass  # bench must still print its line on a read-only checkout
     print(json.dumps(out), flush=True)
 
 

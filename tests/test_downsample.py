@@ -134,3 +134,93 @@ def test_lttb_rejects_bad_args(spark):
         lttb(ev, 2)
     with pytest.raises(ValueError, match="missing column"):
         lttb(ev, 10, value_col="nope")
+
+
+def test_m4_prereduce_bounds_and_preserves_extremes(spark):
+    """Stage-1 contract: per-key output <= 4 * nbuckets rows, every row a
+    real input row, and every bucket's time/value extremes survive."""
+    from engine.downsample import m4_prereduce
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    rows = [
+        (1, float(i), float(v))
+        for i, v in enumerate(rng.normal(0, 100, n).round(2))
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts double, value double")
+    nb = 25
+    red = m4_prereduce(df, nb, ts_col="ts").cache()
+    cnt = red.count()
+    assert 2 * nb <= cnt <= 4 * nb  # first/last may coincide with min/max
+    assert red.join(df, ["user_id", "ts", "value"], "left_anti").count() == 0
+    # global extremes (bucket extremes for their buckets) survive
+    got = {(r["ts"], r["value"]) for r in red.collect()}
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    assert (pdf["ts"].min(), pdf.loc[pdf["ts"].idxmin(), "value"]) in got
+    assert (pdf["ts"].max(), pdf.loc[pdf["ts"].idxmax(), "value"]) in got
+    # per-bucket value extremes survive (recompute buckets independently)
+    lo, hi = pdf["ts"].min(), pdf["ts"].max()
+    pdf["_b"] = np.minimum(
+        nb - 1, np.floor((pdf["ts"] - lo) * nb / (hi - lo)).astype(int)
+    )
+    for _, g in pdf.groupby("_b"):
+        assert (g.loc[g["value"].idxmin(), "ts"], g["value"].min()) in got
+        assert (g.loc[g["value"].idxmax(), "ts"], g["value"].max()) in got
+
+
+def test_lttb_two_stage_exact_parity_under_kernel_bound(spark):
+    """Series under the 4*prereduce*n_out kernel bound bypass the M4 stage:
+    two-stage output is bit-identical to direct lttb() (sf0.001 events,
+    ~67 points/user < 96 = bound at n_out=12, prereduce=2)."""
+    from engine.downsample import lttb_two_stage
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert ev.groupBy("user_id").count().agg({"count": "max"}).collect()[0][0] < 96
+    direct = lttb(ev, 12)
+    two = lttb_two_stage(ev, 12, prereduce=2)
+    assert direct.exceptAll(two).count() == 0
+    assert two.exceptAll(direct).count() == 0
+
+
+def test_lttb_two_stage_long_series_contract(spark):
+    """Over the bound the M4 stage engages: exactly n_out real rows per
+    key, endpoints kept, kernel input provably capped, deterministic
+    under upstream row order."""
+    import pyspark.sql.functions as F
+
+    from engine.downsample import lttb_two_stage, m4_prereduce
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (u, float(i), float(v))
+        for u in (1, 2)
+        for i, v in enumerate(rng.normal(0, 50, 5000).round(2))
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts double, value double")
+    n_out, pre = 20, 5
+    cap = 4 * pre * n_out  # 400 < 5000 -> stage 1 engages
+    red = m4_prereduce(df, pre * n_out, ts_col="ts", bypass_under=cap)
+    per_key = dict(red.groupBy("user_id").count().collect())
+    assert all(c <= cap for c in per_key.values()), per_key
+    out = lttb_two_stage(df, n_out, ts_col="ts", prereduce=pre).cache()
+    assert dict(out.groupBy("user_id").count().collect()) == {1: n_out, 2: n_out}
+    assert out.join(df, ["user_id", "ts", "value"], "left_anti").count() == 0
+    kept = {(r["user_id"], r["ts"]) for r in out.collect()}
+    assert (1, 0.0) in kept and (1, 4999.0) in kept
+    assert (2, 0.0) in kept and (2, 4999.0) in kept
+    out2 = lttb_two_stage(
+        df.orderBy(F.desc("value")), n_out, ts_col="ts", prereduce=pre
+    )
+    assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
+
+
+def test_lttb_two_stage_single_shuffle(spark):
+    """The M4 windows, the count gate, and the LTTB regroup all reuse the
+    ONE key hash exchange — two-stage costs the same shuffle count as
+    direct lttb()."""
+    from engine.downsample import lttb_two_stage
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = lttb_two_stage(ev, 12)._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 shuffle, got {n}:\n{plan[:2000]}"
