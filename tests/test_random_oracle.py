@@ -106,10 +106,14 @@ def _build_events(seed: int) -> "pd.DataFrame":
     return pdf
 
 
-# deepen the fuzz without editing code: SPARK_GRAFT_ADV_SEEDS=1,2,3 ...
-_ADV_SEEDS = [
-    int(x) for x in os.environ.get("SPARK_GRAFT_ADV_SEEDS", "101,202").split(",")
-]
+# deepen the fuzz without editing code: SPARK_GRAFT_ADV_SEEDS=1,2,3
+# rotates the events corpus; SPARK_GRAFT_ADV_SEEDS_{DOC,EMB,REL} rotate the
+# other three (defaults = every seed that has caught a real bug so far)
+def _seeds(env: str, default: str) -> list[int]:
+    return [int(x) for x in os.environ.get(env, default).split(",")]
+
+
+_ADV_SEEDS = _seeds("SPARK_GRAFT_ADV_SEEDS", "101,202,2026")
 
 
 @pytest.mark.parametrize("seed", _ADV_SEEDS)
@@ -223,7 +227,7 @@ def _build_documents(seed: int) -> "pd.DataFrame":
     )
 
 
-@pytest.mark.parametrize("seed", [303])
+@pytest.mark.parametrize("seed", _seeds("SPARK_GRAFT_ADV_SEEDS_DOC", "303,1717"))
 def test_document_twins_agree_on_adversarial_corpus(spark, tmp_path, seed):
     import duckdb
 
@@ -284,7 +288,7 @@ def _build_embeddings(seed: int) -> "pd.DataFrame":
     return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
 
 
-@pytest.mark.parametrize("seed", [404])
+@pytest.mark.parametrize("seed", _seeds("SPARK_GRAFT_ADV_SEEDS_EMB", "404,2026"))
 def test_embedding_twins_agree_on_adversarial_corpus(spark, tmp_path, seed):
     import duckdb
 
@@ -439,7 +443,7 @@ def _build_tpch(seed: int) -> dict:
     }
 
 
-@pytest.mark.parametrize("seed", [505])
+@pytest.mark.parametrize("seed", _seeds("SPARK_GRAFT_ADV_SEEDS_REL", "505,2026"))
 def test_relational_twins_agree_on_adversarial_corpus(spark, tmp_path, seed):
     import duckdb
 
