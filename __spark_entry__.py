@@ -1605,6 +1605,57 @@ def q_chunk_documents(spark, sf_dir):
     ).orderBy("doc_id", "chunk_id")
 
 
+PACK_SEQ_LEN = 256  # context-window length (tokens) for sequence packing
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (round 6): the GPT-style concat-then-split layout
+    every LLM training pipeline runs after chunking/dedup — documents are
+    concatenated in deterministic doc_id order and the token stream is cut
+    into fixed PACK_SEQ_LEN context windows; each doc reports the window
+    range it lands in (seq_first..seq_last) and how many windows it spans
+    (the cross-boundary diagnostic packers tune against). Needs a GLOBAL
+    prefix sum over doc order — computed DECOMPOSED exactly like
+    concurrency_sweep: per-group (doc_id DIV 64) running sums under one
+    hash exchange, group totals through the only unpartitioned window (a
+    groups-sized relation), offsets broadcast back. No unpartitioned
+    window ever sees a corpus-sized input, so the shape survives 100x.
+    Token convention: whitespace split, same as token_count."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        F.expr("doc_id DIV 64").alias("_g"),
+    )
+    w_run = (
+        Window.partitionBy("_g")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = t.withColumn("_run", F.sum("n_tok").over(w_run))
+    gtot = t.groupBy("_g").agg(F.sum("n_tok").alias("_tot"))
+    w_cum = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
+    offs = gtot.select(
+        "_g",
+        F.coalesce(F.sum("_tot").over(w_cum), F.lit(0))
+        .cast("long")
+        .alias("_off"),
+    )
+    cum = run.join(F.broadcast(offs), "_g").select(
+        "doc_id", "n_tok", (F.col("_off") + F.col("_run")).alias("_cum")
+    )
+    return cum.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"(_cum - n_tok) DIV {PACK_SEQ_LEN}").alias("seq_first"),
+        F.expr(f"(_cum - 1) DIV {PACK_SEQ_LEN}").alias("seq_last"),
+        F.expr(
+            f"(_cum - 1) DIV {PACK_SEQ_LEN}"
+            f" - (_cum - n_tok) DIV {PACK_SEQ_LEN} + 1"
+        ).alias("n_seqs"),
+    ).orderBy("doc_id")
+
+
 PSI_BINS = 10
 KS_BINS = 100
 
@@ -3895,6 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": q_m4_downsample,
         "lttb_downsample": q_lttb_downsample,
         "lttb_two_stage": q_lttb_two_stage,
+        "pack_sequences": q_pack_sequences,
         "iqr_outliers": q_iqr_outliers,
         "rollup_minute": q_rollup_minute,
         "cascade_hour": q_cascade_hour,
@@ -5204,6 +5256,24 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY tr.doc_id ORDER BY doc_id""".replace(
             "_WPOS_", _WPOS_SQL.strip().rstrip()
         ).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tok,
+                 CAST(sum(n_tok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+          FROM t
+        )
+        SELECT doc_id, n_tok,
+               (cum - n_tok) // {PACK_SEQ_LEN} AS seq_first,
+               (cum - 1) // {PACK_SEQ_LEN} AS seq_last,
+               (cum - 1) // {PACK_SEQ_LEN}
+                 - (cum - n_tok) // {PACK_SEQ_LEN} + 1 AS n_seqs
+        FROM c ORDER BY doc_id""",
         "token_count": """
         SELECT lang, count(*) AS docs,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,

@@ -516,3 +516,24 @@ def test_ivf_lloyd_assignment_is_map_side(spark):
     assert keys, "expected the Lloyd training-grid exchanges"
     for k in keys:
         assert "vec_id" not in k and "cell" in k, (k, plan[:2000])
+
+
+def test_pack_sequences_decomposed_prefix_sum(spark):
+    """pack_sequences needs a global prefix sum; the plan must be the
+    DECOMPOSED concurrency_sweep shape: per-group running sums under _g
+    hash exchanges, and the ONE SinglePartition exchange feeds only the
+    groups-sized offset aggregate (HashAggregate directly beneath it),
+    never corpus rows."""
+    import re
+
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_pack_sequences(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange SinglePartition") == 1, plan[:2000]
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_g" in m.group(1), (m.group(1), plan[:2000])
+    # the single-partition window's child is the group-total aggregate
+    seg = plan.split("Exchange SinglePartition", 1)[1]
+    assert "HashAggregate" in seg.split("Exchange", 1)[0] or \
+           "HashAggregate" in seg[:600], seg[:800]

@@ -161,6 +161,7 @@ DOC_QUERIES = [
     "lang_source_cube", "lang_id", "unigram_logprob", "word_entropy",
     "gopher_repetition", "minhash_signatures", "lsh_candidates",
     "ngram_jaccard", "dedup_clusters", "top_ngrams", "bigram_logprob",
+    "pack_sequences",
 ]
 
 
