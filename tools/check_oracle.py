@@ -50,6 +50,17 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # The ANN oracles' plane count is a pure function of the corpus size
+    # (ann_planes), resolved from SPARK_GRAFT_ORACLE_SF at oracle_sql()
+    # call time (ADVICE r03 mechanism). Point it at THIS gate's sf dir so
+    # a replay at any scale stays in parity — without this, a sf0.1 gate
+    # compares 7-plane Spark signatures against a 4-plane (sf0.01) oracle
+    # (caught by the round-6 both-scale replay: ann_lsh_topk 8-row
+    # mismatch, embedding_near_dups 119 vs 263 pairs).
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
     import __spark_entry__ as entrymod
     from engine.session import get_spark
 
