@@ -1608,19 +1608,13 @@ def q_chunk_documents(spark, sf_dir):
 PACK_SEQ_LEN = 256  # context-window length (tokens) for sequence packing
 
 
-def q_pack_sequences(spark, sf_dir):
-    """Sequence packing (round 6): the GPT-style concat-then-split layout
-    every LLM training pipeline runs after chunking/dedup — documents are
-    concatenated in deterministic doc_id order and the token stream is cut
-    into fixed PACK_SEQ_LEN context windows; each doc reports the window
-    range it lands in (seq_first..seq_last) and how many windows it spans
-    (the cross-boundary diagnostic packers tune against). Needs a GLOBAL
-    prefix sum over doc order — computed DECOMPOSED exactly like
-    concurrency_sweep: per-group (doc_id DIV 64) running sums under one
-    hash exchange, group totals through the only unpartitioned window (a
-    groups-sized relation), offsets broadcast back. No unpartitioned
-    window ever sees a corpus-sized input, so the shape survives 100x.
-    Token convention: whitespace split, same as token_count."""
+def _pack_cum(spark, sf_dir):
+    """Shared packing scaffold: per-doc whitespace token counts with the
+    EXCLUSIVE-to-INCLUSIVE global running total ``_cum`` over doc_id
+    order, computed DECOMPOSED (per-(doc_id DIV 64) running sums under
+    one hash exchange; group totals through the only unpartitioned
+    window, a groups-sized relation, broadcast back). Used by
+    q_pack_sequences and q_pack_efficiency."""
     d = _t(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
@@ -1641,9 +1635,25 @@ def q_pack_sequences(spark, sf_dir):
         .cast("long")
         .alias("_off"),
     )
-    cum = run.join(F.broadcast(offs), "_g").select(
+    return run.join(F.broadcast(offs), "_g").select(
         "doc_id", "n_tok", (F.col("_off") + F.col("_run")).alias("_cum")
     )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (round 6): the GPT-style concat-then-split layout
+    every LLM training pipeline runs after chunking/dedup — documents are
+    concatenated in deterministic doc_id order and the token stream is cut
+    into fixed PACK_SEQ_LEN context windows; each doc reports the window
+    range it lands in (seq_first..seq_last) and how many windows it spans
+    (the cross-boundary diagnostic packers tune against). Needs a GLOBAL
+    prefix sum over doc order — computed DECOMPOSED exactly like
+    concurrency_sweep: per-group (doc_id DIV 64) running sums under one
+    hash exchange, group totals through the only unpartitioned window (a
+    groups-sized relation), offsets broadcast back. No unpartitioned
+    window ever sees a corpus-sized input, so the shape survives 100x.
+    Token convention: whitespace split, same as token_count."""
+    cum = _pack_cum(spark, sf_dir)
     return cum.select(
         "doc_id",
         "n_tok",
@@ -1654,6 +1664,57 @@ def q_pack_sequences(spark, sf_dir):
             f" - (_cum - n_tok) DIV {PACK_SEQ_LEN} + 1"
         ).alias("n_seqs"),
     ).orderBy("doc_id")
+
+
+def q_pack_efficiency(spark, sf_dir):
+    """Per-context-window packing QA (round 6): the window-side view of
+    q_pack_sequences — for every PACK_SEQ_LEN window, how many docs
+    touch it, how many START in it, how many tokens land in it and the
+    fill ratio. The numbers a packing stage is tuned against (doc
+    fragmentation vs padding waste); every interior window must read
+    fill=1.0 by construction, the tail window shows the padding loss.
+    Shape: the shared decomposed prefix sum (_pack_cum), then each doc
+    explodes into its seq_first..seq_last window ids — fan-out bounded
+    by n_tok/PACK_SEQ_LEN+1 per doc — and one hash exchange groups by
+    window id. fill = tokens/256.0 is an exact dyadic rational, so the
+    oracle hashes bit-identically with no rounding policy."""
+    L = PACK_SEQ_LEN
+    cum = _pack_cum(spark, sf_dir)
+    seqs = cum.select(
+        "n_tok",
+        "_cum",
+        F.expr(f"(_cum - n_tok) DIV {L}").alias("_sf"),
+        F.explode(
+            F.sequence(
+                F.expr(f"(_cum - n_tok) DIV {L}"),
+                F.expr(f"(_cum - 1) DIV {L}"),
+            )
+        ).alias("seq_id"),
+    )
+    contrib = seqs.select(
+        "seq_id",
+        (
+            F.least(F.col("_cum"), (F.col("seq_id") + 1) * L)
+            - F.greatest(F.col("_cum") - F.col("n_tok"), F.col("seq_id") * L)
+        ).alias("_tok"),
+        (F.col("seq_id") == F.col("_sf")).cast("int").alias("_start"),
+    )
+    return (
+        contrib.groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_start").cast("long").alias("n_starts"),
+            F.sum("_tok").cast("long").alias("tokens"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            "n_starts",
+            "tokens",
+            (F.col("tokens") / F.lit(float(L))).alias("fill"),
+        )
+        .orderBy("seq_id")
+    )
 
 
 PSI_BINS = 10
@@ -2190,6 +2251,114 @@ def q_iqr_outliers(spark, sf_dir):
     )
 
 
+def q_detector_ensemble(spark, sf_dir):
+    """Consensus vote across the engine's four per-event anomaly
+    detectors (round 6) — the ensemble view practitioners actually page
+    on, because each detector has a blind spot the others cover: the
+    rolling z-score (R1-R4, w=30) misses spikes that inflate their own
+    stddev, Hampel (w=15 median/MAD) covers that, the whole-series
+    modified z-score (Iglewicz-Hoaglin) catches level shifts the trailing
+    windows normalize away, and the Tukey IQR fence is distribution-
+    shaped rather than deviation-shaped. Emits each flag plus the vote
+    count and a >=2-of-4 consensus — all integer/boolean outputs, so the
+    oracle is hash-exact with no float policy.
+
+    NOT a join of the four component queries: all four flags come out of
+    ONE pipeline on ONE user_id hash exchange — the w=30 and w=15 frames
+    share the (ts, event_id) sort, and the whole-partition percentile
+    windows (median/MAD/quartiles) reuse the same partitioning, so at
+    100 TB this costs one shuffle of the event stream, not four scans
+    plus three event_id joins. Flag semantics mirror the components
+    exactly, with the threshold comparisons spelled MULTIPLICATIVELY
+    (|v-ma| > k*sd, 0.6745*|c-med| > 3.5*mad) so no conjunct can divide
+    by zero under ANSI mode when a guard is false; quartile fences use
+    the exact-integer 8*fence arithmetic of q_iqr_outliers (quartile
+    quarter-multiples are exactly-representable doubles, so round(4*q)
+    is exact int64 on both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w30 = wo.rowsBetween(-(W_EVENTS - 1), 0)
+    w15 = wo.rowsBetween(-(HAMPEL_W - 1), 0)
+    wu = Window.partitionBy("user_id")
+    mid = HAMPEL_W // 2 + 1
+    full30 = F.count("value").over(w30) == W_EVENTS
+    b = ev.select("event_id", "user_id", "ts", "value", c.alias("_c"))
+    s1 = b.select(
+        "event_id",
+        "user_id",
+        "value",
+        "_c",
+        F.when(full30, F.avg("value").over(w30)).alias("_ma"),
+        F.when(full30, F.stddev_samp("value").over(w30)).alias("_sd"),
+        F.collect_list("_c").over(w15).alias("_vs"),
+        F.expr("percentile(_c, 0.5)").over(wu).alias("_gmed"),
+        F.round(F.expr("percentile(_c, 0.25)").over(wu) * 4)
+        .cast("long")
+        .alias("_q14"),
+        F.round(F.expr("percentile(_c, 0.75)").over(wu) * 4)
+        .cast("long")
+        .alias("_q34"),
+    )
+    s2 = s1.select(
+        "*",
+        F.expr(
+            f"CASE WHEN size(_vs) = {HAMPEL_W} "
+            f"THEN element_at(sort_array(_vs), {mid}) END"
+        ).alias("_hmed"),
+        F.expr("percentile(abs(_c - _gmed), 0.5)").over(wu).alias("_gmad"),
+    )
+    s3 = s2.select(
+        "*",
+        F.expr(
+            f"CASE WHEN _hmed IS NOT NULL THEN element_at("
+            f"sort_array(transform(_vs, x -> abs(x - _hmed))), {mid}) END"
+        ).alias("_hmad"),
+    )
+    lo8 = 5 * F.col("_q14") - 3 * F.col("_q34")
+    hi8 = 5 * F.col("_q34") - 3 * F.col("_q14")
+    flags = s3.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("_sd").isNotNull()
+            & (F.col("_sd") != 0)
+            & (F.abs(F.col("value") - F.col("_ma")) > K_EVENTS * F.col("_sd")),
+            F.lit(True),
+        ).otherwise(F.lit(False)).alias("z_flag"),
+        F.when(
+            F.col("_hmad").isNotNull()
+            & (F.abs(F.col("_c") - F.col("_hmed")) > 4.4478 * F.col("_hmad")),
+            F.lit(True),
+        ).otherwise(F.lit(False)).alias("hampel_flag"),
+        F.when(
+            (F.col("_gmad") != 0)
+            & (
+                0.6745 * F.abs(F.col("_c") - F.col("_gmed"))
+                > 3.5 * F.col("_gmad")
+            ),
+            F.lit(True),
+        ).otherwise(F.lit(False)).alias("robust_flag"),
+        ((8 * F.col("_c") < lo8) | (8 * F.col("_c") > hi8)).alias("iqr_flag"),
+    )
+    votes = (
+        F.col("z_flag").cast("int")
+        + F.col("hampel_flag").cast("int")
+        + F.col("robust_flag").cast("int")
+        + F.col("iqr_flag").cast("int")
+    ).cast("long")
+    return flags.select(
+        "event_id",
+        "user_id",
+        "z_flag",
+        "hampel_flag",
+        "robust_flag",
+        "iqr_flag",
+        votes.alias("votes"),
+        (votes >= 2).alias("consensus"),
+    ).orderBy("event_id")
+
+
 def q_sliding_window_counts(spark, sf_dir):
     """X-surface sliding-window aggregate in BATCH form (round 4; the
     streaming twin is engine/streaming.py::windowed_event_counts): 5-minute
@@ -2561,6 +2730,61 @@ def q_top_ngrams(spark, sf_dir):
         .orderBy(F.desc("df"), "shingle")
         .limit(20)
     )
+
+
+VOCAB_K = 16  # corpus top-K vocabulary for the OOV-rate quality signal
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Per-document out-of-vocabulary rate against the corpus top-K
+    vocabulary (round 6): the coverage/quality signal tokenizer and
+    filtering stages use — a doc whose words are mostly outside the
+    corpus head is boilerplate, another language, or noise (the CCNet/
+    Gopher-style frequency filters). K=16 is fixture-calibrated (the
+    synthetic corpus has ~40 head words, so rates spread over (0,1));
+    production sets K to the tokenizer vocab size.
+
+    100 TB shape mirrors q_tfidf_top_terms: ONE corpus scan to the
+    (doc, word) tf grid, the vocabulary from a word-keyed RE-AGG of that
+    grid (never a second scan) reduced by TakeOrdered (top-K with the
+    deterministic (count DESC, word ASC) total order — never a global
+    sort), broadcast back onto the grid. Exactness: counts are integers
+    and the 4-dp rate rounds half-up in the INTEGER domain
+    ((2*oov*1e4 + n) div (2n), the q_bucket_quantiles spelling), so a
+    doc whose oov/n lands exactly on a .00005 boundary cannot flip
+    between engines."""
+    d = _t(spark, sf_dir, "documents")
+    grid = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    vocab = (
+        grid.groupBy("w")
+        .agg(F.sum("_n").alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("w").asc())
+        .limit(VOCAB_K)
+        .select("w", F.lit(1).alias("_in"))
+    )
+    cov = (
+        grid.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_n").cast("long").alias("n_toks"),
+            F.sum(F.when(F.col("_in") == 1, F.col("_n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("in_vocab"),
+        )
+    )
+    return cov.select(
+        "doc_id",
+        "n_toks",
+        "in_vocab",
+        (
+            F.expr("(2 * (n_toks - in_vocab) * 10000 + n_toks) div (2 * n_toks)")
+            / F.lit(10000.0)
+        ).alias("oov_rate"),
+    ).orderBy("doc_id")
 
 
 def q_tfidf_top_terms(spark, sf_dir):
@@ -3947,7 +4171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": q_lttb_downsample,
         "lttb_two_stage": q_lttb_two_stage,
         "pack_sequences": q_pack_sequences,
+        "pack_efficiency": q_pack_efficiency,
         "iqr_outliers": q_iqr_outliers,
+        "detector_ensemble": q_detector_ensemble,
         "rollup_minute": q_rollup_minute,
         "cascade_hour": q_cascade_hour,
         "pricing_summary": q_pricing_summary,
@@ -3969,6 +4195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "top_ngrams": q_top_ngrams,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "vocab_coverage": q_vocab_coverage,
         "first_digit_profile": q_first_digit_profile,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -5007,6 +5234,72 @@ def oracle_sql() -> dict[str, str]:
         FROM b JOIN f USING (user_id)
         WHERE 8 * b.c < f.lo8 OR 8 * b.c > f.hi8
         ORDER BY user_id, event_id""",
+        "detector_ensemble": f"""
+        WITH b AS (
+          SELECT event_id, user_id, ts, value,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), s1 AS (
+          SELECT event_id, user_id, value, c,
+                 CASE WHEN count(value) OVER w30 = {W_EVENTS}
+                      THEN avg(value) OVER w30 END AS ma,
+                 CASE WHEN count(value) OVER w30 = {W_EVENTS}
+                      THEN stddev_samp(value) OVER w30 END AS sd,
+                 list(c) OVER w15 AS vs,
+                 quantile_cont(c, 0.5) OVER wu AS gmed,
+                 CAST(round(quantile_cont(c, 0.25) OVER wu * 4)
+                      AS BIGINT) AS q14,
+                 CAST(round(quantile_cont(c, 0.75) OVER wu * 4)
+                      AS BIGINT) AS q34
+          FROM b
+          WINDOW w30 AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {W_EVENTS - 1} PRECEDING
+                         AND CURRENT ROW),
+                 w15 AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {HAMPEL_W - 1} PRECEDING
+                         AND CURRENT ROW),
+                 wu AS (PARTITION BY user_id)
+        ), s2 AS (
+          SELECT *,
+                 CASE WHEN len(vs) = {HAMPEL_W}
+                      THEN list_extract(list_sort(vs), {HAMPEL_W // 2 + 1})
+                 END AS hmed,
+                 quantile_cont(abs(c - gmed), 0.5)
+                   OVER (PARTITION BY user_id) AS gmad
+          FROM s1
+        ), s3 AS (
+          SELECT *,
+                 CASE WHEN hmed IS NOT NULL
+                      THEN list_extract(
+                             list_sort(list_transform(vs,
+                                                      x -> abs(x - hmed))),
+                             {HAMPEL_W // 2 + 1})
+                 END AS hmad
+          FROM s2
+        ), f AS (
+          SELECT event_id, user_id,
+                 coalesce(sd IS NOT NULL AND sd != 0
+                          AND abs(value - ma) > {K_EVENTS} * sd,
+                          false) AS z_flag,
+                 coalesce(hmad IS NOT NULL
+                          AND abs(c - hmed) > 4.4478 * hmad,
+                          false) AS hampel_flag,
+                 coalesce(gmad != 0
+                          AND 0.6745 * abs(c - gmed) > 3.5 * gmad,
+                          false) AS robust_flag,
+                 (8 * c < 5 * q14 - 3 * q34)
+                   OR (8 * c > 5 * q34 - 3 * q14) AS iqr_flag
+          FROM s3
+        )
+        SELECT event_id, user_id, z_flag, hampel_flag, robust_flag,
+               iqr_flag,
+               CAST(CAST(z_flag AS INT) + CAST(hampel_flag AS INT)
+                    + CAST(robust_flag AS INT) + CAST(iqr_flag AS INT)
+                    AS BIGINT) AS votes,
+               CAST(z_flag AS INT) + CAST(hampel_flag AS INT)
+                 + CAST(robust_flag AS INT) + CAST(iqr_flag AS INT)
+                 >= 2 AS consensus
+        FROM f ORDER BY event_id""",
         "seasonal_profile": """
         WITH e AS (
           SELECT event_id, user_id, hour(ts) AS hod,
@@ -5194,6 +5487,27 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY df DESC, shingle LIMIT 20""".replace(
             "_WPOS_", _WPOS_SQL.strip().rstrip()
         ).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "vocab_coverage": f"""
+        WITH g AS (
+          SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          GROUP BY doc_id, w
+        ), v AS (
+          SELECT w FROM g GROUP BY w
+          ORDER BY sum(n) DESC, w LIMIT {VOCAB_K}
+        ), c AS (
+          SELECT doc_id,
+                 CAST(sum(n) AS BIGINT) AS n_toks,
+                 CAST(sum(CASE WHEN v.w IS NOT NULL THEN n ELSE 0 END)
+                      AS BIGINT) AS in_vocab
+          FROM g LEFT JOIN v ON g.w = v.w
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_toks, in_vocab,
+               ((2 * (n_toks - in_vocab) * 10000 + n_toks)
+                  // (2 * n_toks)) / 10000.0 AS oov_rate
+        FROM c ORDER BY doc_id""",
         "tfidf_top_terms": """
         WITH toks AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -5274,6 +5588,36 @@ def oracle_sql() -> dict[str, str]:
                (cum - 1) // {PACK_SEQ_LEN}
                  - (cum - n_tok) // {PACK_SEQ_LEN} + 1 AS n_seqs
         FROM c ORDER BY doc_id""",
+        "pack_efficiency": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tok,
+                 CAST(sum(n_tok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+          FROM t
+        ), s AS (
+          SELECT cum, n_tok,
+                 (cum - n_tok) // {PACK_SEQ_LEN} AS sf,
+                 unnest(generate_series((cum - n_tok) // {PACK_SEQ_LEN},
+                                        (cum - 1) // {PACK_SEQ_LEN}))
+                   AS seq_id
+          FROM c
+        )
+        SELECT seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN seq_id = sf THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_starts,
+               CAST(sum(least(cum, (seq_id + 1) * {PACK_SEQ_LEN})
+                        - greatest(cum - n_tok, seq_id * {PACK_SEQ_LEN}))
+                    AS BIGINT) AS tokens,
+               CAST(sum(least(cum, (seq_id + 1) * {PACK_SEQ_LEN})
+                        - greatest(cum - n_tok, seq_id * {PACK_SEQ_LEN}))
+                    AS BIGINT) / {PACK_SEQ_LEN}.0 AS fill
+        FROM s GROUP BY seq_id ORDER BY seq_id""",
         "token_count": """
         SELECT lang, count(*) AS docs,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,

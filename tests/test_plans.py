@@ -537,3 +537,44 @@ def test_pack_sequences_decomposed_prefix_sum(spark):
     seg = plan.split("Exchange SinglePartition", 1)[1]
     assert "HashAggregate" in seg.split("Exchange", 1)[0] or \
            "HashAggregate" in seg[:600], seg[:800]
+
+
+def test_detector_ensemble_single_user_exchange(spark):
+    """All four detector flags (z-score w30, Hampel w15, modified
+    z-score, IQR fences) must come out of ONE user_id hash exchange —
+    the ordered frames share a sort and the whole-partition percentile
+    windows reuse the partitioning. No Python, no SinglePartition."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_detector_ensemble(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, (n, plan[:2000])
+    assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1][:80]
+
+
+def test_pack_efficiency_bounded_fanout_shape(spark):
+    """pack_efficiency reuses the decomposed prefix sum (one
+    SinglePartition exchange feeding only the groups-sized offset
+    aggregate) and adds one hash exchange for the per-window groupBy;
+    the explode fan-out stays below the aggregate (no Python)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_pack_efficiency(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange SinglePartition") == 1, plan[:2000]
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_vocab_coverage_broadcast_vocab(spark):
+    """The top-K vocabulary must come back as a BROADCAST onto the
+    (doc, word) grid — never a shuffled join of the corpus against a
+    16-row relation — and the top-K itself must be a TakeOrdered, not a
+    global sort."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_vocab_coverage(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]

@@ -29,6 +29,7 @@ QUERIES = [
     "hjorth_params", "activity_gini", "gap_profile",
     "pivot_type_by_hour", "seasonal_profile", "time_weighted_avg",
     "m4_downsample", "iqr_outliers", "cascade_hour", "json_extract",
+    "detector_ensemble",
     "map_props", "first_digit_profile", "event_pairs_within_minute",
     "psi_drift", "ks_drift",
 ]
@@ -161,7 +162,7 @@ DOC_QUERIES = [
     "lang_source_cube", "lang_id", "unigram_logprob", "word_entropy",
     "gopher_repetition", "minhash_signatures", "lsh_candidates",
     "ngram_jaccard", "dedup_clusters", "top_ngrams", "bigram_logprob",
-    "pack_sequences",
+    "pack_sequences", "pack_efficiency", "vocab_coverage",
 ]
 
 
