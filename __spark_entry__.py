@@ -4112,6 +4112,130 @@ def _ann_oracle_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def q_shesd_outliers(spark, sf_dir):
+    """Seasonal-Hybrid ESD top-k outliers per series (round 6): the
+    Twitter AnomalyDetection algorithm (Hochenbaum, Vallis & Kejariwal
+    2017; Rosner 1983 generalized ESD with the median/MAD 'hybrid'
+    robustification) — the namesake detector of this engine's domain.
+    Seasonal adjustment subtracts the per-(series, hour-of-day) median
+    (the engine's pinned season, as in seasonality_strength), then k=3
+    ESD iterations each re-take the median and MAD of the REMAINING
+    residuals, emit the largest deviation with its |r-med|/MAD statistic,
+    and remove it — the re-estimation after each removal is what lets ESD
+    catch masked outliers that a single-pass robust_zscore misses. All
+    medians live on doubled-integer scales (half-cents/quarter-cents) so
+    both engines' interpolation is exact; the statistic is rounded
+    half-up in the integer domain. MAD=0 stops the series; series with
+    <20 rows are skipped. Engine side: percentile window on (user, slot)
+    + the engine/trend.py Arrow kernel (O(k·n) per series, bounded-series
+    contract, NO O(n²)); oracle side: the 3 iterations unrolled as CTE
+    stages with anti-join removal and QUALIFY argmax picks."""
+    from engine.trend import shesd_outliers
+
+    return shesd_outliers(_t(spark, sf_dir, "events")).orderBy(
+        "user_id", "anom_rank"
+    )
+
+
+def q_sax_motifs(spark, sf_dir):
+    """SAX-style repeated-motif discovery per series (round 6): Lin,
+    Keogh et al. 2003 Symbolic Aggregate approXimation, with the
+    z-normalized Gaussian breakpoints replaced by exact rank quartiles
+    (ntile(4) over (value, ts, event_id)) so the discretization is
+    integer-deterministic on both engines instead of float-boundary-
+    sensitive. Each event becomes a symbol 1-4; a sliding window of 4
+    consecutive events (time order) concatenates to a word; words seen
+    >= 2 times in a series are its motifs (repeated local shapes — the
+    poor man's matrix profile, at grouped-aggregate cost instead of
+    O(n²) distance computations). 100 TB shape: both windows share ONE
+    hash exchange on user_id (two sorts, no join), then a partial-agg
+    groupBy (user, word) — fully codegen, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    wv = Window.partitionBy("user_id").orderBy("_c", "ts", "event_id")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id", "ts", "event_id", c.alias("_c")
+    ).withColumn("_sym", F.ntile(4).over(wv).cast("string"))
+    word = F.concat(
+        F.col("_sym"),
+        F.lead("_sym", 1).over(wt),
+        F.lead("_sym", 2).over(wt),
+        F.lead("_sym", 3).over(wt),
+    )
+    words = base.select("user_id", "ts", word.alias("word")).where(
+        F.col("word").isNotNull()
+    )
+    return (
+        words.groupBy("user_id", "word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("ts").alias("first_ts"),
+        )
+        .where(F.col("n_occ") >= 2)
+        .orderBy("user_id", "word")
+    )
+
+
+def _shesd_oracle() -> str:
+    """Unrolled k=3 S-H-ESD in DuckDB: iteration i = stats over the
+    remaining set -> QUALIFY argmax pick (mad>0 gate) -> anti-join
+    removal. Mirrors engine/trend.py shesd_outliers exactly."""
+    from engine.trend import SHESD_K, SHESD_MIN_N
+
+    parts = [
+        f"""
+        WITH base AS (
+          SELECT user_id, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 CAST(hour(ts) AS INT) AS slot
+          FROM events),
+        elig AS (SELECT user_id FROM base GROUP BY user_id
+                 HAVING count(*) >= {SHESD_MIN_N}),
+        sm AS (
+          SELECT user_id, slot,
+                 CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS sm2
+          FROM base GROUP BY user_id, slot),
+        r0 AS (
+          SELECT b.user_id, b.event_id, b.ts, 2 * b.c - s.sm2 AS r2
+          FROM base b
+          JOIN sm s ON s.user_id = b.user_id AND s.slot = b.slot
+          WHERE b.user_id IN (SELECT user_id FROM elig))"""
+    ]
+    for i in range(1, SHESD_K + 1):
+        prev = f"r{i - 1}"
+        parts.append(f"""
+        m{i} AS (
+          SELECT user_id, CAST(2 * quantile_cont(r2, 0.5) AS BIGINT) AS med4
+          FROM {prev} GROUP BY user_id),
+        d{i} AS (
+          SELECT r.user_id, r.event_id, r.ts, r.r2,
+                 abs(2 * r.r2 - m.med4) AS dev4
+          FROM {prev} r JOIN m{i} m USING (user_id)),
+        md{i} AS (
+          SELECT user_id, CAST(2 * quantile_cont(dev4, 0.5) AS BIGINT) AS mad8
+          FROM d{i} GROUP BY user_id),
+        p{i} AS (
+          SELECT d.user_id, d.event_id, d.ts,
+                 ((40000 * d.dev4 + m.mad8) // (2 * m.mad8)) / 10000.0
+                   AS esd_stat
+          FROM d{i} d JOIN md{i} m USING (user_id)
+          WHERE m.mad8 > 0
+          QUALIFY row_number() OVER (PARTITION BY d.user_id
+                    ORDER BY d.dev4 DESC, d.ts, d.event_id) = 1),
+        r{i} AS (
+          SELECT r.* FROM {prev} r
+          WHERE NOT EXISTS (SELECT 1 FROM p{i} p
+                            WHERE p.user_id = r.user_id
+                              AND p.event_id = r.event_id))""")
+    selects = "\n        UNION ALL\n".join(
+        f"""        SELECT user_id, {i} AS anom_rank, event_id, ts, esd_stat
+        FROM p{i}"""
+        for i in range(1, SHESD_K + 1)
+    )
+    return ",".join(parts) + "\n" + selects + "\n        ORDER BY user_id, anom_rank"
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4223,6 +4347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "bigram_logprob": q_bigram_logprob,
         "embedding_near_dups": q_embedding_near_dups,
+        "shesd_outliers": q_shesd_outliers,
+        "sax_motifs": q_sax_motifs,
     }
 
 
@@ -5950,4 +6076,26 @@ def oracle_sql() -> dict[str, str]:
           HAVING sqrt(sum(x * x)) > 0)
         SELECT vec_id, round(c, 4) AS cos_sim FROM sims
         WHERE vec_id != 0 ORDER BY c DESC, vec_id LIMIT 10""",
+        "shesd_outliers": _shesd_oracle(),
+        "sax_motifs": """
+        WITH b AS (
+          SELECT user_id, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events),
+        s AS (
+          SELECT user_id, event_id, ts,
+                 CAST(ntile(4) OVER (PARTITION BY user_id
+                        ORDER BY c, ts, event_id) AS VARCHAR) AS sym
+          FROM b),
+        w AS (
+          SELECT user_id, ts,
+                 sym || lead(sym, 1) OVER tw || lead(sym, 2) OVER tw
+                     || lead(sym, 3) OVER tw AS word
+          FROM s
+          WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, word, CAST(count(*) AS BIGINT) AS n_occ,
+               min(ts) AS first_ts
+        FROM w WHERE word IS NOT NULL
+        GROUP BY user_id, word HAVING count(*) >= 2
+        ORDER BY user_id, word""",
     }

@@ -153,3 +153,122 @@ def mann_kendall(
         .groupBy(key_col)
         .applyInPandas(run, _OUT_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-Hybrid ESD (S-H-ESD) top-k outliers
+# ---------------------------------------------------------------------------
+
+# Fixed iteration count: the engine emits the k strongest candidates with
+# their ESD statistic; thresholding against a t-distribution critical value
+# is a presentation-layer concern (no scipy in the runtime, and a pinned
+# rational approximation of the t-quantile would risk the exactness
+# contract for zero analytical value).
+SHESD_K = 3
+# Series shorter than this are skipped outright: median/MAD of a handful of
+# points is not a defensible outlier test, and the floor keeps the oracle
+# trivially identical (HAVING count(*) >= SHESD_MIN_N).
+SHESD_MIN_N = 20
+
+_SHESD_SCHEMA = (
+    "user_id long, anom_rank int, event_id long, ts timestamp, "
+    "esd_stat double"
+)
+
+
+def shesd_outliers(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    k: int = SHESD_K,
+    min_n: int = SHESD_MIN_N,
+) -> DataFrame:
+    """Seasonal-Hybrid ESD outliers per series (Hochenbaum, Vallis &
+    Kejariwal 2017, "Automatic Anomaly Detection in the Cloud Via
+    Statistical Learning" — the Twitter AnomalyDetection algorithm;
+    Rosner 1983 generalized ESD, with the 'hybrid' median/MAD
+    robustification).
+
+    Pinned semantics (integer-exact on both engines):
+      1. c        = int64 cents; slot = hour-of-day (the engine's season,
+                    as in seasonality_strength / seasonal_profile).
+      2. sm2      = 2 * median(c) per (series, slot) — exact int64 (a
+                    median of ints is an int or int+0.5).
+      3. r2       = 2*c - sm2: the seasonally adjusted residual in
+                    half-cents (int64).
+      4. iterate i = 1..k over the remaining rows of each series:
+           med4 = 2 * median(r2)        (int64, quarter-cent scale)
+           dev4 = |2*r2 - med4|         (int64 per row)
+           mad8 = 2 * median(dev4)      (int64)
+           stop if mad8 == 0 (constant remainder: no defensible outlier)
+           pick argmax dev4, ties by (ts, order) ascending; emit
+           esd_stat = (2*dev4)/mad8 = |r - med|/MAD rounded HALF-UP in
+           the integer domain: ((4e4*dev4 + mad8) // (2*mad8)) / 1e4;
+           remove the picked row and continue.
+      Series with fewer than min_n rows emit nothing.
+
+    Scale shape (100 TB): one hash exchange on (series, slot) for the
+    seasonal medians (percentile window, no join), one on the series key
+    for the Arrow-batched kernel; per-group state is one int64 vector of
+    the series' own length with k<=3 passes over it — the same bounded-
+    series contract as mann_kendall, minus the O(n^2) pair set (this
+    kernel is O(k * n log n)).
+    """
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "anom_rank", "event_id", "ts", "esd_stat"]
+        n = len(pdf)
+        if n < min_n:
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values(
+            [ts_col, order_col], kind="mergesort", ignore_index=True
+        )
+        r2 = pdf["_r2"].to_numpy(np.int64)
+        alive = np.ones(n, dtype=bool)
+        out = []
+        for rank in range(1, k + 1):
+            vals = r2[alive]
+            med4 = int(2 * np.median(vals))  # exact: |vals| << 2^52
+            dev4 = np.abs(2 * vals - med4)
+            mad8 = int(2 * np.median(dev4))
+            if mad8 == 0:
+                break
+            # first max in (ts, order) ascending order == the SQL
+            # tiebreak ORDER BY dev DESC, ts, order LIMIT 1
+            j_alive = int(np.argmax(dev4))
+            j = int(np.flatnonzero(alive)[j_alive])
+            stat = ((40000 * int(dev4[j_alive]) + mad8) // (2 * mad8)) / 1e4
+            out.append(
+                (
+                    int(pdf[key_col].iloc[0]),
+                    rank,
+                    int(pdf[order_col].iloc[j]),
+                    pdf[ts_col].iloc[j],
+                    stat,
+                )
+            )
+            alive[j] = False
+        return pd.DataFrame(out, columns=cols)
+
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy(key_col, "_slot")
+    base = df.select(
+        F.col(key_col),
+        F.col(order_col),
+        F.col(ts_col),
+        F.hour(ts_col).alias("_slot"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_c"),
+    ).withColumn(
+        "_sm2",
+        (F.lit(2) * F.expr("percentile(_c, 0.5)").over(ws)).cast("long"),
+    )
+    resid = base.select(
+        key_col,
+        order_col,
+        ts_col,
+        (2 * F.col("_c") - F.col("_sm2")).alias("_r2"),
+    )
+    return resid.groupBy(key_col).applyInPandas(run, _SHESD_SCHEMA)

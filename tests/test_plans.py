@@ -578,3 +578,30 @@ def test_vocab_coverage_broadcast_vocab(spark):
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_shesd_two_working_exchanges(spark):
+    """S-H-ESD must stage exactly: one (user, slot) hash exchange for the
+    seasonal-median window, one user exchange for the ESD kernel, plus
+    the presentation orderBy's range exchange — and the scan must prune
+    to the four used columns (no event_type/props)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_shesd_outliers(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 3, plan[:2500]
+    assert "FlatMapGroupsInPandas" in plan
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_sax_motifs_single_user_exchange(spark):
+    """Both SAX windows (value-rank ntile, time-order leads) AND the
+    (user, word) groupBy must share ONE user_id hash exchange — the
+    groupBy's clustered distribution on (user, word) is satisfied by
+    hashpartitioning(user_id), so only the presentation sort adds an
+    exchange. No Python anywhere."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_sax_motifs(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 2, plan[:2500]
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan

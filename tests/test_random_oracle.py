@@ -29,7 +29,7 @@ QUERIES = [
     "hjorth_params", "activity_gini", "gap_profile",
     "pivot_type_by_hour", "seasonal_profile", "time_weighted_avg",
     "m4_downsample", "iqr_outliers", "cascade_hour", "json_extract",
-    "detector_ensemble",
+    "detector_ensemble", "shesd_outliers", "sax_motifs",
     "map_props", "first_digit_profile", "event_pairs_within_minute",
     "psi_drift", "ks_drift",
 ]
