@@ -4236,6 +4236,109 @@ def _shesd_oracle() -> str:
     return ",".join(parts) + "\n" + selects + "\n        ORDER BY user_id, anom_rank"
 
 
+CCF_MAX_LAG = 3  # minutes; the ±lag sweep is 2*CCF_MAX_LAG+1 = 7 columns
+
+
+def q_lead_lag_ccf(spark, sf_dir):
+    """Lead-lag cross-correlation to the fleet (round 6): per series,
+    the Pearson correlation between the user's minutely event count and
+    the GLOBAL minutely count shifted by lag L ∈ [-3, +3] minutes — the
+    classic CCF question "does this tenant LEAD the fleet (incident
+    source) or LAG it (incident victim)?" that corr_to_global (lag 0
+    only) cannot answer. Global minutes absent from the grid are zero
+    counts (the global series is total events, defined everywhere).
+    All-integer sufficient statistics per (user, lag), exactly the
+    corr_to_global closed form. 100 TB shape: ONE corpus shuffle to the
+    (user, minute) grid; the global series is a minutes-sized re-agg of
+    that grid broadcast back onto a 7× lag-explode OF THE GRID (never
+    the corpus); the per-(user, lag) re-agg shuffles only 7× the grid
+    aggregate. No UDF anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.expr("unix_timestamp(ts) DIV 60")
+    um = ev.groupBy("user_id", m.alias("minute")).agg(
+        F.count("*").cast("long").alias("_x")
+    )
+    gm = um.groupBy("minute").agg(F.sum("_x").alias("_y"))
+    lags = F.array([F.lit(v) for v in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1)])
+    uml = um.select(
+        "user_id", "minute", "_x", F.explode(lags).alias("lag")
+    ).withColumn("_gmin", F.col("minute") + F.col("lag"))
+    j = uml.join(
+        F.broadcast(gm).withColumnRenamed("minute", "_gmin"), "_gmin", "left"
+    ).withColumn("_y0", F.coalesce(F.col("_y"), F.lit(0).cast("long")))
+    s = j.groupBy("user_id", "lag").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y0").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y0")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y0") * F.col("_y0")).alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxy, sxx, syy = F.col("_sxy"), F.col("_sxx"), F.col("_syy")
+    fx = (n * sxx - sx * sx).cast("double")
+    fy = (n * syy - sy * sy).cast("double")
+    num = (n * sxy - sx * sy).cast("double")
+    return s.select(
+        "user_id",
+        "lag",
+        n.alias("n_minutes"),
+        F.when((fx > 0) & (fy > 0), F.round(num / F.sqrt(fx * fy), 4))
+        .alias("ccf"),
+    ).orderBy("user_id", "lag")
+
+
+def q_median_decompose(spark, sf_dir):
+    """Median-based seasonal-trend decomposition (round 6): the STL idea
+    (Cleveland et al. 1990) with both smoothers replaced by exact
+    medians — trend = centered 15-event rolling median (full windows
+    only; the robust smoother Twitter's S-H-ESD paper substitutes for
+    loess at scale), seasonal = per-(series, hour-of-day) median of the
+    detrended values, remainder = value − trend − seasonal. Every
+    component lives on a power-of-two integer scale (trend half-cents,
+    seasonal/remainder quarter-cents), so the emitted doubles are exact
+    dyadic rationals and hash-match without ANY rounding. 100 TB shape:
+    one user_id exchange for the time-order window, one (user, hod)
+    exchange for the seasonal percentile window — both corpus-sized but
+    unavoidable (the decomposition is per-event), fully codegen, no
+    UDF."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 7)
+    )
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.hour("ts").alias("_hod"),
+        c.alias("_c"),
+    ).withColumn(
+        "_t2",
+        F.when(
+            F.count("_c").over(wt) == 15,
+            (F.lit(2) * F.expr("percentile(_c, 0.5)").over(wt)).cast("long"),
+        ),
+    )
+    det = base.withColumn("_d2", 2 * F.col("_c") - F.col("_t2"))
+    ws = Window.partitionBy("user_id", "_hod")
+    seas = det.withColumn(
+        "_s4",
+        (F.lit(2) * F.expr("percentile(_d2, 0.5)").over(ws)).cast("long"),
+    )
+    return seas.select(
+        "event_id",
+        "user_id",
+        (F.col("_t2") / 2.0).alias("trend"),
+        (F.col("_s4") / 4.0).alias("seasonal"),
+        (
+            (4 * F.col("_c") - 2 * F.col("_t2") - F.col("_s4")) / 4.0
+        ).alias("remainder"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4349,6 +4452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "shesd_outliers": q_shesd_outliers,
         "sax_motifs": q_sax_motifs,
+        "lead_lag_ccf": q_lead_lag_ccf,
+        "median_decompose": q_median_decompose,
     }
 
 
@@ -6098,4 +6203,59 @@ def oracle_sql() -> dict[str, str]:
         FROM w WHERE word IS NOT NULL
         GROUP BY user_id, word HAVING count(*) >= 2
         ORDER BY user_id, word""",
+        "lead_lag_ccf": f"""
+        WITH um AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), gm AS (
+          SELECT minute, CAST(sum(x) AS BIGINT) AS y FROM um GROUP BY 1
+        ), lg AS (
+          SELECT unnest(range(-{CCF_MAX_LAG}, {CCF_MAX_LAG + 1})) AS lag
+        ), s AS (
+          SELECT um.user_id, lg.lag, CAST(count(*) AS BIGINT) AS n,
+                 sum(um.x) AS sx, sum(coalesce(gm.y, 0)) AS sy,
+                 sum(um.x * coalesce(gm.y, 0)) AS sxy,
+                 sum(um.x * um.x) AS sxx,
+                 sum(coalesce(gm.y, 0) * coalesce(gm.y, 0)) AS syy
+          FROM um CROSS JOIN lg
+          LEFT JOIN gm ON gm.minute = um.minute + lg.lag
+          GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(lag AS INT) AS lag, n AS n_minutes,
+               CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                     AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                      * CAST(n * syy - sy * sy AS DOUBLE)),
+                               4)
+               END AS ccf
+        FROM s ORDER BY user_id, lag""",
+        "median_decompose": """
+        WITH b AS (
+          SELECT event_id, user_id, ts,
+                 CAST(hour(ts) AS INT) AS hod,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events),
+        t AS (
+          SELECT event_id, user_id, hod, c,
+                 CASE WHEN count(c) OVER w = 15
+                      THEN CAST(2 * quantile_cont(c, 0.5) OVER w AS BIGINT)
+                 END AS t2
+          FROM b
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)),
+        d AS (
+          SELECT event_id, user_id, hod, c, t2, 2 * c - t2 AS d2 FROM t),
+        s AS (
+          SELECT event_id, user_id, c, t2,
+                 CAST(2 * quantile_cont(d2, 0.5)
+                        OVER (PARTITION BY user_id, hod) AS BIGINT) AS s4
+          FROM d)
+        SELECT event_id, user_id,
+               t2 / 2.0 AS trend,
+               s4 / 4.0 AS seasonal,
+               (4 * c - 2 * t2 - s4) / 4.0 AS remainder
+        FROM s ORDER BY event_id""",
     }

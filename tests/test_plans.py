@@ -605,3 +605,27 @@ def test_sax_motifs_single_user_exchange(spark):
     plan = _plan(E.q_sax_motifs(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange") == 2, plan[:2500]
     assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_lead_lag_ccf_broadcast_global(spark):
+    """The lag-shifted global series must come back via BROADCAST onto
+    the exploded (user, minute, lag) grid — a shuffled join of the grid
+    against a minutes-sized relation would put the corpus-scale side
+    through an avoidable exchange. No Python."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_lead_lag_ccf(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_median_decompose_single_working_exchange(spark):
+    """Both decomposition windows — the per-user 15-event trend median
+    and the (user, hod) seasonal median — must share ONE user_id hash
+    exchange (hashpartitioning(user) satisfies the (user, hod) clustered
+    distribution), leaving only the presentation sort. No Python."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_median_decompose(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 2, plan[:2500]
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
