@@ -440,6 +440,21 @@ def scan_tokens_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def scan_tokens_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S1 over ORC: like parquet, ORC carries a typed schema in the file
+    (footer), so the fail-fast contract is the scan_tokens one — read the
+    file's OWN schema and validate it (imposing TOKENS_SCHEMA would mask
+    drift); no downcast pass needed, array<int> is ORC-native."""
+    df = spark.read.orc(path)
+    assert_tokens_schema(df)
+    return df
+
+
+def write_tokens_orc(df: DataFrame, path: str) -> None:
+    """Inverse of scan_tokens_orc (type-preserving, no string encoding)."""
+    df.write.mode("errorifexists").orc(path)
+
+
 def write_tokens_jsonl(df: DataFrame, path: str) -> None:
     """Inverse of scan_tokens_jsonl (nulls inside arrays survive JSON)."""
     df.write.mode("errorifexists").json(path)

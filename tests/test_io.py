@@ -60,3 +60,33 @@ def test_jsonl_ingest_rejects_int32_overflow_and_malformed(spark, tmp_path):
                 '"source": "cc"}\n')
     with pytest.raises(Exception):
         scan_tokens_jsonl(spark, p2).collect()
+
+
+def test_orc_ingest_roundtrip_and_drift(spark, tmp_path):
+    """S1 over ORC: synth -> orc -> scan back row-identical through the
+    pinned-schema assert; a drifted file (tokens array<long>) must fail
+    fast at scan, not coerce."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from engine.io import scan_tokens_orc, synth_tokens, write_tokens_orc
+
+    df = synth_tokens(spark, 40, seed=5)
+    want = sorted(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in df.collect()
+    )
+    p = str(tmp_path / "t.orc")
+    write_tokens_orc(df, p)
+    back = scan_tokens_orc(spark, p)
+    got = sorted(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in back.collect()
+    )
+    assert got == want
+
+    drifted = df.withColumn("tokens", F.col("tokens").cast("array<long>"))
+    p2 = str(tmp_path / "drift.orc")
+    drifted.write.orc(p2)
+    with pytest.raises(ValueError, match="schema"):
+        scan_tokens_orc(spark, p2)
