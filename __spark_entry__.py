@@ -4339,6 +4339,94 @@ def q_median_decompose(spark, sf_dir):
     ).orderBy("event_id")
 
 
+RRF_K = 60  # the standard fusion constant (Cormack/Clarke/Buettcher 2009)
+RRF_POOL = 100  # candidates contributed per retriever
+RRF_TOPN = 10
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (round 6): the
+    modern two-tower search layout — a lexical retriever and a vector
+    retriever each contribute their top-RRF_POOL candidates for the
+    query (doc 0 / vec 0), fused by RRF score = Σ 1/(k + rank), k=60
+    (Cormack, Clarke & Buettcher SIGIR'09 — the fusion that needs no
+    score calibration because it only consumes RANKS). Both rankings
+    are INTEGER-exact so the fusion is reproducible across engines:
+    lexical score = distinct-word overlap with the query doc (int),
+    vector score = inner product of int64 micro-unit-quantized
+    embeddings (the label_centroids convention; IP metric, so no
+    norms and no floats anywhere in the ranking). Docs in one list
+    only get that term (standard RRF over the union).
+
+    100 TB shape: each retriever reduces corpus-side via TakeOrdered
+    (top-100 by (score, id) — never a global sort); the ONLY
+    unpartitioned windows run on the two 100-row pools (the
+    concurrency_sweep bounded-driver-scale discipline), and the fusion
+    join is 100x100-bounded. RRF doubles are computed from integer
+    ranks by one fixed two-term expression — bit-identical on both
+    engines — so the final (rrf, doc_id) order and LIMIT are stable."""
+    d = _t(spark, sf_dir, "documents")
+    wd = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    qw = wd.where("doc_id = 0").select("word")
+    tscore = (
+        wd.where("doc_id != 0")
+        .join(F.broadcast(qw), "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("_ov"))
+    )
+    tpool = tscore.orderBy(F.desc("_ov"), "doc_id").limit(RRF_POOL)
+    wt = Window.orderBy(F.desc("_ov"), "doc_id")
+    trank = tpool.select(
+        "doc_id", F.row_number().over(wt).cast("int").alias("_rt")
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("_xq"),
+    )
+    q = pts.where("vec_id = 0").select(
+        F.col("i").alias("qi"), F.col("_xq").alias("_qq")
+    )
+    vscore = (
+        pts.where("vec_id != 0")
+        .join(F.broadcast(q), pts.i == F.col("qi"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("_xq") * F.col("_qq")).alias("_ip"))
+    )
+    vpool = vscore.orderBy(F.desc("_ip"), "vec_id").limit(RRF_POOL)
+    wv = Window.orderBy(F.desc("_ip"), "vec_id")
+    vrank = vpool.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).cast("int").alias("_rv"),
+    )
+
+    fused = trank.join(vrank, "doc_id", "outer")
+    raw = F.when(
+        F.col("_rt").isNotNull(), F.lit(1.0) / (F.lit(RRF_K) + F.col("_rt"))
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("_rv").isNotNull(), F.lit(1.0) / (F.lit(RRF_K) + F.col("_rv"))
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.withColumn("_raw", raw)
+        .orderBy(F.desc("_raw"), "doc_id")
+        .limit(RRF_TOPN)
+        .select(
+            "doc_id",
+            F.col("_rt").alias("text_rank"),
+            F.col("_rv").alias("vec_rank"),
+            (F.floor(F.col("_raw") * 10000 + F.lit(0.5)) / 10000).alias(
+                "rrf"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4454,6 +4542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_motifs": q_sax_motifs,
         "lead_lag_ccf": q_lead_lag_ccf,
         "median_decompose": q_median_decompose,
+        "hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -6258,4 +6347,46 @@ def oracle_sql() -> dict[str, str]:
                s4 / 4.0 AS seasonal,
                (4 * c - 2 * t2 - s4) / 4.0 AS remainder
         FROM s ORDER BY event_id""",
+        "hybrid_rrf": f"""
+        WITH wd AS (
+          SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)),
+        qw AS (SELECT word FROM wd WHERE doc_id = 0),
+        ts AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS ov
+          FROM wd JOIN qw USING (word) WHERE doc_id != 0 GROUP BY doc_id),
+        tp AS (SELECT doc_id, ov FROM ts ORDER BY ov DESC, doc_id
+               LIMIT {RRF_POOL}),
+        tr AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY ov DESC, doc_id) AS INT)
+                   AS rt
+          FROM tp),
+        pts AS (
+          SELECT vec_id,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                      AS BIGINT) AS xq,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        q AS (SELECT i AS qi, xq AS qq FROM pts WHERE vec_id = 0),
+        vs AS (
+          SELECT vec_id, sum(xq * qq) AS ip
+          FROM pts JOIN q ON pts.i = q.qi
+          WHERE vec_id != 0 GROUP BY vec_id),
+        vp AS (SELECT vec_id, ip FROM vs ORDER BY ip DESC, vec_id
+               LIMIT {RRF_POOL}),
+        vr AS (
+          SELECT vec_id AS doc_id,
+                 CAST(row_number() OVER (ORDER BY ip DESC, vec_id) AS INT)
+                   AS rv
+          FROM vp),
+        f AS (
+          SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, rt, rv,
+                 coalesce(1e0 / ({RRF_K} + rt), 0e0)
+                   + coalesce(1e0 / ({RRF_K} + rv), 0e0) AS raw
+          FROM tr FULL JOIN vr ON tr.doc_id = vr.doc_id)
+        SELECT doc_id, rt AS text_rank, rv AS vec_rank,
+               floor(raw * 10000 + 0.5) / 10000 AS rrf
+        FROM f ORDER BY raw DESC, doc_id LIMIT {RRF_TOPN}""",
     }

@@ -629,3 +629,15 @@ def test_median_decompose_single_working_exchange(spark):
     plan = _plan(E.q_median_decompose(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange") == 2, plan[:2500]
     assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_hybrid_rrf_pools_via_takeordered(spark):
+    """Each retriever's top-100 pool and the final top-10 must reduce via
+    TakeOrderedAndProject (distributed partial top-k) — never a global
+    sort of the corpus-side relation; the only unpartitioned windows rank
+    the two 100-row pools. No Python."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_hybrid_rrf(spark, "/root/testdata/sf0.001"))
+    assert plan.count("TakeOrderedAndProject") >= 3, plan[:2500]
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan

@@ -479,3 +479,47 @@ def test_relational_twins_agree_on_adversarial_corpus(spark, tmp_path, seed):
             diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
             failures.append((name, len(got), len(want), diff))
     assert not failures, failures
+
+
+@pytest.mark.parametrize(
+    "dseed,eseed",
+    [(int(a), int(b)) for a, b in zip(
+        _seeds("SPARK_GRAFT_ADV_SEEDS_DOC", "303,1717"),
+        _seeds("SPARK_GRAFT_ADV_SEEDS_EMB", "404,2026"),
+    )],
+)
+def test_hybrid_rrf_twin_on_adversarial_corpora(spark, tmp_path, dseed, eseed):
+    """hybrid_rrf spans BOTH tables, so neither single-table harness can
+    exercise it — this one registers an adversarial document corpus and
+    an adversarial embedding corpus together. The fixtures create exactly
+    its failure modes: duplicate/antipodal/zero vectors (inner-product
+    ties and extremes), lattice components, and doc/vec id sets that only
+    partially overlap (one-sided RRF terms)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf = str(tmp_path / f"rrf{dseed}_{eseed}")
+    os.makedirs(sf)
+    _build_documents(dseed).to_parquet(
+        os.path.join(sf, "documents.parquet"), index=False
+    )
+    _build_embeddings(eseed).to_parquet(
+        os.path.join(sf, "embeddings.parquet"), index=False
+    )
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf, t)}.parquet'"
+        )
+
+    sdf = entrymod.queries()["hybrid_rrf"](spark, sf)
+    cols = sorted(sdf.columns)
+    got = _norm_rows([tuple(r) for r in sdf.select(*cols).collect()])
+    cur = con.execute(entrymod.oracle_sql()["hybrid_rrf"])
+    ocols = [d[0] for d in cur.description]
+    order = [ocols.index(c) for c in sorted(ocols)]
+    assert sorted(ocols) == cols, (cols, sorted(ocols))
+    want = _norm_rows([tuple(row[i] for i in order) for row in cur.fetchall()])
+    assert got == want, (got[:3], want[:3])
