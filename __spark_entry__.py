@@ -4427,6 +4427,105 @@ def q_hybrid_rrf(spark, sf_dir):
     )
 
 
+FUNNEL = ("signup", "click", "purchase")  # ordered steps
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Ordered funnel analysis (round 6): the classic event-analytics
+    query — for each user, the FIRST signup, the first click strictly
+    AFTER it, and the first purchase strictly after that; steps = how
+    deep the user got. Three LAYERED whole-partition conditional min
+    windows on ONE user_id exchange (the robust_zscore med→mad recipe:
+    each layer's condition consumes the previous layer's aggregate —
+    no self-joins, no UDF). Timestamps and the step count are exact, so
+    the oracle is hash-exact with no float policy. NULL chains
+    correctly on both engines: no signup ⇒ ts > NULL is never true ⇒
+    later steps stay NULL."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    s1 = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == FUNNEL[0], F.col("ts")))
+        .over(wu)
+        .alias("_t1"),
+    )
+    s2 = s1.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL[1])
+                & (F.col("ts") > F.col("_t1")),
+                F.col("ts"),
+            )
+        )
+        .over(wu)
+        .alias("_t2"),
+    )
+    s3 = s2.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == FUNNEL[2])
+                & (F.col("ts") > F.col("_t2")),
+                F.col("ts"),
+            )
+        )
+        .over(wu)
+        .alias("_t3"),
+    )
+    return (
+        s3.groupBy("user_id")
+        .agg(
+            F.min("_t1").alias("t_signup"),
+            F.min("_t2").alias("t_click"),
+            F.min("_t3").alias("t_purchase"),
+        )
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            (
+                F.col("t_signup").isNotNull().cast("int")
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("steps"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention (round 6): the product-analytics triangle — users
+    grouped by first-seen UTC day (their cohort), counted on each later
+    day they return, keyed by day offset. All-integer (distinct user-days
+    → counts), so the oracle is hash-exact. 100 TB shape: the corpus
+    partial-aggregates MAP-SIDE into the distinct (user, day) grid
+    before its exchange (raw events never shuffle); the cohort min is a
+    whole-partition window on a second, GRID-sized exchange to user
+    partitioning — deliberately not a broadcast-join of per-user minima
+    (users are unbounded at scale; the grid is the largest thing that
+    may move twice), and not a repartition-first distinct (that would
+    exchange raw events instead of grid partials); the final (cohort,
+    offset) re-agg again partial-aggregates before moving."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("unix_timestamp(ts) DIV 86400").alias("_day")
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    g = ud.withColumn("_cohort", F.min("_day").over(wu))
+    return (
+        g.groupBy(
+            F.col("_cohort").alias("cohort_day"),
+            (F.col("_day") - F.col("_cohort")).alias("day_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -4543,6 +4642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lead_lag_ccf": q_lead_lag_ccf,
         "median_decompose": q_median_decompose,
         "hybrid_rrf": q_hybrid_rrf,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -6389,4 +6490,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, rt AS text_rank, rv AS vec_rank,
                floor(raw * 10000 + 0.5) / 10000 AS rrf
         FROM f ORDER BY raw DESC, doc_id LIMIT {RRF_TOPN}""",
+        "funnel_steps": f"""
+        WITH s1 AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = '{FUNNEL[0]}' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+          FROM events),
+        s2 AS (
+          SELECT *, min(CASE WHEN event_type = '{FUNNEL[1]}' AND ts > t1
+                             THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+          FROM s1),
+        s3 AS (
+          SELECT *, min(CASE WHEN event_type = '{FUNNEL[2]}' AND ts > t2
+                             THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+          FROM s2),
+        u AS (
+          SELECT user_id, min(t1) AS t_signup, min(t2) AS t_click,
+                 min(t3) AS t_purchase
+          FROM s3 GROUP BY user_id)
+        SELECT user_id, t_signup, t_click, t_purchase,
+               CAST((t_signup IS NOT NULL)::INT
+                    + (t_click IS NOT NULL)::INT
+                    + (t_purchase IS NOT NULL)::INT AS INT) AS steps
+        FROM u ORDER BY user_id""",
+        "cohort_retention": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+          FROM events),
+        g AS (
+          SELECT user_id, day,
+                 min(day) OVER (PARTITION BY user_id) AS cohort
+          FROM ud)
+        SELECT cohort AS cohort_day, day - cohort AS day_offset,
+               CAST(count(*) AS BIGINT) AS users
+        FROM g GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
     }

@@ -641,3 +641,23 @@ def test_hybrid_rrf_pools_via_takeordered(spark):
     plan = _plan(E.q_hybrid_rrf(spark, "/root/testdata/sf0.001"))
     assert plan.count("TakeOrderedAndProject") >= 3, plan[:2500]
     assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_funnel_and_cohort_plans(spark):
+    """funnel_steps: three layered conditional-min windows + the final
+    groupBy all on ONE user exchange (plus the presentation sort).
+    cohort_retention: exactly four exchanges — the map-side-combined
+    distinct grid, the grid-sized user re-exchange for the cohort
+    window, the partial-agg'd (cohort, offset) re-agg, and the
+    presentation sort; raw events must never shuffle (partial agg
+    below the first exchange). No Python in either."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_funnel_steps(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 2, plan[:2500]
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+    plan2 = _plan(E.q_cohort_retention(spark, "/root/testdata/sf0.001"))
+    assert plan2.count("Exchange") == 4, plan2[:2500]
+    assert "partial_merge" in plan2 or "partial" in plan2.lower(), plan2[:1500]
+    assert "EvalPython" not in plan2

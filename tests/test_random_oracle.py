@@ -30,7 +30,7 @@ QUERIES = [
     "pivot_type_by_hour", "seasonal_profile", "time_weighted_avg",
     "m4_downsample", "iqr_outliers", "cascade_hour", "json_extract",
     "detector_ensemble", "shesd_outliers", "sax_motifs",
-    "lead_lag_ccf", "median_decompose",
+    "lead_lag_ccf", "median_decompose", "funnel_steps", "cohort_retention",
     "map_props", "first_digit_profile", "event_pairs_within_minute",
     "psi_drift", "ks_drift",
 ]
