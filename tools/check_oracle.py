@@ -74,6 +74,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    results: dict[str, str] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,9 +82,11 @@ def main() -> int:
         if sql is None:
             try:
                 n = fn(spark, sf_dir).count()
+                results[name] = "rows_only"
                 print(f"{name:28s} ROWS-ONLY rows={n}")
             except Exception as e:
                 failures += 1
+                results[name] = "spark_error"
                 print(f"{name:28s} SPARK-ERROR {e}")
             continue
         try:
@@ -94,6 +97,7 @@ def main() -> int:
             ]
         except Exception as e:
             failures += 1
+            results[name] = "spark_error"
             print(f"{name:28s} SPARK-ERROR {type(e).__name__}: {str(e)[:160]}")
             continue
         try:
@@ -111,6 +115,7 @@ def main() -> int:
             ]
             if bad_types:
                 failures += 1
+                results[name] = "type_lint"
                 print(f"{name:28s} ORACLE-TYPE-LINT {bad_types} (cast sums to BIGINT/DOUBLE)")
                 continue
             res = con.execute(sql)
@@ -121,24 +126,49 @@ def main() -> int:
             drows = [tuple(row[i] for i in dorder) for row in drows_raw]
         except Exception as e:
             failures += 1
+            results[name] = "duckdb_error"
             print(f"{name:28s} DUCKDB-ERROR {type(e).__name__}: {str(e)[:160]}")
             continue
         if scols != dcols:
             failures += 1
+            results[name] = "cols_mismatch"
             print(f"{name:28s} COLS-MISMATCH spark={scols} duckdb={dcols}")
             continue
         if len(srows) != len(drows):
             failures += 1
+            results[name] = "rowcount_mismatch"
             print(f"{name:28s} ROWCOUNT spark={len(srows)} duckdb={len(drows)}")
             continue
         a, b = _norm_rows(srows), _norm_rows(drows)
         if a != b:
             failures += 1
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            results[name] = "values_mismatch"
             print(f"{name:28s} VALUES-MISMATCH {len([1 for x, y in zip(a, b) if x != y])} rows, e.g. {diff}")
             continue
+        results[name] = "ok"
         print(f"{name:28s} OK rows={len(srows)} cols={scols}")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    out = os.environ.get("SPARK_GRAFT_ORACLE_JSON")
+    if out:
+        # durable machine-readable replay record (committed under BENCH/
+        # per round so the judge can read the gate result from the repo,
+        # not a /tmp log)
+        import json
+
+        Path(out).write_text(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "failures": failures,
+                    "results": results,
+                },
+                indent=1,
+                sort_keys=True,
+            )
+            + "\n"
+        )
     return 1 if failures else 0
 
 
