@@ -4527,6 +4527,261 @@ def q_cohort_retention(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# privacy / ML-split / profiling / retrieval surface (round 6, session 2)
+# ---------------------------------------------------------------------------
+
+# Shared Java-regex/RE2 subset (char classes, bounded repeats, \b, \d —
+# no backrefs, no lookaround), so Spark and DuckDB match identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+KFOLD_K = 5
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _pii_augmented(d: DataFrame):
+    """Deterministic PII grafting: the driver corpus is synthetic word
+    salad with zero PII, so the detector/redactor operators append a
+    known per-doc payload (1-2 emails, an E.164-ish phone, an IPv4)
+    derived from doc_id alone — identical string algebra on both
+    engines, so detection counts and the redaction round-trip are exact
+    AND every pattern has nonzero support (a detector validated only on
+    zero-match input proves nothing). Pure map-side expression."""
+    i = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        i,
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" cc admin"), i, F.lit("@corp.example.org")),
+        ).otherwise(F.lit("")),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100 + 1).cast("string"),
+    )
+
+
+_PII_AUG_SQL = """
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' cc admin' || CAST(doc_id AS VARCHAR)
+                            || '@corp.example.org'
+                       ELSE '' END
+               || ' call +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.0.' || CAST(doc_id % 100 + 1 AS VARCHAR)
+"""
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII detection profile (round 6): per-document counts of email /
+    phone / IPv4 pattern hits — the scrub-before-training scan every
+    production corpus pipeline runs (and the audit artifact privacy
+    review asks for). Patterns live in the shared Java/RE2 regex subset
+    so both engines count identically; support is guaranteed nonzero by
+    the deterministic graft (see _pii_augmented). 100 TB shape: pure
+    map-side regexp_extract_all counting — zero exchanges beyond the
+    scan, prunes to (doc_id, text), perfectly parallel."""
+    d = _t(spark, sf_dir, "documents")
+    aug = _pii_augmented(d)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phone"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ipv4"),
+    ).orderBy("doc_id")
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (round 6): replace every email/IPv4/phone hit with
+    a typed placeholder and emit the redacted text's md5 + length — the
+    write path of the scrub stage (the md5 keeps the oracle value hash
+    small while still pinning every byte of the rewritten text).
+    Replacement ORDER is part of the contract (email before IPv4 before
+    phone) and is identical in the DuckDB twin; Spark regexp_replace is
+    replace-all, the oracle passes 'g' for the same semantics. 100 TB
+    shape: map-side regexp_replace chain, zero exchanges."""
+    d = _t(spark, sf_dir, "documents")
+    aug = _pii_augmented(d)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "[EMAIL]"),
+            PII_IPV4,
+            "[IP]",
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.md5(red).alias("red_md5"),
+        F.length(red).cast("long").alias("n_chars_red"),
+    ).orderBy("doc_id")
+
+
+def q_kfold_assign(spark, sf_dir):
+    """Deterministic k-fold split assignment (round 6): fold = 16-bit
+    md5 prefix of 'fold|'||doc_id mod K — the replayable train/eval
+    split idiom (same discipline as stratified_sample: membership is a
+    pure function of the id, so resumes and incremental appends land in
+    the SAME fold; the 'fold|' salt makes the fold hash independent of
+    the sampling hash). Output is the per-(fold, source) doc and token
+    census a pipeline checks for split balance. 100 TB shape: stateless
+    map-side fold computation; the census partial-aggregates into the
+    one K*sources-sized exchange."""
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("fold|"), F.col("doc_id").cast("string")))
+    hv = sum(
+        (_nibble(hx, i + 1) * (16 ** (3 - i)) for i in range(4)),
+        F.lit(0),
+    )
+    return (
+        d.select(
+            (hv % KFOLD_K).cast("long").alias("fold"),
+            "source",
+            F.size(F.split(F.col("text"), " ")).alias("_nt"),
+        )
+        .groupBy("fold", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("tok_sum"),
+        )
+        .orderBy("fold", "source")
+    )
+
+
+def q_profile_columns(spark, sf_dir):
+    """Data-quality column profile (round 6): per-column null count and
+    exact distinct count over events — the validation pass a pipeline
+    runs before trusting a new drop (null spikes and cardinality
+    collapses are the two canonical upstream-breakage signals). One
+    aggregation pass; the multi-column exact count(DISTINCT) expands
+    rows x6 map-side (Spark EXPAND, exactly how the SQL spelling
+    executes anywhere) but still partial-aggregates before the single
+    exchange — the exact-profile cost; the sketched alternative is
+    approx_distinct. Long-format output via stack(), no second scan."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "event_type", "props", "ts", "user_id", "value"]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_n_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"_d_{c}"))
+    one = ev.agg(*aggs)
+    stack = ", ".join(f"'{c}', _n_{c}, _d_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col_name, n_null, n_distinct)"
+    ).orderBy("col_name")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (round 6): Okapi BM25 (Robertson et al.,
+    TREC-3) top-20 docs for the query = doc 0's distinct words, with the
+    Lucene-style always-positive idf ln(1 + (N-df+0.5)/(df+0.5)) (the
+    raw Robertson idf goes negative when df > N/2, which the word-salad
+    corpus's tiny vocabulary guarantees). Complements tfidf_top_terms
+    (per-doc salient terms) and hybrid_rrf (rank fusion): this is the
+    scored lexical retriever itself. Floats follow the unigram_logprob
+    precedent: tf/df/dl/N are exact ints, one fixed-shape double
+    expression per (doc, term), 4-dp round at the end; ranking breaks
+    ties on doc_id over the ROUNDED score so top-k is stable across
+    engines. 100 TB shape: query terms and df are term-count-bounded
+    broadcasts; corpus stats are one-row broadcasts; the only corpus
+    exchanges are the (doc,term) tf grid and the per-doc regroup, and
+    the top-k is TakeOrdered, never a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("double").alias("_sumdl"),
+        F.count("*").cast("double").alias("_nd"),
+    )
+    qterms = toks.where("doc_id = 0").select("term").distinct()
+    tf = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_nd") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (
+                        (1 - BM25_B)
+                        + BM25_B
+                        * F.col("dl")
+                        / (F.col("_sumdl") / F.col("_nd"))
+                    )
+                )
+            ).alias("_c"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("_c"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def q_pagerank_sim(spark, sf_dir):
+    """PageRank centrality on the verified near-dup graph (round 6):
+    rank each doc in the ngram-Jaccard edge set by integer-micro-unit
+    PageRank (engine/graph.py::pagerank_mu — int64 mass transfers, so
+    the iterative fixpoint is bit-identical to the sequential twin
+    pinned in tests/test_graph.py). On a dedup graph, high rank =
+    template/boilerplate hub — the doc to inspect before choosing
+    cluster representatives. No DuckDB oracle BY DESIGN (12-iteration
+    loop; SQL recursion can't group per step) — the driver records the
+    weaker rows-only check, the pytest pin carries exactness."""
+    from engine.graph import pagerank_mu
+
+    pairs = _jaccard_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= F.lit(DEDUP_MIN_JACCARD)
+    )
+    pr = pagerank_mu(pairs)
+    return pr.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("rank_mu").cast("long").alias("rank_mu"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -4644,6 +4899,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
+        "kfold_assign": q_kfold_assign,
+        "profile_columns": q_profile_columns,
+        "bm25_topk": q_bm25_topk,
+        "pagerank_sim": q_pagerank_sim,
     }
 
 
@@ -6527,4 +6788,109 @@ def oracle_sql() -> dict[str, str]:
         SELECT cohort AS cohort_day, day - cohort AS day_offset,
                CAST(count(*) AS BIGINT) AS users
         FROM g GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+        "pii_scan": f"""
+        WITH a AS (
+          SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '{PII_EMAIL}')) AS BIGINT)
+                 AS n_email,
+               CAST(len(regexp_extract_all(aug, '{PII_PHONE}')) AS BIGINT)
+                 AS n_phone,
+               CAST(len(regexp_extract_all(aug, '{PII_IPV4}')) AS BIGINT)
+                 AS n_ipv4
+        FROM a ORDER BY doc_id""",
+        "pii_redact": f"""
+        WITH a AS (
+          SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents),
+        r AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(aug, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                     '{PII_IPV4}', '[IP]', 'g'),
+                   '{PII_PHONE}', '[PHONE]', 'g') AS red
+          FROM a)
+        SELECT doc_id, md5(red) AS red_md5,
+               CAST(length(red) AS BIGINT) AS n_chars_red
+        FROM r ORDER BY doc_id""",
+        "kfold_assign": f"""
+        WITH h AS (
+          SELECT
+            ((instr('0123456789abcdef', substring(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+           + (instr('0123456789abcdef', substring(md5('fold|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+           + (instr('0123456789abcdef', substring(md5('fold|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substring(md5('fold|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
+              % {KFOLD_K} AS fold,
+            source,
+            len(string_split(text, ' ')) AS nt
+          FROM documents)
+        SELECT CAST(fold AS BIGINT) AS fold, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS tok_sum
+        FROM h GROUP BY fold, source ORDER BY fold, source""",
+        "profile_columns": """
+        SELECT * FROM (
+          SELECT 'event_id' AS col_name,
+                 CAST(count(*) FILTER (event_id IS NULL) AS BIGINT) AS n_null,
+                 CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+          FROM events
+          UNION ALL
+          SELECT 'event_type',
+                 CAST(count(*) FILTER (event_type IS NULL) AS BIGINT),
+                 CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+          UNION ALL
+          SELECT 'props',
+                 CAST(count(*) FILTER (props IS NULL) AS BIGINT),
+                 CAST(count(DISTINCT props) AS BIGINT) FROM events
+          UNION ALL
+          SELECT 'ts',
+                 CAST(count(*) FILTER (ts IS NULL) AS BIGINT),
+                 CAST(count(DISTINCT ts) AS BIGINT) FROM events
+          UNION ALL
+          SELECT 'user_id',
+                 CAST(count(*) FILTER (user_id IS NULL) AS BIGINT),
+                 CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+          UNION ALL
+          SELECT 'value',
+                 CAST(count(*) FILTER (value IS NULL) AS BIGINT),
+                 CAST(count(DISTINCT value) AS BIGINT) FROM events
+        ) ORDER BY col_name""",
+        "bm25_topk": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        dl AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+          FROM toks GROUP BY doc_id),
+        stats AS (
+          SELECT CAST(sum(dl) AS DOUBLE) AS sumdl,
+                 CAST(count(*) AS DOUBLE) AS nd
+          FROM dl),
+        qterms AS (
+          SELECT DISTINCT term FROM toks WHERE doc_id = 0),
+        tf AS (
+          SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+          FROM toks t JOIN qterms q ON t.term = q.term
+          GROUP BY t.doc_id, t.term),
+        dfreq AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY term),
+        c AS (
+          SELECT tf.doc_id,
+                 -- CASTs force double arithmetic: DuckDB would otherwise
+                 -- evaluate BIGINT*DECIMAL / BIGINT+DECIMAL exactly in
+                 -- decimal, diverging from Spark's double math pre-round
+                 (ln(1.0 + (s.nd - d.df + 0.5)
+                             / (CAST(d.df AS DOUBLE) + 0.5))
+                  * (CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1!r}))
+                 / (tf.tf + {BM25_K1!r}
+                    * ({1 - BM25_B!r}
+                       + CAST({BM25_B!r} * dl.dl AS DOUBLE)
+                         / (s.sumdl / s.nd))) AS sc
+          FROM tf JOIN dfreq d USING (term)
+                  JOIN dl USING (doc_id)
+                  CROSS JOIN stats s)
+        SELECT doc_id, round(sum(sc), 4) AS bm25
+        FROM c GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}""",
     }

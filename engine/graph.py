@@ -107,3 +107,91 @@ def _propagate(edges: DataFrame, max_rounds: int) -> DataFrame:
     # labels is localCheckpoint-materialized, so the caller's finally can
     # safely unpersist the edge cache before labels is consumed
     return labels
+
+
+def pagerank_mu(
+    pairs: DataFrame,
+    iters: int = 12,
+    total_mu: int = 10**12,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """Integer-micro-unit PageRank (Page et al. 1999) over the undirected
+    edge set ``pairs`` (columns ``d1``, ``d2``; one row per unordered
+    edge) — the graph-centrality leg of the dedup/similarity surface: on
+    a near-dup candidate graph, high rank marks template/boilerplate
+    hubs a training pipeline wants to inspect before keeping "one
+    representative per cluster".
+
+    Cross-engine exactness discipline (the label_centroids convention
+    applied to an ITERATIVE algorithm): rank mass is held as int64
+    micro-units of ``total_mu``, every transfer is an integer floor —
+    per-edge send = (d_num*rank) div (d_den*deg), per-node teleport
+    base = ((d_den-d_num)*total_mu) div (d_den*n) — so each iteration is
+    a sum of integers, order-independent and bit-identical to any
+    sequential re-implementation (pinned against a pure-Python twin in
+    tests/test_graph.py). Floored remainders deliberately leak mass:
+    ranks are comparable scores, not a probability simplex.
+
+    100 TB shape: the classic distributed PageRank loop — each iteration
+    one edge-keyed shuffle join (rank table joins edges on src) and one
+    dst-keyed partial-agg sum; the rank table is node-sized, edges are
+    never re-derived, and the plan is truncated per iteration with
+    localCheckpoint exactly like ``min_label_components`` (an un-truncated
+    12-iteration lineage is the driver-side failure mode at scale).
+    Isolated vertices don't appear (callers treat absence as rank 0);
+    every vertex here has deg >= 1, so there is no dangling mass.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("d2").alias("src"), F.col("d1").alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    try:
+        deg = edges.groupBy("src").agg(
+            F.count("*").cast("long").alias("deg")
+        )
+        nodes = deg.select(F.col("src").alias("node"), "deg").localCheckpoint()
+        n = nodes.count()  # scalar aggregate, never a row collect
+        if n == 0:
+            return nodes.select(
+                "node", F.lit(0).cast("long").alias("rank_mu")
+            )
+        r0 = total_mu // n
+        base = ((d_den - d_num) * total_mu) // (d_den * n)
+        rank = nodes.select(
+            "node", "deg", F.lit(r0).cast("long").alias("rank_mu")
+        ).localCheckpoint()
+        for _ in range(iters):
+            send = (
+                rank.join(edges, rank.node == edges.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(
+                        f"({d_num} * rank_mu) div ({d_den} * deg)"
+                    ).alias("_c"),
+                )
+            )
+            recv = send.groupBy("node").agg(
+                F.sum("_c").cast("long").alias("_in")
+            )
+            rank = (
+                nodes.join(recv, "node", "left")
+                .select(
+                    "node",
+                    "deg",
+                    (F.lit(base) + F.coalesce(F.col("_in"), F.lit(0)))
+                    .cast("long")
+                    .alias("rank_mu"),
+                )
+            ).localCheckpoint()
+        return rank.select("node", "rank_mu")
+    finally:
+        edges.unpersist()

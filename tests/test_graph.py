@@ -54,3 +54,84 @@ def test_round_exhaustion_raises_not_silent(spark):
 def test_empty_edge_set(spark):
     pairs = spark.createDataFrame([], "d1 string, d2 string")
     assert min_label_components(pairs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# pagerank_mu — integer-micro-unit PageRank pinned bit-exact against a
+# sequential pure-Python twin (the rows-only driver check carries no value
+# comparison, so THIS pin is the operator's exactness gate)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_py(pairs, iters=12, total_mu=10**12, d_num=85, d_den=100):
+    """Sequential twin of engine.graph.pagerank_mu: same integer floors,
+    same teleport base, dict arithmetic instead of shuffle joins."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    if n == 0:
+        return {}
+    r0 = total_mu // n
+    base = ((d_den - d_num) * total_mu) // (d_den * n)
+    rank = {v: r0 for v in adj}
+    for _ in range(iters):
+        nxt = {v: base for v in adj}
+        for u, nbrs in adj.items():
+            c = (d_num * rank[u]) // (d_den * len(nbrs))
+            for v in nbrs:
+                nxt[v] += c
+        rank = nxt
+    return rank
+
+
+def _assert_pagerank_matches(spark, edges, **kw):
+    from engine.graph import pagerank_mu
+
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {
+        r["node"]: r["rank_mu"] for r in pagerank_mu(pairs, **kw).collect()
+    }
+    assert got == _pagerank_py(edges, **kw)
+
+
+def test_pagerank_exact_vs_sequential_twin(spark):
+    """Star + triangle + path + bridge, duplicate and reversed edges:
+    every node's int64 rank equals the sequential twin EXACTLY (integer
+    mass transfers are order-independent, so distributed == sequential
+    bit-for-bit — the cross-engine discipline the float version of
+    PageRank cannot offer)."""
+    edges = [
+        # star: 0 hub of 1..4
+        (0, 1), (0, 2), (0, 3), (0, 4),
+        # triangle 5-6-7
+        (5, 6), (6, 7), (7, 5),
+        # path 8-9-10 bridged to the star via (4, 8)
+        (8, 9), (9, 10), (4, 8),
+        # duplicate + reversed spellings must not double edges
+        (1, 0), (5, 6),
+    ]
+    _assert_pagerank_matches(spark, edges)
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from engine.graph import pagerank_mu
+
+    edges = [(0, i) for i in range(1, 6)]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r["node"]: r["rank_mu"] for r in pagerank_mu(pairs).collect()}
+    assert got[0] > max(got[i] for i in range(1, 6))
+    # symmetric leaves tie exactly
+    assert len({got[i] for i in range(1, 6)}) == 1
+
+
+def test_pagerank_empty_and_bad_iters(spark):
+    import pytest as _pt
+
+    from engine.graph import pagerank_mu
+
+    empty = spark.createDataFrame([], "d1 long, d2 long")
+    assert pagerank_mu(empty).count() == 0
+    with _pt.raises(ValueError, match="iters"):
+        pagerank_mu(empty, iters=0)

@@ -661,3 +661,42 @@ def test_funnel_and_cohort_plans(spark):
     assert plan2.count("Exchange") == 4, plan2[:2500]
     assert "partial_merge" in plan2 or "partial" in plan2.lower(), plan2[:1500]
     assert "EvalPython" not in plan2
+
+
+def test_pii_kfold_profile_plans(spark):
+    """Round-6 session-2 surface. pii_scan / pii_redact: pure map-side
+    regex chains — zero hashpartitioning exchanges (only the presentation
+    orderBy's rangepartitioning), no Python. kfold_assign: stateless
+    map-side fold hash, then ONE partial-agg'd (fold, source) exchange.
+    profile_columns: the exact multi-distinct profile — Expand feeds a
+    partial agg BELOW its exchanges (raw rows shuffle only post-expand
+    partials), no Python anywhere."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    for q in (E.q_pii_scan, E.q_pii_redact):
+        plan = _plan(q(spark, sf))
+        assert plan.count("Exchange hashpartitioning") == 0, plan[:2000]
+        assert "EvalPython" not in plan
+
+    plan = _plan(E.q_kfold_assign(spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "partial" in plan.lower(), plan[:1500]
+    assert "EvalPython" not in plan
+
+    plan = _plan(E.q_profile_columns(spark, sf))
+    assert "Expand" in plan, plan[:1500]
+    assert "partial" in plan.lower(), plan[:1500]
+    assert "EvalPython" not in plan
+
+
+def test_bm25_broadcasts_and_takeordered(spark):
+    """bm25_topk: the query-term filter, df table, and corpus stats all
+    reach the tf grid as broadcasts; the top-k is TakeOrdered (never a
+    global sort of the scored corpus); no Python."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_bm25_topk(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "EvalPython" not in plan

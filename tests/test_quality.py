@@ -759,3 +759,60 @@ def test_ivf_lloyd_recall_vs_bruteforce_uniform(spark):
     assert len(hits) / len(exact) >= 0.5, (sorted(exact), sorted(ivf))
     for vid in hits:
         assert abs(exact[vid] - ivf[vid]) < 1e-9
+
+
+def test_pii_scan_counts_match_graft_closed_form(spark):
+    """pii_scan on sf0.001: the deterministic graft (see _pii_augmented)
+    plants exactly 1 email (+1 when doc_id % 3 == 0), 1 phone, 1 IPv4
+    per doc and the corpus itself contains none, so the detector's
+    per-doc counts have a closed form — any deviation is a regex or
+    augmentation bug, not data noise."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    for r in E.q_pii_scan(spark, sf).collect():
+        want_email = 2 if r["doc_id"] % 3 == 0 else 1
+        assert r["n_email"] == want_email, r
+        assert r["n_phone"] == 1, r
+        assert r["n_ipv4"] == 1, r
+
+
+def test_pii_redact_leaves_no_residual_matches(spark):
+    """After redaction, zero residual hits for ANY of the three patterns
+    (the invariant the scrub stage exists for), and every placeholder
+    appears: n_email emails -> [EMAIL] etc. Counted with regexp_count on
+    the REDACTED text, i.e. the operator's own output contract rather
+    than its implementation."""
+    import __spark_entry__ as E
+    from __spark_entry__ import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        _pii_augmented,
+        _t,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = _t(spark, sf, "documents")
+    aug = _pii_augmented(d)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "[EMAIL]"), PII_IPV4, "[IP]"
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    out = d.select(
+        "doc_id",
+        F.regexp_count(red, F.lit(PII_EMAIL)).alias("res_email"),
+        F.regexp_count(red, F.lit(PII_PHONE)).alias("res_phone"),
+        F.regexp_count(red, F.lit(PII_IPV4)).alias("res_ipv4"),
+        F.regexp_count(red, F.lit(r"\[EMAIL\]")).alias("ph_email"),
+        F.regexp_count(red, F.lit(r"\[IP\]")).alias("ph_ip"),
+        F.regexp_count(red, F.lit(r"\[PHONE\]")).alias("ph_phone"),
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert (r["res_email"], r["res_phone"], r["res_ipv4"]) == (0, 0, 0), r
+        assert r["ph_email"] == (2 if r["doc_id"] % 3 == 0 else 1), r
+        assert r["ph_ip"] == 1 and r["ph_phone"] == 1, r

@@ -32,7 +32,7 @@ QUERIES = [
     "detector_ensemble", "shesd_outliers", "sax_motifs",
     "lead_lag_ccf", "median_decompose", "funnel_steps", "cohort_retention",
     "map_props", "first_digit_profile", "event_pairs_within_minute",
-    "psi_drift", "ks_drift",
+    "psi_drift", "ks_drift", "profile_columns",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -164,6 +164,7 @@ DOC_QUERIES = [
     "gopher_repetition", "minhash_signatures", "lsh_candidates",
     "ngram_jaccard", "dedup_clusters", "top_ngrams", "bigram_logprob",
     "pack_sequences", "pack_efficiency", "vocab_coverage",
+    "pii_scan", "pii_redact", "kfold_assign", "bm25_topk",
 ]
 
 
