@@ -4759,6 +4759,85 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_interval_overlap_pairs(spark, sf_dir):
+    """Interval-overlap self-join (round 6): each event carries a
+    deterministic half-open busy interval [s, s + 1 + event_id%120); find
+    every same-user pair whose intervals overlap and the overlap length —
+    the concurrency/conflict primitive (double-bookings, overlapping
+    requests) that complements event_pairs_within_minute's proximity
+    join. All-integer (epoch seconds), so the oracle is hash-exact.
+
+    100 TB shape: the classic BUCKETED range join — each interval
+    explodes to the minute buckets it spans (duration <= 121 s => at most
+    3), the self-join is a pure (user, bucket) EQUI-join (never the
+    quadratic per-user theta join; plan-asserted no CartesianProduct /
+    BNLJ), the exact overlap predicate filters inside the bounded
+    bucket groups, and each pair is kept exactly once at the bucket of
+    its overlap START (greatest(s1,s2) div 60 — both interval sets
+    contain that bucket by construction). The DuckDB oracle is the
+    direct theta self-join: same semantics, deliberately different
+    plan."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_timestamp(ts)").alias("s"),
+    ).withColumn("e", F.col("s") + 1 + F.col("event_id") % 120)
+    b = ev.withColumn(
+        "bucket",
+        F.explode(F.expr("sequence(s div 60, e div 60)")),
+    )
+    a2, b2 = b.alias("a"), b.alias("b")
+    pairs = (
+        a2.join(
+            b2,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .where(
+            (F.col("a.s") < F.col("b.e")) & (F.col("b.s") < F.col("a.e"))
+        )
+        .where(
+            F.col("a.bucket")
+            == F.expr("greatest(a.s, b.s) div 60")
+        )
+    )
+    return pairs.select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("e1"),
+        F.col("b.event_id").alias("e2"),
+        (
+            F.least(F.col("a.e"), F.col("b.e"))
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+        )
+        .cast("long")
+        .alias("overlap_s"),
+    ).orderBy("user_id", "e1", "e2")
+
+
+def q_pca_top_component(spark, sf_dir):
+    """Distributed PCA, top component (round 6): the corpus reduces to
+    an EXACT int64 micro-unit Gram statistic (engine/linalg.py — one
+    Arrow-batch matmul partial per batch, dim^2-bounded result), the
+    dense eigensolve runs driver-side on the few-KB matrix. Rows-only by
+    design (LAPACK eigensolve has no SQL twin); exactness of the
+    distributed reduction is pinned bit-for-bit against a single numpy
+    pass in tests/test_quality.py, and the component itself against
+    numpy's full-precision PCA."""
+    from engine.linalg import pca_top_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        pca_top_component(emb)
+        .select(
+            "dim_idx",
+            F.round("loading", 4).alias("loading"),
+            F.round("explained_ratio", 4).alias("explained_ratio"),
+        )
+        .orderBy("dim_idx")
+    )
+
+
 def q_pagerank_sim(spark, sf_dir):
     """PageRank centrality on the verified near-dup graph (round 6):
     rank each doc in the ngram-Jaccard edge set by integer-micro-unit
@@ -4904,7 +4983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_assign": q_kfold_assign,
         "profile_columns": q_profile_columns,
         "bm25_topk": q_bm25_topk,
+        "interval_overlap_pairs": q_interval_overlap_pairs,
         "pagerank_sim": q_pagerank_sim,
+        "pca_top_component": q_pca_top_component,
     }
 
 
@@ -6893,4 +6974,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(sc), 4) AS bm25
         FROM c GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}""",
+        "interval_overlap_pairs": """
+        WITH iv AS (
+          SELECT event_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                 CAST(floor(epoch(ts)) AS BIGINT) + 1 + event_id % 120 AS e
+          FROM events)
+        SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+               CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT)
+                 AS overlap_s
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND a.s < b.e AND b.s < a.e
+        ORDER BY a.user_id, e1, e2""",
     }

@@ -700,3 +700,18 @@ def test_bm25_broadcasts_and_takeordered(spark):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "EvalPython" not in plan
+
+
+def test_interval_overlap_is_bucketed_equi_join(spark):
+    """The interval-overlap self-join must execute as a (user, bucket)
+    EQUI-join over the exploded minute buckets — never the per-user theta
+    join (quadratic in a hot user's events). The oracle runs the direct
+    theta join; Spark must not."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_interval_overlap_pairs(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan, plan[:2000]
+    assert "EvalPython" not in plan

@@ -816,3 +816,61 @@ def test_pii_redact_leaves_no_residual_matches(spark):
         assert (r["res_email"], r["res_phone"], r["res_ipv4"]) == (0, 0, 0), r
         assert r["ph_email"] == (2 if r["doc_id"] % 3 == 0 else 1), r
         assert r["ph_ip"] == 1 and r["ph_phone"] == 1, r
+
+
+def test_gram_stats_exact_vs_numpy(spark):
+    """The distributed int64 Gram statistic must equal a single numpy
+    pass BIT-FOR-BIT (integer partials are order-independent — the
+    exactness claim the driver's rows-only check can't carry)."""
+    import numpy as np
+
+    from engine.linalg import MU_SCALE, gram_stats_mu
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    rows = {
+        (r["i"], r["j"]): r["g"]
+        for r in gram_stats_mu(emb).collect()
+    }
+    m = np.stack([r["embedding"] for r in emb.collect()])
+    q = np.rint(m * MU_SCALE).astype(np.int64)
+    want_g = q.T @ q
+    want_s = q.sum(axis=0)
+    dim = q.shape[1]
+    assert rows[(-1, -1)] == len(m)
+    for i in range(dim):
+        assert rows[(i, -1)] == want_s[i], i
+        for j in range(i, dim):
+            assert rows[(i, j)] == want_g[i, j], (i, j)
+
+
+def test_pca_component_matches_numpy(spark):
+    """The driver-side eigensolve over the exact Gram must recover
+    numpy's full-precision top principal component (|cosine| >= 0.999 —
+    quantization at 1e-6 is the only slack) with a matching explained-
+    variance share, sign-fixed, one row per dimension."""
+    import numpy as np
+
+    from engine.linalg import pca_top_component
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    got = pca_top_component(emb).collect()
+    v = np.array([r["loading"] for r in sorted(got, key=lambda r: r["dim_idx"])])
+    m = np.stack([r["embedding"] for r in emb.collect()]).astype(np.float64)
+    c = np.cov(m, rowvar=False, bias=True)
+    w_np, v_np = np.linalg.eigh(c)
+    top = v_np[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.999, cos
+    assert abs(got[0]["explained_ratio"] - w_np[-1] / w_np.sum()) < 1e-3
+    assert len({r["explained_ratio"] for r in got}) == 1
+    # sign convention: largest-|loading| coordinate is positive
+    assert v[np.argmax(np.abs(v))] > 0
+
+
+def test_pca_empty_input(spark):
+    from engine.linalg import pca_top_component
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert pca_top_component(empty).count() == 0

@@ -32,7 +32,7 @@ QUERIES = [
     "detector_ensemble", "shesd_outliers", "sax_motifs",
     "lead_lag_ccf", "median_decompose", "funnel_steps", "cohort_retention",
     "map_props", "first_digit_profile", "event_pairs_within_minute",
-    "psi_drift", "ks_drift", "profile_columns",
+    "psi_drift", "ks_drift", "profile_columns", "interval_overlap_pairs",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
