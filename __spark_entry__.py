@@ -4815,6 +4815,112 @@ def q_interval_overlap_pairs(spark, sf_dir):
     ).orderBy("user_id", "e1", "e2")
 
 
+TYPO_MIN_LEN = 3  # vocab floor: shorter words make deletion buckets degenerate
+
+
+def q_vocab_typo_pairs(spark, sf_dir):
+    """Fuzzy string self-join (round 6): all vocab word pairs at edit
+    distance EXACTLY 1 — the typo/variant-spelling detector a corpus
+    pipeline runs for vocabulary normalization. Candidate generation is
+    the FastSS deletion-neighborhood scheme (Bocek et al., U. Zurich
+    TR 2007): each word keys on itself plus every single-char deletion;
+    any two words within edit distance 1 share a key (substitution:
+    both delete position i; insert/delete: the longer word's deletion
+    IS the shorter word), so the blocking is COMPLETE and the join is a
+    pure equi-join on the variant key — never the quadratic vocab theta
+    join (plan-asserted). Exact levenshtein == 1 verifies candidates
+    (both engines' unit-cost metric). Words shorter than TYPO_MIN_LEN
+    are excluded (their deletion buckets degenerate toward the empty
+    string; at production scale the additional guard is an LSH-style
+    bucket cap, MAX_LSH_BUCKET discipline). The fixed word-salad corpus
+    happens to contain no distance-1 pairs, so every 11th doc grafts a
+    deterministic typo (its first word minus the last char — the PII
+    graft discipline) to guarantee nonzero support. The DuckDB oracle
+    is the direct theta self-join over the same vocab — same semantics,
+    deliberately different plan."""
+    d = _t(spark, sf_dir, "documents")
+    w0 = "element_at(split(text, ' '), 1)"
+    aug = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.expr(f"substring({w0}, 1, length({w0}) - 1)"),
+        ),
+    ).otherwise(F.col("text"))
+    vocab = (
+        d.select(F.explode(F.split(aug, " ")).alias("w"))
+        .where(F.length("w") >= TYPO_MIN_LEN)
+        .distinct()
+    )
+    variants = vocab.select(
+        "w",
+        F.explode(
+            F.expr(
+                "array_union(array(w), transform(sequence(1, length(w)),"
+                " i -> concat(substring(w, 1, i-1),"
+                " substring(w, i+1, length(w)))))"
+            )
+        ).alias("v"),
+    )
+    a2, b2 = variants.alias("a"), variants.alias("b")
+    return (
+        a2.join(
+            b2,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .distinct()
+        .where(F.expr("levenshtein(w1, w2) = 1"))
+        .orderBy("w1", "w2")
+    )
+
+
+def q_chi2_type_hour(spark, sf_dir):
+    """Chi-square independence cells (round 6): the (event_type x
+    hour-of-day) contingency table with each cell's observed count,
+    expected count under independence, and chi-square contribution —
+    the drill-down form of the test (emitting per-cell rows instead of
+    the summed statistic keeps the comparison free of cross-engine
+    float-sum ordering: observed/margins are exact ints, expected =
+    row*col/n is ONE division, contribution ONE fixed-shape expression,
+    both 4-dp rounded). Complements psi_drift/ks_drift (distribution
+    drift) with the categorical-association test. 100 TB shape: one
+    partial-agg'd (type, hour) exchange builds the cell grid; margins
+    re-aggregate the GRID (never a second corpus scan) and come back as
+    broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count("*").cast("long").alias("observed"))
+    rows_m = cells.groupBy("event_type").agg(
+        F.sum("observed").cast("long").alias("_r")
+    )
+    cols_m = cells.groupBy("hod").agg(
+        F.sum("observed").cast("long").alias("_c")
+    )
+    tot = cells.agg(F.sum("observed").cast("double").alias("_n"))
+    exp = (F.col("_r") * F.col("_c")) / F.col("_n")
+    return (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "hod")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hod",
+            "observed",
+            F.round(exp, 4).alias("expected"),
+            F.round(
+                (F.col("observed") - exp) * (F.col("observed") - exp)
+                / exp,
+                4,
+            ).alias("contrib"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
 def q_pca_top_component(spark, sf_dir):
     """Distributed PCA, top component (round 6): the corpus reduces to
     an EXACT int64 micro-unit Gram statistic (engine/linalg.py — one
@@ -4984,6 +5090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": q_profile_columns,
         "bm25_topk": q_bm25_topk,
         "interval_overlap_pairs": q_interval_overlap_pairs,
+        "vocab_typo_pairs": q_vocab_typo_pairs,
+        "chi2_type_hour": q_chi2_type_hour,
         "pagerank_sim": q_pagerank_sim,
         "pca_top_component": q_pca_top_component,
     }
@@ -5033,12 +5141,57 @@ _CLUSTERS_SQL_PREFIX = f"""
 )
 
 
+def _squash_signed_zero(sql: str) -> str:
+    """Rewrite every DuckDB ``round(...)`` site as ``(round(...) + 0.0)``.
+
+    Twin convention (round-6, caught by adversarial seed 6202 on
+    burstiness): DuckDB ``round(DOUBLE, n)`` PRESERVES IEEE negative
+    zero — a value in (-5e-5, 0) rounds to -0.0 — while Spark's round
+    (BigDecimal HALF_UP) always returns +0.0, so any sign-capable
+    rounded output diverges exactly when the unrounded value is a tiny
+    negative. ``+ 0.0`` is the IEEE normalization (-0.0 + 0.0 == +0.0;
+    every other value unchanged) and is applied MECHANICALLY to all
+    round sites rather than per-oracle by hand — the integer-domain
+    rounding spellings (sign * (2*abs*10000 + den) div ... / 10000.0)
+    are immune (integers have no signed zero) and are left untouched by
+    construction since they contain no ``round(``. The type lint
+    guarantees all rounded outputs are DOUBLE, so the +0.0 never
+    changes a column type."""
+    out = []
+    i = 0
+    low = sql.lower()
+    while True:
+        j = low.find("round(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        # skip identifiers like xround( — require a non-word boundary
+        if j > 0 and (low[j - 1].isalnum() or low[j - 1] == "_"):
+            out.append(sql[i : j + 6])
+            i = j + 6
+            continue
+        depth = 0
+        k = j + 5  # at the '('
+        while k < len(sql):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = _squash_signed_zero(sql[j + 6 : k])
+        out.append(sql[i:j])
+        out.append("(round(" + inner + ") + 0.0)")
+        i = k + 1
+
+
 def oracle_sql() -> dict[str, str]:
     score_expr = (
         "CASE WHEN sd_raw IS NOT NULL AND sd_raw != 0 "
         "THEN abs(value - ma_raw) / sd_raw END"
     )
-    return {
+    d = {
         "rolling_mean": f"""
         WITH t AS (
           SELECT event_id, user_id,
@@ -6987,4 +7140,39 @@ def oracle_sql() -> dict[str, str]:
           ON a.user_id = b.user_id AND a.event_id < b.event_id
          AND a.s < b.e AND b.s < a.e
         ORDER BY a.user_id, e1, e2""",
+        "vocab_typo_pairs": f"""
+        WITH a AS (
+          SELECT CASE WHEN doc_id % 11 = 0
+                 THEN text || ' ' ||
+                      substring(string_split(text, ' ')[1], 1,
+                                length(string_split(text, ' ')[1]) - 1)
+                 ELSE text END AS text
+          FROM documents),
+        words AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM a),
+        v AS (
+          SELECT DISTINCT w FROM words WHERE length(w) >= {TYPO_MIN_LEN})
+        SELECT a.w AS w1, b.w AS w2
+        FROM v a JOIN v b
+          ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+        ORDER BY w1, w2""",
+        "chi2_type_hour": """
+        WITH cells AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                 CAST(count(*) AS BIGINT) AS observed
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS rm
+              FROM cells GROUP BY 1),
+        c AS (SELECT hod, CAST(sum(observed) AS BIGINT) AS cm
+              FROM cells GROUP BY 1),
+        t AS (SELECT CAST(sum(observed) AS DOUBLE) AS n FROM cells)
+        SELECT cells.event_type, cells.hod, cells.observed,
+               round((rm * cm) / n, 4) AS expected,
+               round((cells.observed - (rm * cm) / n)
+                     * (cells.observed - (rm * cm) / n)
+                     / ((rm * cm) / n), 4) AS contrib
+        FROM cells JOIN r USING (event_type) JOIN c USING (hod)
+        CROSS JOIN t
+        ORDER BY event_type, hod""",
     }
+    return {k: _squash_signed_zero(v) for k, v in d.items()}

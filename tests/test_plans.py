@@ -715,3 +715,20 @@ def test_interval_overlap_is_bucketed_equi_join(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
         "BroadcastHashJoin" in plan, plan[:2000]
     assert "EvalPython" not in plan
+
+
+def test_typo_join_and_chi2_plans(spark):
+    """vocab_typo_pairs: the FastSS deletion-neighborhood join must be an
+    EQUI-join on the variant key — never the quadratic vocab theta join.
+    chi2_type_hour: margins re-aggregate the cell GRID and return as
+    broadcasts (one corpus exchange total)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_vocab_typo_pairs(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "EvalPython" not in plan
+
+    plan2 = _plan(E.q_chi2_type_hour(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan2, plan2[:2000]
+    assert "EvalPython" not in plan2

@@ -33,6 +33,7 @@ QUERIES = [
     "lead_lag_ccf", "median_decompose", "funnel_steps", "cohort_retention",
     "map_props", "first_digit_profile", "event_pairs_within_minute",
     "psi_drift", "ks_drift", "profile_columns", "interval_overlap_pairs",
+    "chi2_type_hour",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -115,7 +116,10 @@ def _seeds(env: str, default: str) -> list[int]:
     return [int(x) for x in os.environ.get(env, default).split(",")]
 
 
-_ADV_SEEDS = _seeds("SPARK_GRAFT_ADV_SEEDS", "101,202,2026")
+# 6202 caught the signed-zero class: DuckDB round(DOUBLE) preserves -0.0
+# where Spark's round emits +0.0 (burstiness B in (-5e-5, 0)); fixed
+# mechanically for ALL oracles by _squash_signed_zero in __spark_entry__
+_ADV_SEEDS = _seeds("SPARK_GRAFT_ADV_SEEDS", "101,202,2026,6202")
 
 
 @pytest.mark.parametrize("seed", _ADV_SEEDS)
@@ -165,6 +169,7 @@ DOC_QUERIES = [
     "ngram_jaccard", "dedup_clusters", "top_ngrams", "bigram_logprob",
     "pack_sequences", "pack_efficiency", "vocab_coverage",
     "pii_scan", "pii_redact", "kfold_assign", "bm25_topk",
+    "vocab_typo_pairs",
 ]
 
 
