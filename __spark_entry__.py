@@ -4921,6 +4921,298 @@ def q_chi2_type_hour(spark, sf_dir):
     )
 
 
+TOKEN_SAMPLE_STEP = 1000  # PPS systematic sampling: one tick per N tokens
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budget systematic sample (round 6): probability-
+    proportional-to-size sampling by token count — walk the
+    concatenated token stream in deterministic doc_id order and keep
+    every doc whose token interval contains a multiple of
+    TOKEN_SAMPLE_STEP (Madow 1949 systematic PPS). The sample a
+    pipeline draws when it wants "inspect ~1 doc per N tokens" with
+    long docs proportionally represented and zero randomness (resumes
+    re-draw the identical sample). All-integer selection predicate —
+    the last tick at or below the doc's end must land inside the doc:
+    ((cum-1) DIV step)*step >= cum-n_tok — so the oracle is hash-exact.
+    100 TB shape: reuses the DECOMPOSED global prefix sum (_pack_cum —
+    per-(doc_id DIV 64) running sums under one hash exchange, group
+    offsets through the only unpartitioned window, a groups-sized
+    relation, broadcast back); selection itself is a stateless map-side
+    filter. sample_id is the tick index, so downstream can range-read
+    contiguous slices of the sample."""
+    s = TOKEN_SAMPLE_STEP
+    cum = _pack_cum(spark, sf_dir)
+    return (
+        cum.where(
+            F.expr(f"((_cum - 1) DIV {s}) * {s} >= _cum - n_tok")
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr(f"(_cum - n_tok + {s} - 1) DIV {s}").alias("sample_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MIX_PP20 = 1 << 20  # acceptance-rate denominator (parts per 2^20)
+
+
+def q_source_mix_rebalance(spark, sf_dir):
+    """Source-mix rebalancing census (round 6): given the equal-share
+    target (each source contributes total_tokens/n_sources tokens — the
+    domain-reweighting step every pretraining mix applies), compute each
+    source's deterministic acceptance rate and the census of the
+    resulting hash-sampled corpus. Rates are INTEGER parts-per-2^20
+    (least(2^20, target*2^20 DIV tok_s)) and membership is the salted
+    md5-prefix hash discipline shared with stratified_sample/
+    kfold_assign ('mix|'||doc_id, 20 bits = 5 nibbles), so the kept
+    set is a pure function of doc_id: resumes and appends re-draw it
+    bit-identically, and over-represented sources are downsampled while
+    under-represented ones pass whole (rate capped at 1). Two corpus
+    scans BY DESIGN (the rate depends on the global census; scan 1 =
+    per-source census partial-agg'd into a sources-sized exchange,
+    broadcast back; scan 2 = map-side hash filter + the kept census) —
+    the same two-pass shape as _binned_dense. All-integer outputs:
+    hash-exact oracle."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("_nt"),
+    )
+    census = t.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_total"),
+        F.sum("_nt").cast("long").alias("tok_total"),
+    )
+    glob = census.agg(
+        F.sum("tok_total").alias("_T"),
+        F.count("*").alias("_ns"),
+    )
+    rates = census.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "docs_total",
+        "tok_total",
+        F.least(
+            F.lit(MIX_PP20).cast("long"),
+            F.expr(f"(_T DIV _ns) * {MIX_PP20} DIV tok_total"),
+        ).alias("rate_pp20"),
+    )
+    hx = F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+    h20 = sum(
+        (_nibble(hx, i + 1) * (16 ** (4 - i)) for i in range(5)),
+        F.lit(0),
+    )
+    kept = (
+        t.withColumn("_h", h20.cast("long"))
+        .join(F.broadcast(rates.select("source", "rate_pp20")), "source")
+        .where(F.col("_h") < F.col("rate_pp20"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs_kept"),
+            F.sum("_nt").cast("long").alias("tok_kept"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "docs_total",
+            "tok_total",
+            "rate_pp20",
+            F.coalesce("docs_kept", F.lit(0)).cast("long").alias(
+                "docs_kept"
+            ),
+            F.coalesce("tok_kept", F.lit(0)).cast("long").alias("tok_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+POT_Q_PCT = 99  # exceedance threshold: empirical 99th percentile (cents)
+POT_GAP_S = 300  # decluster: exceedances >300 s apart start a new cluster
+
+
+def q_pot_exceedances(spark, sf_dir):
+    """Peaks-over-threshold with declustering (round 6): the extreme-
+    value-theory front end (Davison & Smith 1990 — threshold excesses
+    must be DECLUSTERED before a GPD fit because serial exceedances are
+    dependent). Threshold = the exact empirical 99th percentile of
+    value, computed SCALABLY as histogram-cumsum: groupBy integer cents
+    (distinct-values-sized relation), cumulative count over that tiny
+    relation, smallest cent with cum*100 >= n*99 — never a corpus-wide
+    sort or a single-group percentile buffer. Exceedances (strictly
+    above) decluster per user by the gaps-and-islands idiom: a new
+    cluster starts when the previous exceedance is > POT_GAP_S away;
+    per cluster emit size, peak, and the time span. All windows share
+    ONE user_id exchange; integer epoch-second arithmetic and
+    cents-exact peak (one int/100.0 division, correctly rounded IEEE
+    both engines) make the oracle hash-exact."""
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("_c"),
+        F.expr("unix_timestamp(ts)").alias("_es"),
+    )
+    hist = cents.groupBy("_c").agg(F.count("*").cast("long").alias("_n"))
+    wcum = Window.orderBy("_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = hist.agg(F.sum("_n").alias("_tot"))
+    thr = (
+        hist.withColumn("_cum", F.sum("_n").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("_cum") * 100 >= F.col("_tot") * POT_Q_PCT)
+        .agg(F.min("_c").alias("_thr"))
+    )
+    exc = cents.crossJoin(F.broadcast(thr)).where(F.col("_c") > F.col("_thr"))
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = exc.withColumn(
+        "_new",
+        F.when(
+            F.col("_es") - F.lag("_es").over(wt) > POT_GAP_S, 1
+        )
+        .otherwise(0)
+        + F.when(F.lag("_es").over(wt).isNull(), 1).otherwise(0),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    clustered = flagged.withColumn(
+        "cluster_id", F.sum("_new").over(wrun).cast("long")
+    )
+    return (
+        clustered.groupBy("user_id", "cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exceed"),
+            (F.max("_c") / 100.0).alias("peak"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .orderBy("user_id", "cluster_id")
+    )
+
+
+CONTRIB_W = 60  # trailing window (observed grid minutes) for the baseline
+
+
+def q_anomaly_contribution(spark, sf_dir):
+    """Anomaly contribution analysis (round 6): for every minute past
+    the warm-up, WHICH event_type drove the deviation from the trailing
+    baseline — the root-cause drill-down a detector fires after
+    flagging a total-volume spike (detect/cusum say WHEN; this says
+    WHO). The (minute x type) grid is DENSE (global minute span x
+    distinct types, zero-filled), so the trailing CONTRIB_W-row window
+    is exactly the trailing hour for every type and all deltas share
+    support. All-integer: delta_x60 = 60*cnt - sum(prev 60), spike iff
+    120*total > 3*sum(prev 60) (total > 1.5x trailing mean, cleared of
+    division); top contributor per minute by (delta desc, type) row
+    ranking. 100 TB shape: ONE corpus exchange to the (minute, type)
+    partial-agg'd grid; the dense grid is span*types-sized (time-
+    bounded, NOT corpus-sized); minute totals re-aggregate the GRID;
+    the single unpartitioned window runs over the minutes-sized
+    relation only — the same span-bounded argument as lead_lag_ccf's
+    global series."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.expr("unix_timestamp(ts) DIV 60")
+    grid = ev.groupBy(m.alias("minute"), "event_type").agg(
+        F.count("*").cast("long").alias("_cnt")
+    )
+    span = grid.agg(F.min("minute").alias("_lo"), F.max("minute").alias("_hi"))
+    types = grid.select("event_type").distinct()
+    dense = (
+        span.select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("minute")
+        )
+        .crossJoin(F.broadcast(types))
+        .join(grid, ["minute", "event_type"], "left")
+        .select(
+            "minute",
+            "event_type",
+            F.coalesce("_cnt", F.lit(0)).cast("long").alias("_cnt"),
+        )
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(-CONTRIB_W, -1)
+    )
+    per_type = dense.select(
+        "minute",
+        "event_type",
+        "_cnt",
+        F.count("*").over(wt).alias("_np"),
+        (
+            F.col("_cnt") * CONTRIB_W
+            - F.coalesce(F.sum("_cnt").over(wt), F.lit(0))
+        ).alias("delta_x60"),
+    ).where(F.col("_np") == CONTRIB_W)
+    totals = per_type.groupBy("minute").agg(
+        F.sum("_cnt").cast("long").alias("total"),
+        F.sum("delta_x60").cast("long").alias("_tdelta"),
+    )
+    wr = Window.partitionBy("minute").orderBy(
+        F.col("delta_x60").desc(), "event_type"
+    )
+    top = per_type.withColumn("_rn", F.row_number().over(wr)).where(
+        F.col("_rn") == 1
+    )
+    return (
+        top.join(totals, "minute")
+        .select(
+            "minute",
+            "total",
+            (F.col("_tdelta") * 2 > F.col("total") * CONTRIB_W).alias(
+                "spike"
+            ),
+            F.col("event_type").alias("top_type"),
+            F.col("delta_x60").alias("top_delta_x60"),
+        )
+        .orderBy("minute")
+    )
+
+
+def q_sax_discords(spark, sf_dir):
+    """SAX discord per series (round 6): the anomaly-side complement of
+    q_sax_motifs — among a series' 4-symbol SAX words, the DISCORD is
+    the least frequent one (Keogh et al. 2005 HOT SAX: rare symbolic
+    words approximate the subsequence farthest from all others, at
+    grouped-aggregate cost instead of O(n^2) distances). Deterministic
+    pick: minimum (n_occ, first_ts, word). Shares q_sax_motifs' shape:
+    both windows and the word census on ONE user_id exchange, then a
+    per-user argmin over the words-sized census."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    wv = Window.partitionBy("user_id").orderBy("_c", "ts", "event_id")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id", "ts", "event_id", c.alias("_c")
+    ).withColumn("_sym", F.ntile(4).over(wv).cast("string"))
+    word = F.concat(
+        F.col("_sym"),
+        F.lead("_sym", 1).over(wt),
+        F.lead("_sym", 2).over(wt),
+        F.lead("_sym", 3).over(wt),
+    )
+    words = base.select("user_id", "ts", word.alias("word")).where(
+        F.col("word").isNotNull()
+    )
+    census = words.groupBy("user_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.min("ts").alias("first_ts"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("n_occ", "first_ts", "word")
+    return (
+        census.withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") == 1)
+        .select("user_id", F.col("word").alias("discord"), "n_occ", "first_ts")
+        .orderBy("user_id")
+    )
+
+
 def q_pca_top_component(spark, sf_dir):
     """Distributed PCA, top component (round 6): the corpus reduces to
     an EXACT int64 micro-unit Gram statistic (engine/linalg.py — one
@@ -5092,6 +5384,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_pairs": q_interval_overlap_pairs,
         "vocab_typo_pairs": q_vocab_typo_pairs,
         "chi2_type_hour": q_chi2_type_hour,
+        "token_budget_sample": q_token_budget_sample,
+        "source_mix_rebalance": q_source_mix_rebalance,
+        "pot_exceedances": q_pot_exceedances,
+        "anomaly_contribution": q_anomaly_contribution,
+        "sax_discords": q_sax_discords,
         "pagerank_sim": q_pagerank_sim,
         "pca_top_component": q_pca_top_component,
     }
@@ -7174,5 +7471,179 @@ def oracle_sql() -> dict[str, str]:
         FROM cells JOIN r USING (event_type) JOIN c USING (hod)
         CROSS JOIN t
         ORDER BY event_type, hod""",
+        "token_budget_sample": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tok,
+                 CAST(sum(n_tok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+          FROM t
+        )
+        SELECT doc_id, n_tok,
+               CAST((cum - n_tok + {TOKEN_SAMPLE_STEP} - 1)
+                    // {TOKEN_SAMPLE_STEP} AS BIGINT) AS sample_id
+        FROM c
+        WHERE ((cum - 1) // {TOKEN_SAMPLE_STEP}) * {TOKEN_SAMPLE_STEP}
+              >= cum - n_tok
+        ORDER BY doc_id""",
+        "source_mix_rebalance": f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+          FROM documents),
+        census AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS docs_total,
+                 CAST(sum(nt) AS BIGINT) AS tok_total
+          FROM t GROUP BY source),
+        g AS (SELECT CAST(sum(tok_total) AS BIGINT) AS T,
+                     CAST(count(*) AS BIGINT) AS ns FROM census),
+        rates AS (
+          SELECT source, docs_total, tok_total,
+                 least(CAST({MIX_PP20} AS BIGINT),
+                       (T // ns) * {MIX_PP20} // tok_total) AS rate_pp20
+          FROM census CROSS JOIN g),
+        hashed AS (
+          SELECT source, nt,
+                 CAST((instr('0123456789abcdef',
+                        substring(md5('mix|' || CAST(doc_id AS VARCHAR)),
+                                  1, 1)) - 1) * 65536
+                    + (instr('0123456789abcdef',
+                        substring(md5('mix|' || CAST(doc_id AS VARCHAR)),
+                                  2, 1)) - 1) * 4096
+                    + (instr('0123456789abcdef',
+                        substring(md5('mix|' || CAST(doc_id AS VARCHAR)),
+                                  3, 1)) - 1) * 256
+                    + (instr('0123456789abcdef',
+                        substring(md5('mix|' || CAST(doc_id AS VARCHAR)),
+                                  4, 1)) - 1) * 16
+                    + (instr('0123456789abcdef',
+                        substring(md5('mix|' || CAST(doc_id AS VARCHAR)),
+                                  5, 1)) - 1) AS BIGINT) AS h
+          FROM t),
+        kept AS (
+          SELECT hashed.source,
+                 CAST(count(*) AS BIGINT) AS docs_kept,
+                 CAST(sum(nt) AS BIGINT) AS tok_kept
+          FROM hashed JOIN rates ON hashed.source = rates.source
+          WHERE h < rate_pp20
+          GROUP BY hashed.source)
+        SELECT rates.source, docs_total, tok_total, rate_pp20,
+               CAST(coalesce(docs_kept, 0) AS BIGINT) AS docs_kept,
+               CAST(coalesce(tok_kept, 0) AS BIGINT) AS tok_kept
+        FROM rates LEFT JOIN kept ON rates.source = kept.source
+        ORDER BY rates.source""",
+        "pot_exceedances": f"""
+        WITH cents AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es
+          FROM events),
+        hist AS (
+          SELECT c, CAST(count(*) AS BIGINT) AS n FROM cents GROUP BY c),
+        cum AS (
+          SELECT c, sum(n) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+                 (SELECT sum(n) FROM hist) AS tot
+          FROM hist),
+        thr AS (
+          SELECT min(c) AS thr FROM cum WHERE cm * 100 >= tot * {POT_Q_PCT}),
+        exc AS (
+          SELECT user_id, ts, event_id, c, es
+          FROM cents CROSS JOIN thr WHERE c > thr),
+        flagged AS (
+          SELECT user_id, ts, event_id, c,
+                 CASE WHEN lag(es) OVER tw IS NULL THEN 1
+                      WHEN es - lag(es) OVER tw > {POT_GAP_S} THEN 1
+                      ELSE 0 END AS nw
+          FROM exc
+          WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        clustered AS (
+          SELECT user_id, ts, c,
+                 CAST(sum(nw) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cluster_id
+          FROM flagged)
+        SELECT user_id, cluster_id,
+               CAST(count(*) AS BIGINT) AS n_exceed,
+               max(c) / 100.0 AS peak,
+               min(ts) AS start_ts, max(ts) AS end_ts
+        FROM clustered GROUP BY user_id, cluster_id
+        ORDER BY user_id, cluster_id""",
+        "anomaly_contribution": f"""
+        WITH grid AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+                 event_type, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        span AS (SELECT min(minute) AS lo, max(minute) AS hi FROM grid),
+        types AS (SELECT DISTINCT event_type FROM grid),
+        dense AS (
+          SELECT m.minute, types.event_type,
+                 CAST(coalesce(grid.cnt, 0) AS BIGINT) AS cnt
+          FROM (SELECT unnest(generate_series(lo, hi)) AS minute
+                FROM span) m
+          CROSS JOIN types
+          LEFT JOIN grid ON grid.minute = m.minute
+                        AND grid.event_type = types.event_type),
+        per_type AS (
+          SELECT minute, event_type, cnt,
+                 count(*) OVER tw AS np,
+                 CAST(cnt * {CONTRIB_W}
+                      - coalesce(sum(cnt) OVER tw, 0) AS BIGINT)
+                   AS delta_x60
+          FROM dense
+          WINDOW tw AS (PARTITION BY event_type ORDER BY minute
+                        ROWS BETWEEN {CONTRIB_W} PRECEDING
+                        AND 1 PRECEDING)),
+        ready AS (SELECT * FROM per_type WHERE np = {CONTRIB_W}),
+        totals AS (
+          SELECT minute, CAST(sum(cnt) AS BIGINT) AS total,
+                 CAST(sum(delta_x60) AS BIGINT) AS tdelta
+          FROM ready GROUP BY minute),
+        top AS (
+          SELECT minute, event_type, delta_x60,
+                 row_number() OVER (PARTITION BY minute
+                     ORDER BY delta_x60 DESC, event_type) AS rn
+          FROM ready)
+        SELECT top.minute, total,
+               (tdelta * 2 > total * {CONTRIB_W}) AS spike,
+               top.event_type AS top_type,
+               top.delta_x60 AS top_delta_x60
+        FROM top JOIN totals ON top.minute = totals.minute
+        WHERE rn = 1
+        ORDER BY top.minute""",
+        "sax_discords": """
+        WITH b AS (
+          SELECT user_id, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events),
+        s AS (
+          SELECT user_id, event_id, ts,
+                 CAST(ntile(4) OVER (PARTITION BY user_id
+                        ORDER BY c, ts, event_id) AS VARCHAR) AS sym
+          FROM b),
+        w AS (
+          SELECT user_id, ts,
+                 sym || lead(sym, 1) OVER tw || lead(sym, 2) OVER tw
+                     || lead(sym, 3) OVER tw AS word
+          FROM s
+          WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        census AS (
+          SELECT user_id, word, CAST(count(*) AS BIGINT) AS n_occ,
+                 min(ts) AS first_ts
+          FROM w WHERE word IS NOT NULL
+          GROUP BY user_id, word),
+        ranked AS (
+          SELECT user_id, word, n_occ, first_ts,
+                 row_number() OVER (PARTITION BY user_id
+                     ORDER BY n_occ, first_ts, word) AS rn
+          FROM census)
+        SELECT user_id, word AS discord, n_occ, first_ts
+        FROM ranked WHERE rn = 1
+        ORDER BY user_id""",
     }
     return {k: _squash_signed_zero(v) for k, v in d.items()}

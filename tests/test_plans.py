@@ -732,3 +732,38 @@ def test_typo_join_and_chi2_plans(spark):
     plan2 = _plan(E.q_chi2_type_hour(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan2, plan2[:2000]
     assert "EvalPython" not in plan2
+
+
+def test_round6_session3_shapes(spark):
+    """Scale shapes of the session-3 round-6 ops.
+
+    token_budget_sample: stateless filter on the decomposed prefix sum —
+    no UDF, no cartesian. source_mix_rebalance: the corpus-side join to
+    the rates table must be a BROADCAST hash join (never a shuffled
+    corpus join). pot_exceedances: the decluster windows share ONE
+    user_id exchange; the threshold comes from the histogram, not a
+    corpus sort. anomaly_contribution: no UDF; the dense grid join is
+    an equi-join. sax_discords: same one-user-exchange family as
+    sax_motifs."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(E.q_token_budget_sample(spark, sf))
+    assert "EvalPython" not in p and "CartesianProduct" not in p, p[:2000]
+
+    p = _plan(E.q_source_mix_rebalance(spark, sf))
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "EvalPython" not in p and "CartesianProduct" not in p, p[:2000]
+
+    p = _plan(E.q_pot_exceedances(spark, sf))
+    assert "EvalPython" not in p and "CartesianProduct" not in p, p[:2000]
+    # decluster path: lag + running-sum + final agg all hash on user_id
+    assert p.count("Exchange hashpartitioning(user_id") <= 1, p[:3000]
+
+    p = _plan(E.q_anomaly_contribution(spark, sf))
+    assert "EvalPython" not in p and "CartesianProduct" not in p, p[:2000]
+
+    p = _plan(E.q_sax_discords(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert p.count("Exchange hashpartitioning(user_id") <= 1, p[:3000]

@@ -33,7 +33,8 @@ QUERIES = [
     "lead_lag_ccf", "median_decompose", "funnel_steps", "cohort_retention",
     "map_props", "first_digit_profile", "event_pairs_within_minute",
     "psi_drift", "ks_drift", "profile_columns", "interval_overlap_pairs",
-    "chi2_type_hour",
+    "chi2_type_hour", "pot_exceedances", "anomaly_contribution",
+    "sax_discords",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -169,7 +170,7 @@ DOC_QUERIES = [
     "ngram_jaccard", "dedup_clusters", "top_ngrams", "bigram_logprob",
     "pack_sequences", "pack_efficiency", "vocab_coverage",
     "pii_scan", "pii_redact", "kfold_assign", "bm25_topk",
-    "vocab_typo_pairs",
+    "vocab_typo_pairs", "token_budget_sample", "source_mix_rebalance",
 ]
 
 
