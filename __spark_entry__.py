@@ -4959,6 +4959,59 @@ def q_token_budget_sample(spark, sf_dir):
 MIX_PP20 = 1 << 20  # acceptance-rate denominator (parts per 2^20)
 
 
+def _mix_rates(spark, sf_dir):
+    """Shared rebalancing scaffold (q_source_mix_rebalance + the
+    jobs/corpus_pipeline.py rebalance stage): per-source census and the
+    INTEGER parts-per-2^20 acceptance rate toward the equal-share token
+    target — least(2^20, (T DIV n_sources)*2^20 DIV tok_s)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("_nt"),
+    )
+    census = t.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_total"),
+        F.sum("_nt").cast("long").alias("tok_total"),
+    )
+    glob = census.agg(
+        F.sum("tok_total").alias("_T"),
+        F.count("*").alias("_ns"),
+    )
+    return census.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "docs_total",
+        "tok_total",
+        F.least(
+            F.lit(MIX_PP20).cast("long"),
+            F.expr(f"(_T DIV _ns) * {MIX_PP20} DIV tok_total"),
+        ).alias("rate_pp20"),
+    )
+
+
+def _mix_kept_docs(spark, sf_dir, rates):
+    """Docs surviving the source-mix hash filter: salted md5-prefix
+    membership ('mix|'||doc_id, 20 bits) against the broadcast rates —
+    a stateless map-side filter, pure function of doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("_nt"),
+    )
+    hx = F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+    h20 = sum(
+        (_nibble(hx, i + 1) * (16 ** (4 - i)) for i in range(5)),
+        F.lit(0),
+    )
+    return (
+        t.withColumn("_h", h20.cast("long"))
+        .join(F.broadcast(rates.select("source", "rate_pp20")), "source")
+        .where(F.col("_h") < F.col("rate_pp20"))
+        .select("doc_id", "source", "_nt")
+    )
+
+
 def q_source_mix_rebalance(spark, sf_dir):
     """Source-mix rebalancing census (round 6): given the equal-share
     target (each source contributes total_tokens/n_sources tokens — the
@@ -4976,38 +5029,9 @@ def q_source_mix_rebalance(spark, sf_dir):
     broadcast back; scan 2 = map-side hash filter + the kept census) —
     the same two-pass shape as _binned_dense. All-integer outputs:
     hash-exact oracle."""
-    d = _t(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        "source",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("_nt"),
-    )
-    census = t.groupBy("source").agg(
-        F.count("*").cast("long").alias("docs_total"),
-        F.sum("_nt").cast("long").alias("tok_total"),
-    )
-    glob = census.agg(
-        F.sum("tok_total").alias("_T"),
-        F.count("*").alias("_ns"),
-    )
-    rates = census.crossJoin(F.broadcast(glob)).select(
-        "source",
-        "docs_total",
-        "tok_total",
-        F.least(
-            F.lit(MIX_PP20).cast("long"),
-            F.expr(f"(_T DIV _ns) * {MIX_PP20} DIV tok_total"),
-        ).alias("rate_pp20"),
-    )
-    hx = F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
-    h20 = sum(
-        (_nibble(hx, i + 1) * (16 ** (4 - i)) for i in range(5)),
-        F.lit(0),
-    )
+    rates = _mix_rates(spark, sf_dir)
     kept = (
-        t.withColumn("_h", h20.cast("long"))
-        .join(F.broadcast(rates.select("source", "rate_pp20")), "source")
-        .where(F.col("_h") < F.col("rate_pp20"))
+        _mix_kept_docs(spark, sf_dir, rates)
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("docs_kept"),

@@ -20,6 +20,9 @@ Stages (each skippable):
                verify -> connected components -> keep min doc_id)
   3. decon     q_decontaminate: drop the eval split itself AND train
                docs sharing >= --decon-min-shared word-3-grams with it
+  3b. rebalance (opt-in) source-mix rebalancing toward the equal token
+               share: deterministic hash downsample of over-represented
+               sources at the _mix_rates acceptance rates
   4. chunk     q_chunk_documents sliding-window passages, re-keyed as
                a documents table (chunk-granularity corpus)
   5. pack      q_pack_sequences + q_pack_efficiency over the chunk
@@ -128,6 +131,16 @@ def run_pipeline(
         )
         _advance("decon", keep, "s3_decon")
 
+    if "rebalance" in stages:
+        # Opt-in (not in the default stage list): downsample over-
+        # represented sources toward the equal token share using the SAME
+        # gated scaffolds q_source_mix_rebalance aggregates — membership
+        # is a pure function of doc_id, so a resumed run re-draws the
+        # identical kept set.
+        rates = ops._mix_rates(spark, cur)
+        keep = ops._mix_kept_docs(spark, cur, rates).select("doc_id")
+        _advance("rebalance", keep, "s3b_rebalance")
+
     if "chunk" in stages:
         ts = time.monotonic()
         chunks = ops.q_chunk_documents(spark, cur)
@@ -193,7 +206,8 @@ def main() -> None:
     ap.add_argument(
         "--stages",
         default="quality,dedup,decon,chunk,pack",
-        help="comma list from quality,dedup,decon,chunk,pack",
+        help="comma list from quality,dedup,decon,rebalance,chunk,pack"
+        " (rebalance is opt-in — not run by default)",
     )
     args = ap.parse_args()
 

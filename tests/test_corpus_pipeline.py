@@ -133,3 +133,40 @@ def test_pipeline_cli_smoke(tmp_path):
     report = json.loads(res.stdout.strip().splitlines()[-1])
     assert report["docs_in"] == 500
     assert report["pack"]["n_windows"] >= 1
+
+
+def test_rebalance_stage_matches_census(spark, tmp_path):
+    """The opt-in rebalance stage's kept set must reproduce EXACTLY the
+    per-source docs_kept/tok_kept census q_source_mix_rebalance reports
+    (same scaffolds — no second implementation to drift), and the kept
+    set must be a pure function of doc_id (re-run == identical)."""
+    import __spark_entry__ as ops
+    from pyspark.sql import functions as F
+    from jobs.corpus_pipeline import run_pipeline
+
+    out = str(tmp_path / "reb")
+    report = run_pipeline(spark, SF, out, stages=("rebalance",))
+    assert [s["stage"] for s in report["stages"]] == ["rebalance"]
+
+    kept = ops._t(spark, os.path.join(out, "s3b_rebalance"), "documents")
+    got = {
+        (r["source"], r["n"], r["tok"])
+        for r in kept.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias("tok"),
+        )
+        .collect()
+    }
+    want = {
+        (r["source"], r["docs_kept"], r["tok_kept"])
+        for r in ops.q_source_mix_rebalance(spark, SF).collect()
+        if r["docs_kept"] > 0
+    }
+    assert got == want
+
+    out2 = str(tmp_path / "reb2")
+    run_pipeline(spark, SF, out2, stages=("rebalance",))
+    k2 = ops._t(spark, os.path.join(out2, "s3b_rebalance"), "documents")
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in k2.select("doc_id").collect())
