@@ -5131,11 +5131,11 @@ def q_anomaly_contribution(spark, sf_dir):
     WHO). The (minute x type) grid is DENSE (global minute span x
     distinct types, zero-filled), so the trailing CONTRIB_W-row window
     is exactly the trailing hour for every type and all deltas share
-    support. All-integer: delta_x60 = 60*cnt - sum(prev 60), spike iff
-    120*total > 3*sum(prev 60) (total > 1.5x trailing mean, cleared of
-    division); top contributor per minute by (delta desc, type) row
-    ranking. 100 TB shape: ONE corpus exchange to the (minute, type)
-    partial-agg'd grid; the dense grid is span*types-sized (time-
+    support. All-integer: delta_x60 = 60*cnt - sum(prev 60); spike iff
+    2*(60*total - sum_prev) > 60*total, i.e. total > 2x the trailing
+    mean, cleared of division; top contributor per minute by
+    (delta desc, type) row ranking. 100 TB shape: ONE corpus exchange
+    to the (minute, type) partial-agg'd grid; the dense grid is span*types-sized (time-
     bounded, NOT corpus-sized); minute totals re-aggregate the GRID;
     the single unpartitioned window runs over the minutes-sized
     relation only — the same span-bounded argument as lead_lag_ccf's
