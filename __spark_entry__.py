@@ -2754,10 +2754,14 @@ def q_vocab_coverage(spark, sf_dir):
     doc whose oov/n lands exactly on a .00005 boundary cannot flip
     between engines."""
     d = _t(spark, sf_dir, "documents")
+    # persist: the grid feeds BOTH the vocab head and the coverage join —
+    # per-branch pruning defeats ReuseExchange, so without the cache each
+    # branch would re-scan the corpus (round-6 plan audit)
     grid = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").cast("long").alias("_n"))
+        .persist()
     )
     vocab = (
         grid.groupBy("w")
@@ -2805,9 +2809,12 @@ def q_tfidf_top_terms(spark, sf_dir):
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
+    # persist: tf feeds both the df re-agg and the scored join — without
+    # the cache the two branches each re-scan the corpus (per-branch
+    # pruning defeats ReuseExchange; round-6 plan audit)
     tf = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
-    )
+    ).persist()
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     nd = d.agg(F.count("*").cast("double").alias("_nd"))
     scored = (
@@ -4889,11 +4896,14 @@ def q_chi2_type_hour(spark, sf_dir):
     drift) with the categorical-association test. 100 TB shape: one
     partial-agg'd (type, hour) exchange builds the cell grid; margins
     re-aggregate the GRID (never a second corpus scan) and come back as
-    broadcasts."""
+    broadcasts. The grid is persist()ed — per-branch column pruning
+    defeats ReuseExchange, so without the cache each margin branch
+    would physically re-scan the corpus (round-6 plan audit); the
+    cached relation is (types x 24)-sized."""
     ev = _t(spark, sf_dir, "events")
     cells = ev.groupBy(
         "event_type", F.hour("ts").cast("long").alias("hod")
-    ).agg(F.count("*").cast("long").alias("observed"))
+    ).agg(F.count("*").cast("long").alias("observed")).persist()
     rows_m = cells.groupBy("event_type").agg(
         F.sum("observed").cast("long").alias("_r")
     )
@@ -5282,6 +5292,289 @@ def q_pagerank_sim(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+HH_K = 200  # heavy-hitter order: report every word with count*HH_K >= n
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters with BOUNDED candidate state (round 6):
+    every word whose exact count c satisfies c * HH_K >= n (n = total
+    corpus tokens), with exact counts — computed WITHOUT ever shuffling
+    the full vocabulary. Two passes:
+
+      1. candidates — one mapInPandas scan runs a mergeable Misra-Gries
+         summary per partition (Misra & Gries 1982; merge rule from
+         Agarwal et al., Mergeable Summaries, PODS'12: add batch counts,
+         then subtract the (HH_K+1)-th largest and drop non-positives).
+         State is <= HH_K counters per partition REGARDLESS of vocabulary
+         size. Guarantee: any word with partition count > n_p/(HH_K+1)
+         survives its partition, so (pigeonhole over partitions) any word
+         with GLOBAL count > n/(HH_K+1) appears in the candidate union —
+         a superset of the c*HH_K >= n answer set.
+      2. exact recount — a second scan counts ONLY candidate words
+         (broadcast semi-join before the shuffle), then keeps
+         c * HH_K >= n against the exact token census.
+
+    At 100 TB the vocabulary (trillions of distinct tokens) never hits
+    an exchange: the only shuffled relation is <= HH_K x partitions
+    candidate rows plus the candidate-restricted counts. The answer is
+    EXACT (hence the DuckDB twin), unlike a plain sketch top-k — the
+    sketch only bounds the candidate set. Batch updates are vectorized
+    (pandas split/explode/value_counts); the per-partition merge is
+    O(HH_K log HH_K) per Arrow batch, not per token."""
+    d = _t(spark, sf_dir, "documents")
+
+    def mg_partials(batches):
+        import pandas as pd
+
+        state: dict[str, int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bc = pdf["text"].str.split(" ").explode().value_counts()
+            for w, c in bc.items():
+                state[w] = state.get(w, 0) + int(c)
+            if len(state) > HH_K:
+                kth = sorted(state.values(), reverse=True)[HH_K]
+                state = {w: c - kth for w, c in state.items() if c > kth}
+        yield pd.DataFrame({"word": pd.Series(list(state), dtype=object)})
+
+    cand = (
+        d.select("text").mapInPandas(mg_partials, "word string").distinct()
+    )
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    n = d.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n")
+    )
+    return (
+        toks.join(F.broadcast(cand), "word")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .where(F.col("cnt") * HH_K >= F.col("n"))
+        .select(
+            "word",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("n").cast("double"), 4).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "word")
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    """Triangle census of the verified near-dup graph (round 6): per-node
+    triangle count, degree, and local clustering coefficient — the graph-
+    shape diagnostic for a dedup run (a near-dup component that is a
+    dense clique is one template; a long path the same cluster_id would
+    produce is chained drift, and representatives picked from it are NOT
+    mutual near-dups). Edges are the same jaccard >= DEDUP_MIN_JACCARD
+    set dedup_clusters/pagerank_sim consume.
+
+    Shape: canonical a<b<c wedge join — edges are stored once (d1<d2 by
+    construction), wedges = E join E on the middle node, closed by a
+    second equi-join back to E. Both joins broadcast the edge list: the
+    near-dup edge set is candidate-capped (MAX_LSH_BUCKET kills giant
+    LSH buckets upstream), so at 100 TB it is orders of magnitude
+    smaller than the corpus and the triangle census never shuffles
+    anything corpus-sized. Clustering coefficient = 2*tri/(deg*(deg-1)),
+    4-dp policy. The edge list is persist()ed: it feeds four plan
+    branches (two wedge sides, the closure probe, degrees), and without
+    the cache Catalyst would replay the whole LSH+verify pipeline per
+    branch (per-branch pruning defeats ReuseExchange)."""
+    e = (
+        _jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= F.lit(DEDUP_MIN_JACCARD))
+        .select("d1", "d2")
+        .persist()
+    )
+    w = e.alias("ab").join(
+        F.broadcast(e.alias("bc")),
+        F.col("ab.d2") == F.col("bc.d1"),
+    ).select(
+        F.col("ab.d1").alias("a"),
+        F.col("ab.d2").alias("b"),
+        F.col("bc.d2").alias("c"),
+    )
+    tri = w.join(
+        F.broadcast(e.alias("ac")),
+        (F.col("a") == F.col("ac.d1")) & (F.col("c") == F.col("ac.d2")),
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    deg = (
+        e.select(F.explode(F.array("d1", "d2")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.join(per_node, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+            F.round(
+                F.coalesce("triangles", F.lit(0))
+                * 2.0
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                4,
+            ).alias("clustering"),
+        )
+        .where(F.col("degree") >= 2)
+        .orderBy("doc_id")
+    )
+
+
+MIN_COLLOC = 5  # a bigram needs this many corpus occurrences to be scored
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Corpus collocations by pointwise mutual information (round 6,
+    Church & Hanks 1990): for every adjacent word pair seen >= MIN_COLLOC
+    times, PMI = ln(c12 * N / (c1 * c2)) over exact integer counts
+    (c12 = bigram count, c1/c2 = LEFT/RIGHT positional unigram counts on
+    the same bigram relation, N = total bigrams) — the phrase-detection
+    signal tokenizer/vocab builders use to merge multi-word units.
+    Floats appear only in the EMITTED rounded column (4-dp policy);
+    membership and ordering are integer/string only, so the twin hashes
+    identically. Shape: bigrams are built array-side (one explode, no
+    per-doc window sort — _doc_bigrams), one shuffle to (w1,w2) counts;
+    the two positional-margin relations RE-AGG that grid (never a second
+    corpus scan) and come back via broadcast joins, N via broadcast
+    census cross-join — same margin discipline as chi2_type_hour. The
+    grid is persist()ed: Catalyst replicates a branching subtree (its
+    ReuseExchange rule is defeated by per-branch column pruning), so
+    without the cache the margin branches would each re-scan the corpus
+    — the cache pins the single-scan shape the margin discipline
+    promises, and the cached relation is bigram-vocabulary-sized, never
+    corpus-sized."""
+    b = _doc_bigrams(spark, sf_dir)
+    grid = b.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist()
+    left = grid.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = grid.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = grid.agg(F.sum("c12").cast("long").alias("nb"))
+    return (
+        grid.where(F.col("c12") >= MIN_COLLOC)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("nb")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+SEASONAL_Z_K = 2  # flag an event when |value - cell mean| > K * cell sd
+# (fixture-calibrated: the synthetic value distribution is bounded, so
+# K=3 never fires at any sf; production detectors tune K per series)
+
+
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal z-score detection (round 6): flag events whose value sits
+    more than SEASONAL_Z_K sample standard deviations from their
+    (user, hour-of-day) seasonal cell — the detection layer on top of
+    q_seasonal_profile's baseline (profile says WHAT normal looks like
+    per cell; this says WHICH events violate it). The flag predicate is
+    ALL-INTEGER, so membership can never differ between engines by a
+    float ulp: with cents c, cell sums S=Σc, Q=Σc², size n,
+      sd² = (nQ - S²) / (n(n-1))   (ddof=1, rolling_std's closed form)
+      |c·n - S|² · (n-1) > K² · n · (nQ - S²)   <=>   |z| > K.
+    Magnitudes: |c|<=2³¹ cents and cell n<=10⁵ keep every product inside
+    int64 (documented bound; cells are per-user-per-hour, so n grows
+    with per-user density, not corpus size). The emitted z uses the
+    4-dp float policy. Shape: ONE corpus exchange to the (user, hod)
+    cell aggregate (users x 24 cells, map-side partials), cells come
+    BACK by broadcast hash join — seasonal_profile's exact plan with a
+    detection predicate on top."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    hod = F.hour("ts")
+    cells = (
+        ev.select("user_id", hod.alias("hod"), c.alias("_c"))
+        .groupBy("user_id", "hod")
+        .agg(
+            F.sum("_c").alias("_s"),
+            F.sum(F.col("_c") * F.col("_c")).alias("_q"),
+            F.count("*").alias("_n"),
+        )
+        .where(F.col("_n") >= 3)
+    )
+    dev = F.col("_c") * F.col("_n") - F.col("_s")  # n*(c - mean), int
+    var_nn1 = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    flagged = (
+        ev.select("event_id", "user_id", hod.alias("hod"), c.alias("_c"))
+        .join(F.broadcast(cells), ["user_id", "hod"])
+        .where(var_nn1 > 0)
+        .where(
+            dev * dev * (F.col("_n") - 1)
+            > F.lit(SEASONAL_Z_K * SEASONAL_Z_K) * F.col("_n") * var_nn1
+        )
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "hod",
+        (F.col("_c") / F.lit(100.0)).alias("value"),
+        F.round(
+            dev
+            / F.sqrt(
+                var_nn1.cast("double") * F.col("_n") / (F.col("_n") - 1)
+            ),
+            4,
+        ).alias("z"),
+    ).orderBy("event_id")
+
+
+def q_melt_type_stats(spark, sf_dir):
+    """Unpivot / melt (round 6): the inverse of q_pivot_type_by_hour and
+    the one reshape primitive the relational surface still lacked. Per
+    event_type compute a wide row of stats (n, sum, min, max in exact
+    cents), then UNPIVOT it to the long (event_type, stat, cents) form
+    every generic metrics sink and plotting layer wants. Uses Spark's
+    native unpivot (= SQL stack), which is a zero-shuffle local expand
+    on the already-aggregated relation: the only exchange is the stats
+    groupBy; the melt itself is map-side. Long output is stat-per-row,
+    exact int64 cents."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    wide = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(c).alias("sum_cents"),
+        F.min(c).alias("min_cents"),
+        F.max(c).alias("max_cents"),
+    )
+    return (
+        wide.unpivot(
+            "event_type",
+            ["n_events", "sum_cents", "min_cents", "max_cents"],
+            "stat",
+            "cents",
+        )
+        .select(
+            "event_type", "stat", F.col("cents").cast("long").alias("cents")
+        )
+        .orderBy("event_type", "stat")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5415,6 +5708,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_discords": q_sax_discords,
         "pagerank_sim": q_pagerank_sim,
         "pca_top_component": q_pca_top_component,
+        "heavy_hitters": q_heavy_hitters,
+        "triangle_count": q_triangle_count,
+        "pmi_collocations": q_pmi_collocations,
+        "seasonal_anomaly": q_seasonal_anomaly,
+        "melt_type_stats": q_melt_type_stats,
     }
 
 
@@ -7669,5 +7967,109 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, word AS discord, n_occ, first_ts
         FROM ranked WHERE rn = 1
         ORDER BY user_id""",
+        # heavy hitters: the oracle computes the full exact vocabulary
+        # count (fine at oracle scale) — the Spark side must reach the
+        # same rows through the bounded Misra-Gries candidate pass
+        "heavy_hitters": f"""
+        WITH t AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ), c AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY word
+        ), tot AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c
+        )
+        SELECT word, cnt, round(cnt / CAST(n AS DOUBLE), 4) AS share
+        FROM c CROSS JOIN tot
+        WHERE cnt * {HH_K} >= n
+        ORDER BY cnt DESC, word""",
+        "triangle_count": _CLUSTERS_SQL_PREFIX + f"""
+        , ed AS (SELECT d1, d2 FROM jp WHERE j >= {DEDUP_MIN_JACCARD}),
+        tri AS (
+          SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+          FROM ed e1
+          JOIN ed e2 ON e2.d1 = e1.d2
+          JOIN ed e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+        pn AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles
+          FROM (SELECT a AS doc_id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+          GROUP BY doc_id),
+        deg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+          FROM (SELECT d1 AS doc_id FROM ed
+                UNION ALL SELECT d2 FROM ed)
+          GROUP BY doc_id)
+        SELECT deg.doc_id, deg.degree,
+               CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+               round(coalesce(pn.triangles, 0) * 2.0
+                     / (deg.degree * (deg.degree - 1)), 4) AS clustering
+        FROM deg LEFT JOIN pn ON pn.doc_id = deg.doc_id
+        WHERE deg.degree >= 2
+        ORDER BY deg.doc_id""",
+        "pmi_collocations": f"""
+        WITH t AS (
+          SELECT string_split(text, ' ') AS ws FROM documents
+        ), b AS (
+          SELECT ws[i] AS w1, ws[i + 1] AS w2
+          FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+        ), g AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM b GROUP BY w1, w2
+        ), l AS (
+          SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM g GROUP BY w1
+        ), r AS (
+          SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM g GROUP BY w2
+        ), tot AS (
+          SELECT CAST(sum(c12) AS BIGINT) AS nb FROM g
+        )
+        SELECT g.w1, g.w2, g.c12,
+               round(ln(CAST(g.c12 AS DOUBLE) * nb
+                        / (CAST(c1 AS DOUBLE) * c2)), 4) AS pmi
+        FROM g JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+        WHERE g.c12 >= {MIN_COLLOC}
+        ORDER BY g.w1, g.w2""",
+        "seasonal_anomaly": f"""
+        WITH e AS (
+          SELECT event_id, user_id, hour(ts) AS hod,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), p AS (
+          SELECT user_id, hod,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(sum(c * c) AS BIGINT) AS q,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY user_id, hod
+          HAVING count(*) >= 3
+        )
+        SELECT e.event_id, e.user_id, e.hod,
+               CAST(c AS DOUBLE) / 100 AS value,
+               round((c * n - s)
+                     / sqrt(CAST(n * q - s * s AS DOUBLE) * n / (n - 1)),
+                     4) AS z
+        FROM e JOIN p USING (user_id, hod)
+        WHERE n * q - s * s > 0
+          AND (c * n - s) * (c * n - s) * (n - 1)
+              > {SEASONAL_Z_K * SEASONAL_Z_K} * n * (n * q - s * s)
+        ORDER BY e.event_id""",
+        "melt_type_stats": """
+        WITH w AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT))
+                      AS BIGINT) AS sum_cents,
+                 CAST(min(CAST(round(value * 100) AS BIGINT))
+                      AS BIGINT) AS min_cents,
+                 CAST(max(CAST(round(value * 100) AS BIGINT))
+                      AS BIGINT) AS max_cents
+          FROM events GROUP BY event_type)
+        SELECT event_type, 'n_events' AS stat, n_events AS cents FROM w
+        UNION ALL
+        SELECT event_type, 'sum_cents', sum_cents FROM w
+        UNION ALL
+        SELECT event_type, 'min_cents', min_cents FROM w
+        UNION ALL
+        SELECT event_type, 'max_cents', max_cents FROM w
+        ORDER BY event_type, stat""",
     }
     return {k: _squash_signed_zero(v) for k, v in d.items()}

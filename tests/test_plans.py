@@ -767,3 +767,80 @@ def test_round6_session3_shapes(spark):
     p = _plan(E.q_sax_discords(spark, sf))
     assert "EvalPython" not in p, p[:2000]
     assert p.count("Exchange hashpartitioning(user_id") <= 1, p[:3000]
+
+
+def test_round6_session4_shapes(spark):
+    """Scale shapes of the session-4 round-6 ops.
+
+    heavy_hitters: the candidate pass is the ONLY Python (one
+    Arrow-batched MapInPandas), the exact recount joins the broadcast
+    candidate set (never a shuffled corpus join), and the full
+    vocabulary never hits an exchange — the only hash exchanges are the
+    candidate distinct and the candidate-restricted recount.
+    pmi_collocations / chi2_type_hour / vocab_coverage / tfidf: the
+    branching grid is persist()ed so margin/head branches read the
+    cache instead of re-scanning the corpus (per-branch pruning defeats
+    ReuseExchange). seasonal_anomaly: seasonal_profile's plan — one
+    corpus exchange to the cell grid, cells return via broadcast.
+    melt_type_stats: the unpivot is a map-side Expand above the one
+    stats exchange. triangle_count: wedge closure is broadcast equi-
+    joins, never cartesian."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(E.q_heavy_hitters(spark, sf))
+    assert "MapInPandas" in p, p[:2000]
+    assert "BroadcastHashJoin" in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 2, f"heavy_hitters: {n} hash exchanges\n{p[:3000]}"
+
+    p = _plan(E.q_pmi_collocations(spark, sf))
+    assert "EvalPython" not in p and "CartesianProduct" not in p, p[:2000]
+    assert "InMemoryTableScan" in p, p[:2000]
+    assert p.count("BroadcastHashJoin") == 2, p[:2000]
+
+    p = _plan(E.q_seasonal_anomaly(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"seasonal_anomaly: {n} hash exchanges\n{p[:3000]}"
+    assert "BroadcastHashJoin" in p, p[:2000]
+
+    p = _plan(E.q_melt_type_stats(spark, sf))
+    assert "Expand" in p, p[:2000]
+    assert "EvalPython" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"melt_type_stats: {n} hash exchanges\n{p[:3000]}"
+
+    p = _plan(E.q_triangle_count(spark, sf))
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "InMemoryTableScan" in p, p[:2000]
+
+
+def test_branching_grids_read_cache_not_corpus(spark):
+    """The round-6 plan audit found Catalyst replicates a branching
+    grid subtree (ReuseExchange is defeated by per-branch column
+    pruning), so every 'margins re-agg the grid' query was physically
+    re-scanning the corpus once per branch. The fix is persist() on the
+    grid; this pins it: after materialization the FINAL adaptive plan
+    reads InMemoryTableScan in ALL branches — exactly one corpus-table
+    scan subtree survives per query."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    for fn, n_branches in [
+        (E.q_chi2_type_hour, 4),  # cells + row margin + col margin + n
+        (E.q_pmi_collocations, 4),  # grid + left + right + n
+        (E.q_vocab_coverage, 2),  # vocab head + coverage join
+        (E.q_tfidf_top_terms, 2),  # scored join + df re-agg
+    ]:
+        fn(spark, sf).collect()  # materialize the persisted grid
+        # a fresh identical query resolves against the now-hot cache at
+        # PLANNING time (CacheManager matches canonicalized plans); every
+        # grid consumer must read InMemoryTableScan, not the corpus.
+        # (Scan-parquet strings can't be counted here: InMemoryRelation
+        # PRINTS its cached child plan, scans included, without running
+        # it.)
+        p = _plan(fn(spark, sf))
+        got = p.count("InMemoryTableScan")
+        assert got >= n_branches, (fn.__name__, got, p[:3000])

@@ -874,3 +874,51 @@ def test_pca_empty_input(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert pca_top_component(empty).count() == 0
+
+
+def test_heavy_hitters_mg_guarantee_on_skewed_vocab(spark, tmp_path):
+    """The Misra-Gries candidate pass must lose NO true heavy hitter even
+    when the vocabulary (2000+ words) dwarfs the HH_K=200 counter budget —
+    the regime the fixed sf corpora (31-word vocab) never reach. Builds a
+    deterministic skewed multiset with 10 clear heavy words, one word
+    sitting EXACTLY on the cnt*HH_K == n boundary (>= keeps it), and a
+    ~2000-word tail; spreads it over 8 parquet partitions so per-partition
+    summaries actually decrement and merge. The operator's exact recount
+    must reproduce the brute-force answer verbatim."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    rng = np.random.default_rng(4455)
+    toks: list[str] = []
+    toks += [f"hot{i}" for i in range(10) for _ in range(150)]  # 1500
+    # fill the tail so the total lands exactly on 20000 tokens
+    tail = 20000 - 1500 - 100
+    toks += [f"rare{i % 2000}" for i in range(tail)]  # ~9 each
+    toks += ["edge"] * 100  # 100 * HH_K == 20000 == n -> boundary, kept
+    assert len(toks) == 20000
+    rng.shuffle(toks)
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": [" ".join(toks[i * 100 : (i + 1) * 100]) for i in range(200)],
+        }
+    )
+    docs["lang"] = "en"
+    docs["source"] = "src0"
+    docs["n_chars"] = docs["text"].str.len()
+    sf = str(tmp_path / "hh")
+    spark.createDataFrame(docs).repartition(8).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    got = {
+        (r["word"], r["cnt"]) for r in E.q_heavy_hitters(spark, sf).collect()
+    }
+    counts = pd.Series(toks).value_counts()
+    want = {
+        (w, int(c)) for w, c in counts.items() if c * E.HH_K >= len(toks)
+    }
+    assert want == got
+    assert ("edge", 100) in got  # the exact-boundary word survives
+    assert len(got) == 11

@@ -34,7 +34,7 @@ QUERIES = [
     "map_props", "first_digit_profile", "event_pairs_within_minute",
     "psi_drift", "ks_drift", "profile_columns", "interval_overlap_pairs",
     "chi2_type_hour", "pot_exceedances", "anomaly_contribution",
-    "sax_discords",
+    "sax_discords", "seasonal_anomaly", "melt_type_stats",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -171,6 +171,9 @@ DOC_QUERIES = [
     "pack_sequences", "pack_efficiency", "vocab_coverage",
     "pii_scan", "pii_redact", "kfold_assign", "bm25_topk",
     "vocab_typo_pairs", "token_budget_sample", "source_mix_rebalance",
+    # heavy_hitters: the 300+-word corpus vocabulary exceeds HH_K=200,
+    # so the bounded Misra-Gries candidate path actually decrements here
+    "heavy_hitters", "pmi_collocations", "triangle_count",
 ]
 
 
