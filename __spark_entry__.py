@@ -5575,6 +5575,139 @@ def q_melt_type_stats(spark, sf_dir):
     )
 
 
+EXP_FIT_MIN_GAPS = 10  # a user needs this many inter-event gaps to be fit
+
+
+def q_exp_gap_fit(spark, sf_dir):
+    """Exponentiality test of inter-event gaps (round 6): per user, fit
+    the exponential rate to the inter-arrival gaps (MLE λ = n/Σg) and
+    report the Kolmogorov-Smirnov distance between the empirical gap
+    distribution and Exp(λ) — the Poisson-process goodness-of-fit check
+    that tells a detector whether gap-based anomaly rules (rate_limit,
+    burstiness) are even applicable to this series (a high D says the
+    arrivals are clumped/periodic, not memoryless). Two-sided KS with
+    the plug-in MLE (Lilliefors form — the statistic, not the table
+    p-value). Gaps are integer MICROSECONDS (unix_micros / epoch_us):
+    Σg stays exact int64 so λ, F, and D are fixed-shape expressions
+    over exact integers — no float accumulation anywhere, and every
+    division is spelled in the same order on both sides.
+    Deterministic under gap TIES: for tied
+    gaps F(g) is constant, so max(i/n − F) lands on the largest tied
+    rank and max(F − (i−1)/n) on the smallest regardless of which tied
+    row gets which row_number — tie order cannot change D. Floats: λ
+    and F are fixed-shape expressions evaluated identically; D is
+    4-dp-rounded output only. 100 TB shape: lag window, rank window,
+    per-user census and final reduce ALL partition on user_id — one
+    corpus exchange; per-user state is window-local, never collected."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            # ts is TIMESTAMP_NTZ; the session timezone is pinned UTC
+            # (engine/session.py), so the NTZ->TZ cast is the identity
+            # and unix_micros gives the exact stored microseconds
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+            ).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    cw = Window.partitionBy("user_id")
+    rw = Window.partitionBy("user_id").orderBy("g")
+    scored = gaps.select(
+        "user_id",
+        "g",
+        F.sum("g").over(cw).alias("_sg"),
+        F.count("*").over(cw).alias("_n"),
+        F.row_number().over(rw).alias("_i"),
+    ).where(
+        # sg == 0 (every event on one identical timestamp) has no
+        # exponential fit — λ = n/Σg is undefined; exclude, don't crash
+        # (adversarial corpus catch: ANSI divide-by-zero)
+        (F.col("_n") >= EXP_FIT_MIN_GAPS) & (F.col("_sg") > 0)
+    )
+    fhat = 1.0 - F.exp(
+        -(F.col("_n").cast("double") / F.col("_sg")) * F.col("g")
+    )
+    d_plus = F.col("_i") / F.col("_n").cast("double") - fhat
+    d_minus = fhat - (F.col("_i") - 1) / F.col("_n").cast("double")
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.max("_n").cast("long").alias("n_gaps"),
+            F.round(
+                F.max("_sg").cast("double") / F.max("_n") / 1000000.0, 4
+            ).alias("mean_gap_s"),
+            F.round(F.max(F.greatest(d_plus, d_minus)), 4).alias("ks_d"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix (round 6): for every unordered
+    source pair, how many verified near-dup document pairs (n-gram
+    Jaccard >= DEDUP_MIN_JACCARD, the dedup_clusters edge set) connect
+    the two sources — the "source A re-hosts source B" contamination
+    census a corpus curator reads before weighting sources (a crawl
+    that mirrors another source inflates its weight unless one side is
+    dropped; mirrors are near-dups with boilerplate drift, which is why
+    the census runs on the verified edge set, not byte-identical md5).
+    The diagonal (same source twice) is within-source duplication.
+    100 TB shape: the doc->source map is corpus-sized, so the
+    edge-keyed relation (LSH-candidate-capped, always the small side)
+    broadcasts INTO the corpus projection at BOTH lookups: two
+    broadcast hash joins keyed on the edge endpoints, the corpus
+    scanned pruned to (doc_id, source) and never shuffled."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    e = (
+        _jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= F.lit(DEDUP_MIN_JACCARD))
+        .select("d1", "d2")
+    )
+    half = d.join(F.broadcast(e), d["doc_id"] == e["d1"]).select(
+        F.col("source").alias("_sa"), "d2"
+    )
+    sp = d.join(F.broadcast(half), d["doc_id"] == half["d2"]).select(
+        "_sa", F.col("source").alias("_sb")
+    )
+    return (
+        sp.select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def q_type_trigrams(spark, sf_dir):
+    """Top event-type trigrams (round 6): the 20 most frequent length-3
+    type sequences across user streams — order-2 sequence mining on top
+    of q_type_transitions' order-1 matrix (the "browse→click→purchase
+    vs browse→error→error" behavioral motif census). Exact integer
+    counts, deterministic (cnt desc, then lexicographic) ranking. 100 TB
+    shape: ONE corpus exchange on user_id feeds both lead windows,
+    map-side partials into the |types|³-bounded grid, TakeOrdered for
+    the top-k — never a global sort of the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5713,6 +5846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "seasonal_anomaly": q_seasonal_anomaly,
         "melt_type_stats": q_melt_type_stats,
+        "exp_gap_fit": q_exp_gap_fit,
+        "source_dup_matrix": q_source_dup_matrix,
+        "type_trigrams": q_type_trigrams,
     }
 
 
@@ -8071,5 +8207,53 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT event_type, 'max_cents', max_cents FROM w
         ORDER BY event_type, stat""",
+        "exp_gap_fit": f"""
+        WITH g0 AS (
+          SELECT user_id,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS g
+          FROM events
+        ), g1 AS (
+          SELECT user_id, g FROM g0 WHERE g IS NOT NULL
+        ), s AS (
+          SELECT user_id, g,
+                 CAST(sum(g) OVER (PARTITION BY user_id) AS BIGINT) AS sg,
+                 CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+                 row_number() OVER (PARTITION BY user_id ORDER BY g) AS i
+          FROM g1
+        )
+        SELECT user_id,
+               CAST(max(n) AS BIGINT) AS n_gaps,
+               round(CAST(max(sg) AS DOUBLE) / max(n) / 1000000.0, 4)
+                 AS mean_gap_s,
+               round(max(greatest(
+                 i / CAST(n AS DOUBLE)
+                   - (1 - exp(-(CAST(n AS DOUBLE) / sg) * g)),
+                 (1 - exp(-(CAST(n AS DOUBLE) / sg) * g))
+                   - (i - 1) / CAST(n AS DOUBLE))), 4) AS ks_d
+        FROM s WHERE n >= {EXP_FIT_MIN_GAPS} AND sg > 0
+        GROUP BY user_id ORDER BY user_id""",
+        "source_dup_matrix": _CLUSTERS_SQL_PREFIX + f"""
+        , ed AS (SELECT d1, d2 FROM jp WHERE j >= {DEDUP_MIN_JACCARD}),
+        sp AS (
+          SELECT least(a.source, b.source) AS src_a,
+                 greatest(a.source, b.source) AS src_b
+          FROM ed
+          JOIN documents a ON a.doc_id = ed.d1
+          JOIN documents b ON b.doc_id = ed.d2)
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM sp GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+        "type_trigrams": """
+        WITH t AS (
+          SELECT event_type AS t1,
+                 lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
+        FROM t WHERE t3 IS NOT NULL
+        GROUP BY t1, t2, t3
+        ORDER BY cnt DESC, t1, t2, t3 LIMIT 20""",
     }
     return {k: _squash_signed_zero(v) for k, v in d.items()}

@@ -844,3 +844,34 @@ def test_branching_grids_read_cache_not_corpus(spark):
         p = _plan(fn(spark, sf))
         got = p.count("InMemoryTableScan")
         assert got >= n_branches, (fn.__name__, got, p[:3000])
+
+
+def test_round6_session4b_shapes(spark):
+    """exp_gap_fit: lag, census, rank windows and the final reduce all
+    partition on user_id — ONE corpus exchange, UDF-free.
+    source_dup_matrix: the edge-keyed relation broadcasts into the
+    (doc_id, source) projection at both endpoint lookups — the corpus
+    columns are never hash-shuffled for the join (the only
+    hashpartitioning exchanges belong to the upstream LSH pipeline and
+    the final pair-grid agg, both bounded). type_trigrams: both lead
+    windows and the grid partial-agg share one user_id exchange."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(E.q_exp_gap_fit(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning(user_id")
+    assert n == 1, f"exp_gap_fit: {n} user exchanges\n{p[:3000]}"
+
+    p = _plan(E.q_type_trigrams(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning(user_id")
+    assert n == 1, f"type_trigrams: {n} user exchanges\n{p[:3000]}"
+    assert "TakeOrderedAndProject" in p, p[:2000]
+
+    p = _plan(E.q_source_dup_matrix(spark, sf))
+    assert "CartesianProduct" not in p, p[:2000]
+    # both endpoint lookups are broadcast joins on top of whatever the
+    # LSH pipeline does internally
+    assert p.count("BroadcastHashJoin") >= 2, p[:3000]

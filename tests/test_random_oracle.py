@@ -35,6 +35,7 @@ QUERIES = [
     "psi_drift", "ks_drift", "profile_columns", "interval_overlap_pairs",
     "chi2_type_hour", "pot_exceedances", "anomaly_contribution",
     "sax_discords", "seasonal_anomaly", "melt_type_stats",
+    "exp_gap_fit", "type_trigrams",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -174,6 +175,7 @@ DOC_QUERIES = [
     # heavy_hitters: the 300+-word corpus vocabulary exceeds HH_K=200,
     # so the bounded Misra-Gries candidate path actually decrements here
     "heavy_hitters", "pmi_collocations", "triangle_count",
+    "source_dup_matrix",
 ]
 
 
