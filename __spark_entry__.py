@@ -5708,6 +5708,92 @@ def q_type_trigrams(spark, sf_dir):
     )
 
 
+def q_chunk_dup_groups(spark, sf_dir):
+    """Chunk-granularity duplicate census (round 6): every CHUNK_W-token
+    passage (q_chunk_documents' chunks, identified by chunk_md5) that
+    appears in TWO OR MORE distinct documents — the boilerplate-passage
+    detector (navigation chrome, license blocks, templated intros) that
+    whole-doc dedup structurally cannot see: two docs sharing one
+    paragraph are not near-dups, but the paragraph still burns training
+    tokens. RefinedWeb/CCNet run exactly this line/passage-level pass
+    after document-level dedup. Emits per-group document frequency,
+    occurrence count (> n_docs when a doc repeats the passage
+    internally) and the deterministic first (doc, chunk) witness. 100 TB
+    shape: chunking is map-side (zero exchanges, plan-asserted
+    upstream); the census is ONE exchange on chunk_md5 with map-side
+    partials; HAVING >= 2 distinct docs prunes the long unique tail at
+    the aggregate, so the output is duplicate-groups-sized."""
+    ch = q_chunk_documents(spark, sf_dir)
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+            F.min("n_tok").cast("long").alias("n_tok"),
+            F.min(F.struct("doc_id", "chunk_id")).alias("_w"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "chunk_md5",
+            "n_docs",
+            "n_occ",
+            "n_tok",
+            F.col("_w.doc_id").cast("long").alias("first_doc"),
+            F.col("_w.chunk_id").cast("long").alias("first_chunk"),
+        )
+        .orderBy("chunk_md5")
+    )
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf power-law fit of the corpus word-frequency distribution
+    (round 6): OLS of ln(count) on ln(rank) over the ranked vocabulary —
+    the one-number corpus health check (natural text sits near slope
+    −1; templated/synthetic corpora flatten, token soup steepens; a
+    drifting slope between snapshots means the source mix changed).
+    Rank is the deterministic (count desc, word) row_number. The ln-sum
+    accumulations are vocabulary-sized (never token-sized) and 4-dp
+    rounding absorbs the engines' summation-order ulps — the
+    word_entropy/unigram_logprob float policy. 100 TB shape: one
+    exchange to word counts (map-side partials); the ranked-vocab
+    window and the final single-row reduce run on the vocab relation
+    only. The single-partition rank window is the documented
+    vocab-bounded exception (lead_lag_ccf's argument) — its input is
+    distinct words, not the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    rw = Window.orderBy(F.desc("c"), "w")
+    xy = counts.select(
+        F.log(F.row_number().over(rw).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    sums = xy.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (
+        F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / den
+    # den == 0 <=> a single-word vocabulary: no line to fit (and ANSI
+    # mode raises on the division) — emit NULLs, keep the census row
+    return sums.select(
+        F.col("_n").cast("long").alias("vocab"),
+        F.round(F.when(den > 0, slope), 4).alias("slope"),
+        F.round(
+            F.when(den > 0, (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")),
+            4,
+        ).alias("intercept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5849,6 +5935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exp_gap_fit": q_exp_gap_fit,
         "source_dup_matrix": q_source_dup_matrix,
         "type_trigrams": q_type_trigrams,
+        "chunk_dup_groups": q_chunk_dup_groups,
+        "zipf_fit": q_zipf_fit,
     }
 
 
@@ -8255,5 +8343,50 @@ def oracle_sql() -> dict[str, str]:
         FROM t WHERE t3 IS NOT NULL
         GROUP BY t1, t2, t3
         ORDER BY cnt DESC, t1, t2, t3 LIMIT 20""",
+        "zipf_fit": """
+        WITH c AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          GROUP BY w
+        ), xy AS (
+          SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w)
+                         AS DOUBLE)) AS x,
+                 ln(CAST(c AS DOUBLE)) AS y
+          FROM c
+        ), s AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM xy
+        )
+        SELECT CAST(n AS BIGINT) AS vocab,
+               round(CASE WHEN n * sxx - sx * sx > 0
+                     THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     END, 4) AS slope,
+               round(CASE WHEN n * sxx - sx * sx > 0
+                     THEN (sy - (n * sxy - sx * sy)
+                                / (n * sxx - sx * sx) * sx) / n
+                     END, 4) AS intercept
+        FROM s""",
     }
+    d["chunk_dup_groups"] = f"""
+        WITH ch AS ({d["chunk_documents"]}),
+        w AS (
+          SELECT chunk_md5, doc_id, min(chunk_id) AS mc
+          FROM ch GROUP BY chunk_md5, doc_id
+        ), g AS (
+          SELECT chunk_md5,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_occ,
+                 CAST(min(n_tok) AS BIGINT) AS n_tok,
+                 min(doc_id) AS first_doc
+          FROM ch GROUP BY chunk_md5
+          HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT g.chunk_md5, g.n_docs, g.n_occ, g.n_tok,
+               g.first_doc, CAST(w.mc AS BIGINT) AS first_chunk
+        FROM g JOIN w
+          ON w.chunk_md5 = g.chunk_md5 AND w.doc_id = g.first_doc
+        ORDER BY g.chunk_md5"""
     return {k: _squash_signed_zero(v) for k, v in d.items()}

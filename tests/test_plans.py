@@ -875,3 +875,26 @@ def test_round6_session4b_shapes(spark):
     # both endpoint lookups are broadcast joins on top of whatever the
     # LSH pipeline does internally
     assert p.count("BroadcastHashJoin") >= 2, p[:3000]
+
+
+def test_chunk_dup_and_zipf_shapes(spark):
+    """chunk_dup_groups: chunking stays map-side; the census is one
+    chunk_md5 exchange, UDF-free. zipf_fit: one exchange to word counts;
+    the rank window runs on the vocab relation (the documented bounded
+    single-partition exception), and the whole plan stays JVM-side."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(E.q_chunk_dup_groups(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    # 2 = Spark's standard two-phase distinct-agg rewrite: partial agg on
+    # (chunk_md5, doc_id), re-agg on chunk_md5 — both exchanges move
+    # chunk-census rows, never raw text
+    assert n == 2, f"chunk_dup_groups: {n} hash exchanges\n{p[:3000]}"
+
+    p = _plan(E.q_zipf_fit(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"zipf_fit: {n} hash exchanges\n{p[:3000]}"

@@ -175,7 +175,7 @@ DOC_QUERIES = [
     # heavy_hitters: the 300+-word corpus vocabulary exceeds HH_K=200,
     # so the bounded Misra-Gries candidate path actually decrements here
     "heavy_hitters", "pmi_collocations", "triangle_count",
-    "source_dup_matrix",
+    "source_dup_matrix", "chunk_dup_groups", "zipf_fit",
 ]
 
 
