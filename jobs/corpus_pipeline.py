@@ -25,6 +25,12 @@ Stages (each skippable):
                sources at the _mix_rates acceptance rates
   4. chunk     q_chunk_documents sliding-window passages, re-keyed as
                a documents table (chunk-granularity corpus)
+  4b. chunkdedup  passage-level dedup over the chunk corpus: keep the
+               FIRST occurrence (min chunk-corpus doc_id — the same
+               lexicographic (parent, chunk) witness q_chunk_dup_groups
+               reports) of every md5-identical passage, dropping the
+               boilerplate repeats whole-doc dedup cannot see
+               (RefinedWeb's line-dedup stage at chunk granularity)
   5. pack      q_pack_sequences + q_pack_efficiency over the chunk
                corpus: the GPT-style concat-then-split layout + fill QA
 
@@ -78,7 +84,9 @@ def run_pipeline(
     min_toks: int = 8,
     max_stop_ratio: float = 0.5,
     decon_min_shared: int = 4,
-    stages: tuple = ("quality", "dedup", "decon", "chunk", "pack"),
+    stages: tuple = (
+        "quality", "dedup", "decon", "chunk", "chunkdedup", "pack"
+    ),
 ) -> dict:
     import __spark_entry__ as ops
 
@@ -167,6 +175,34 @@ def run_pipeline(
         })
         cur, n_cur = nxt, n_out
 
+    if "chunkdedup" in stages:
+        # exact passage dedup on the chunk corpus: keep the FIRST
+        # occurrence (min doc_id) of every md5-identical passage — the
+        # same lexicographic (parent, chunk) witness q_chunk_dup_groups
+        # reports, because the chunk-corpus key is
+        # parent*CHUNK_KEY_SPAN + chunk_id. Unlike the id-keyed stages,
+        # the keep set here is corpus-sized, so no broadcast semi-join:
+        # ONE hash exchange on the content hash and a first-row window
+        # does the filter in place.
+        ts = time.monotonic()
+        from pyspark.sql import Window
+
+        docs = ops._t(spark, cur, "documents")
+        rw = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        kept = (
+            docs.withColumn("_rn", F.row_number().over(rw))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        nxt = _write_docs(kept, os.path.join(output_dir, "s4b_chunkdedup"))
+        n_out = ops._t(spark, nxt, "documents").count()
+        report["stages"].append({
+            "stage": "chunkdedup", "docs_in": int(n_cur),
+            "docs_out": int(n_out),
+            "seconds": round(time.monotonic() - ts, 3),
+        })
+        cur, n_cur = nxt, n_out
+
     if "pack" in stages:
         ts = time.monotonic()
         ops.q_pack_sequences(spark, cur).write.mode("errorifexists").parquet(
@@ -205,9 +241,9 @@ def main() -> None:
     ap.add_argument("--decon-min-shared", type=int, default=4)
     ap.add_argument(
         "--stages",
-        default="quality,dedup,decon,chunk,pack",
-        help="comma list from quality,dedup,decon,rebalance,chunk,pack"
-        " (rebalance is opt-in — not run by default)",
+        default="quality,dedup,decon,chunk,chunkdedup,pack",
+        help="comma list from quality,dedup,decon,rebalance,chunk,"
+        "chunkdedup,pack (rebalance is opt-in — not run by default)",
     )
     args = ap.parse_args()
 

@@ -20,10 +20,18 @@ def test_pipeline_stages_match_gated_operators(spark, tmp_path):
     out = str(tmp_path / "out")
     report = run_pipeline(spark, SF, out)
 
-    # stage counts are monotone non-increasing through the doc stages
-    doc_stages = [s for s in report["stages"] if s["stage"] != "chunk"]
+    # stage counts are monotone non-increasing through the DOC stages
+    # (chunk re-keys to chunk granularity, so it and everything after it
+    # live on a different count axis)
+    doc_stages = [
+        s for s in report["stages"]
+        if s["stage"] not in ("chunk", "chunkdedup")
+    ]
     ns = [report["docs_in"]] + [s["docs_out"] for s in doc_stages]
     assert all(a >= b for a, b in zip(ns, ns[1:])), ns
+    # chunkdedup only ever drops chunks
+    cd = [s for s in report["stages"] if s["stage"] == "chunkdedup"]
+    assert cd and cd[0]["docs_out"] <= cd[0]["docs_in"], cd
     for s in report["stages"]:
         assert s["docs_in"] >= 0 and s["docs_out"] >= 0
 
@@ -170,3 +178,37 @@ def test_rebalance_stage_matches_census(spark, tmp_path):
     k2 = ops._t(spark, os.path.join(out2, "s3b_rebalance"), "documents")
     assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == \
         sorted(r["doc_id"] for r in k2.select("doc_id").collect())
+
+
+def test_chunkdedup_stage_matches_census_and_witnesses(spark, tmp_path):
+    """The passage-dedup stage must (a) keep exactly one occurrence per
+    distinct passage text — so the kept count equals the distinct-md5
+    count of the chunk checkpoint — and (b) keep q_chunk_dup_groups'
+    first witness for every duplicated passage: the census runs on the
+    PRE-chunk checkpoint, and each (first_doc, first_chunk) maps to
+    chunk-corpus key first_doc*CHUNK_KEY_SPAN + first_chunk, which must
+    survive."""
+    import __spark_entry__ as ops
+    from jobs.corpus_pipeline import CHUNK_KEY_SPAN, run_pipeline
+
+    out = str(tmp_path / "out")
+    run_pipeline(
+        spark, SF, out, stages=("chunk", "chunkdedup")
+    )
+
+    chunks = spark.read.parquet(
+        os.path.join(out, "s4_chunks", "documents.parquet")
+    )
+    kept = spark.read.parquet(
+        os.path.join(out, "s4b_chunkdedup", "documents.parquet")
+    )
+    n_distinct = chunks.select("text").distinct().count()
+    assert kept.count() == n_distinct
+    # one row per distinct text, and every kept text is present once
+    assert kept.select("text").distinct().count() == n_distinct
+
+    census = ops.q_chunk_dup_groups(spark, SF).collect()
+    assert census, "fixture must contain duplicated passages"
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for r in census:
+        assert r["first_doc"] * CHUNK_KEY_SPAN + r["first_chunk"] in kept_ids
