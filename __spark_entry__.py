@@ -5794,6 +5794,92 @@ def q_zipf_fit(spark, sf_dir):
     )
 
 
+def q_latest_state(spark, sf_dir):
+    """Current-state table (round 6): each user's single most recent
+    event — the CDC/upsert compaction every serving layer derives from
+    an append-only event log (the "what is this key's value NOW" read).
+    Deterministic recency order (ts, event_id) so same-timestamp ties
+    can't flap between engines. 100 TB shape: ONE exchange on user_id
+    and a first-row window — the same dedup-to-latest plan a streaming
+    upsert sink compacts to; no join, no global sort (the presentation
+    orderBy is driver-side rangepartitioning on the users-sized
+    output)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").cast("long").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round(F.col("value"), 4).alias("last_value"),
+            F.unix_timestamp("ts").cast("long").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_user_features(spark, sf_dir):
+    """Per-user feature vector (round 6): the feature-store aggregate a
+    model-serving pipeline materializes from the event log — activity
+    count, span, exact money total, type diversity, and the modal event
+    type with a deterministic (count desc, type asc) tie-break. The
+    modal type is a single struct-MIN over (-count, type) — argmax as
+    one aggregation pass over the (user, type) grid, no per-user sort,
+    no second grid branch (which would re-scan the corpus — the round-6
+    branch-replication audit). Struct ordering is lexicographic
+    (int, then binary-collation ASCII string) in BOTH engines. 100 TB
+    shape: two exchanges, both user-keyed and map-side-combined: the
+    (user, type) grid, then the user reduce reusing the grid's
+    partitioning (prefix key)."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    # pre-partition on the PREFIX key so the (user, type) grid and the
+    # user reduce share one exchange (word_entropy's shape): hash on
+    # user_id satisfies the grid's (user_id, event_type) clustering
+    grid = (
+        ev.repartition("user_id")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(c).alias("_cents"),
+            F.min("ts").alias("_t0"),
+            F.max("ts").alias("_t1"),
+        )
+    )
+    return (
+        grid.groupBy("user_id")
+        .agg(
+            F.sum("_n").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("_cents").cast("long").alias("total_cents"),
+            (
+                F.unix_timestamp(F.max("_t1"))
+                - F.unix_timestamp(F.min("_t0"))
+            ).cast("long").alias("span_s"),
+            F.min(
+                F.struct(
+                    (-F.col("_n")).alias("nn"),
+                    F.col("event_type").alias("t"),
+                )
+            ).alias("_m"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            "total_cents",
+            "span_s",
+            F.col("_m.t").alias("top_type"),
+            (-F.col("_m.nn")).cast("long").alias("top_type_n"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5937,6 +6023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_trigrams": q_type_trigrams,
         "chunk_dup_groups": q_chunk_dup_groups,
         "zipf_fit": q_zipf_fit,
+        "latest_state": q_latest_state,
+        "user_features": q_user_features,
     }
 
 
@@ -8369,6 +8457,39 @@ def oracle_sql() -> dict[str, str]:
                                 / (n * sxx - sx * sx) * sx) / n
                      END, 4) AS intercept
         FROM s""",
+        "latest_state": """
+        WITH r AS (
+          SELECT user_id, event_id, event_type, value, ts,
+                 row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id,
+               CAST(event_id AS BIGINT) AS last_event_id,
+               event_type AS last_type,
+               round(value, 4) AS last_value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS last_ts
+        FROM r WHERE rn = 1 ORDER BY user_id""",
+        "user_features": """
+        WITH g AS (
+          SELECT user_id, event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT))
+                      AS BIGINT) AS cents,
+                 min(ts) AS t0, max(ts) AS t1
+          FROM events GROUP BY user_id, event_type
+        ), u AS (
+          SELECT user_id,
+                 CAST(sum(n) AS BIGINT) AS n_events,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(cents) AS BIGINT) AS total_cents,
+                 CAST(floor(epoch(max(t1))) AS BIGINT)
+                   - CAST(floor(epoch(min(t0))) AS BIGINT) AS span_s,
+                 min(struct_pack(nn := -n, t := event_type)) AS m
+          FROM g GROUP BY user_id
+        )
+        SELECT user_id, n_events, n_types, total_cents, span_s,
+               m.t AS top_type, CAST(-m.nn AS BIGINT) AS top_type_n
+        FROM u ORDER BY user_id""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

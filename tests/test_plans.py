@@ -898,3 +898,24 @@ def test_chunk_dup_and_zipf_shapes(spark):
     assert "EvalPython" not in p, p[:2000]
     n = p.count("Exchange hashpartitioning")
     assert n == 1, f"zipf_fit: {n} hash exchanges\n{p[:3000]}"
+
+
+def test_latest_state_and_user_features_shapes(spark):
+    """latest_state: one user exchange, first-row window, UDF-free.
+    user_features: the grid and the user reduce share the user-prefix
+    partitioning — exactly one hash exchange end to end (the modal type
+    is a struct-min INSIDE the reduce, not a second grid branch)."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(E.q_latest_state(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"latest_state: {n} hash exchanges\n{p[:3000]}"
+
+    p = _plan(E.q_user_features(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "Join" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"user_features: {n} hash exchanges\n{p[:3000]}"

@@ -35,7 +35,7 @@ QUERIES = [
     "psi_drift", "ks_drift", "profile_columns", "interval_overlap_pairs",
     "chi2_type_hour", "pot_exceedances", "anomaly_contribution",
     "sax_discords", "seasonal_anomaly", "melt_type_stats",
-    "exp_gap_fit", "type_trigrams",
+    "exp_gap_fit", "type_trigrams", "latest_state", "user_features",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
