@@ -919,3 +919,27 @@ def test_latest_state_and_user_features_shapes(spark):
     assert "Join" not in p, p[:2000]
     n = p.count("Exchange hashpartitioning")
     assert n == 1, f"user_features: {n} hash exchanges\n{p[:3000]}"
+
+
+def test_whole_surface_plan_census(spark):
+    """Global plan invariants over EVERY queries() entry (the automated
+    complement to the per-query asserts above, via tools/plan_audit.py):
+    no CartesianProduct anywhere, no row-wise BatchEvalPython anywhere,
+    Arrow kernels only in the documented ALLOWED_ARROW set, and
+    BroadcastNestedLoopJoin only at documented tiny-side cross joins."""
+    import __spark_entry__ as E
+    from tools.plan_audit import ALLOWED_ARROW, ALLOWED_BNLJ, census
+
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name, fn in E.queries().items():
+        c = census(_plan(fn(spark, sf)))
+        if c["cartesian"]:
+            bad.append((name, "cartesian"))
+        if c["row_python"]:
+            bad.append((name, "row_python"))
+        if c["arrow_python"] and name not in ALLOWED_ARROW:
+            bad.append((name, "arrow"))
+        if c["bnlj"] and name not in ALLOWED_BNLJ:
+            bad.append((name, "bnlj"))
+    assert not bad, bad
