@@ -5794,6 +5794,46 @@ def q_zipf_fit(spark, sf_dir):
     )
 
 
+def q_markov_entropy(spark, sf_dir):
+    """Entropy rate of the event-type process (round 6): H = −Σ_ij
+    (c_ij/N)·ln(c_ij/c_i) over the corpus transition counts — one
+    number summarizing how predictable the next event type is given the
+    current one (0 = deterministic flows; ln|types| = memoryless
+    uniform). The sequence-mining summary above q_type_transitions
+    (the matrix) and q_type_trigrams (the motifs): a DROP in entropy
+    rate between corpus snapshots means behavior is becoming scripted —
+    bot traffic, retry storms. Exact integer counts; one fixed-shape
+    double term per cell, summed over the |types|²-bounded grid and
+    4-dp rounded (the vocabulary-sum float policy). The grid is
+    persist()ed — it feeds the cell sum, the from-margin and the census
+    (the round-6 branch-replication audit). 100 TB shape: one user
+    exchange for the lag, map-side partials into the tiny grid; every
+    later relation is grid-sized."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("f"),
+        F.col("event_type").alias("t"),
+    ).where(F.col("f").isNotNull())
+    grid = (
+        pairs.groupBy("f", "t").agg(F.count("*").alias("c")).persist()
+    )
+    marg = grid.groupBy("f").agg(F.sum("c").alias("cf"))
+    tot = grid.agg(F.sum("c").cast("long").alias("n"))
+    term = -(F.col("c") / F.col("n").cast("double")) * F.log(
+        F.col("c") / F.col("cf").cast("double")
+    )
+    return (
+        grid.join(F.broadcast(marg), "f")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("long").alias("n_transitions"),
+            F.countDistinct("f").cast("long").alias("n_states"),
+            F.round(F.sum(term), 4).alias("entropy_nats"),
+        )
+    )
+
+
 def q_latest_state(spark, sf_dir):
     """Current-state table (round 6): each user's single most recent
     event — the CDC/upsert compaction every serving layer derives from
@@ -6025,6 +6065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "latest_state": q_latest_state,
         "user_features": q_user_features,
+        "markov_entropy": q_markov_entropy,
     }
 
 
@@ -8490,6 +8531,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, n_events, n_types, total_cents, span_s,
                m.t AS top_type, CAST(-m.nn AS BIGINT) AS top_type_n
         FROM u ORDER BY user_id""",
+        "markov_entropy": """
+        WITH p AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS f,
+                 event_type AS t
+          FROM events
+        ), g AS (
+          SELECT f, t, CAST(count(*) AS BIGINT) AS c
+          FROM p WHERE f IS NOT NULL GROUP BY f, t
+        ), m AS (
+          SELECT f, CAST(sum(c) AS BIGINT) AS cf FROM g GROUP BY f
+        ), tot AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n FROM g
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_transitions,
+               CAST(count(DISTINCT g.f) AS BIGINT) AS n_states,
+               round(sum(-(c / CAST(n AS DOUBLE))
+                         * ln(c / CAST(cf AS DOUBLE))), 4) AS entropy_nats
+        FROM g JOIN m USING (f) CROSS JOIN tot""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),
