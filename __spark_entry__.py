@@ -5794,6 +5794,77 @@ def q_zipf_fit(spark, sf_dir):
     )
 
 
+def q_session_type_lift(spark, sf_dir):
+    """Session-level association lift (round 6): for every unordered
+    event-type pair, lift = P(both in one session) / (P(A)·P(B)) over
+    gap-based sessions — market-basket association mining (Agrawal et
+    al. 1993's support/lift) with the session as the basket: lift >> 1
+    means the types co-occur in flows (click→purchase), lift << 1 means
+    they repel (error sessions rarely convert). Sessions are the
+    user_sessions islands (gap > 300 s breaks — the lag/cumsum
+    numbering, byte-equal to the DuckDB twin). Exact integers for all
+    supports; lift is ONE fixed-shape expression over them, 4-dp. 100 TB
+    shape: one user exchange numbers the sessions; per-session distinct
+    types collapse each session to <= |types| rows BEFORE the pair
+    self-join, so pairs are C(|types|,2)-bounded per session, never
+    event-squared; margins re-agg the persisted (session, type)
+    relation and broadcast back."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # full-precision gap test in integer MICROSECONDS (the fixture has
+    # fractional-second timestamps; a truncated-seconds gap would break
+    # sessions differently than the DuckDB twin's epoch_us)
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+            > 300_000_000
+        ),
+        1,
+    ).otherwise(0)
+    st = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_sid"),
+    ).select(
+        F.concat_ws("#", "user_id", "_sid").alias("sk"), "event_type"
+    ).distinct().persist()
+    n = st.agg(F.countDistinct("sk").cast("long").alias("ns"))
+    marg = st.groupBy("event_type").agg(F.count("*").alias("s1"))
+    a = st.select("sk", F.col("event_type").alias("ta"))
+    b = st.select("sk", F.col("event_type").alias("tb"))
+    pairs = (
+        a.join(b, "sk")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("s2"))
+    )
+    ma = marg.select(F.col("event_type").alias("ta"), F.col("s1").alias("sa"))
+    mb = marg.select(F.col("event_type").alias("tb"), F.col("s1").alias("sb"))
+    return (
+        pairs.join(F.broadcast(ma), "ta")
+        .join(F.broadcast(mb), "tb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ta",
+            "tb",
+            F.col("s2").cast("long").alias("both_sessions"),
+            F.col("sa").cast("long").alias("a_sessions"),
+            F.col("sb").cast("long").alias("b_sessions"),
+            F.round(
+                F.col("s2")
+                * F.col("ns").cast("double")
+                / (F.col("sa").cast("double") * F.col("sb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
 def q_markov_entropy(spark, sf_dir):
     """Entropy rate of the event-type process (round 6): H = −Σ_ij
     (c_ij/N)·ln(c_ij/c_i) over the corpus transition counts — one
@@ -6066,6 +6137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_state": q_latest_state,
         "user_features": q_user_features,
         "markov_entropy": q_markov_entropy,
+        "session_type_lift": q_session_type_lift,
     }
 
 
@@ -8550,6 +8622,45 @@ def oracle_sql() -> dict[str, str]:
                round(sum(-(c / CAST(n AS DOUBLE))
                          * ln(c / CAST(cf AS DOUBLE))), 4) AS entropy_nats
         FROM g JOIN m USING (f) CROSS JOIN tot""",
+        "session_type_lift": """
+        WITH o AS (
+          SELECT user_id, event_type, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 300000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, event_type,
+                 sum(brk) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        ), st AS (
+          SELECT DISTINCT user_id || '#' || CAST(sid AS VARCHAR) AS sk,
+                 event_type
+          FROM s
+        ), n AS (
+          SELECT CAST(count(DISTINCT sk) AS BIGINT) AS ns FROM st
+        ), marg AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS s1
+          FROM st GROUP BY event_type
+        ), p AS (
+          SELECT a.event_type AS ta, b.event_type AS tb,
+                 CAST(count(*) AS BIGINT) AS s2
+          FROM st a JOIN st b
+            ON a.sk = b.sk AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT ta, tb, s2 AS both_sessions,
+               ma.s1 AS a_sessions, mb.s1 AS b_sessions,
+               round(s2 * CAST(ns AS DOUBLE)
+                     / (CAST(ma.s1 AS DOUBLE) * mb.s1), 4) AS lift
+        FROM p JOIN marg ma ON ma.event_type = ta
+               JOIN marg mb ON mb.event_type = tb
+               CROSS JOIN n
+        ORDER BY ta, tb""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

@@ -36,7 +36,7 @@ QUERIES = [
     "chi2_type_hour", "pot_exceedances", "anomaly_contribution",
     "sax_discords", "seasonal_anomaly", "melt_type_stats",
     "exp_gap_fit", "type_trigrams", "latest_state", "user_features",
-    "markov_entropy",
+    "markov_entropy", "session_type_lift",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
