@@ -5991,6 +5991,296 @@ def q_user_features(spark, sf_dir):
     )
 
 
+def q_permutation_entropy(spark, sf_dir):
+    """Permutation entropy (round 6): Bandt & Pompe 2002 ordinal-pattern
+    complexity per series at order m=3 — the model-free complexity
+    detector (low = deterministic/scripted dynamics, ln 6 = white
+    noise); the symbolic complement to q_sax_motifs (which finds WHICH
+    patterns repeat; this scores HOW concentrated the pattern
+    distribution is). Each window's ordinal pattern is the rank vector
+    of (x0, x1, x2) with the standard temporal tie-break (earlier
+    sample ranks lower on equality), computed as pure integer
+    comparisons on exact cents — pattern membership can never differ
+    by a float ulp. Entropy uses the order-independent decomposition
+    H = ln(n) − Σ c·ln(c)/n over the ≤6 per-series pattern counts
+    (word_entropy's float policy: the sum has pattern-count terms, 4-dp
+    rounded); the ln(6) normalizer is a pinned 16-digit literal shared
+    verbatim by both engines (first_digit_profile's libm discipline).
+    100 TB shape: two lag windows + the (user, pattern) grid + the user
+    reduce all on ONE user_id exchange (the prefix-repartition
+    discipline); per-user state is ≤6 counters."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("long")
+    lagged = (
+        ev.repartition("user_id")
+        .select(
+            "user_id",
+            c.alias("_x2"),
+            F.lag(c, 1).over(w).alias("_x1"),
+            F.lag(c, 2).over(w).alias("_x0"),
+        )
+        .where(F.col("_x0").isNotNull())
+    )
+    a, b, cc = F.col("_x0"), F.col("_x1"), F.col("_x2")
+    pat = (
+        9 * ((b < a).cast("int") + (cc < a).cast("int"))
+        + 3 * ((a <= b).cast("int") + (cc < b).cast("int"))
+        + ((a <= cc).cast("int") + (b <= cc).cast("int"))
+    )
+    grid = (
+        lagged.select("user_id", pat.alias("_p"))
+        .groupBy("user_id", "_p")
+        .agg(F.count("*").alias("_c"))
+    )
+    n = F.sum("_c").cast("long")
+    h = F.log(n.cast("double")) - F.sum(
+        F.col("_c") * F.log("_c")
+    ) / n
+    return (
+        grid.groupBy("user_id")
+        .agg(
+            n.alias("n_windows"),
+            F.count("*").cast("long").alias("n_patterns"),
+            F.round(h, 4).alias("pe_nats"),
+            F.round(h / F.lit(1.791759469228055), 4).alias("pe_norm"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test (round 6): is the sign sequence of each
+    series around its own median random, or does it trend/oscillate?
+    (|z| large-negative = too few runs = level shifts / regime
+    stickiness the mean-based R1-R4 window can smear; large-positive =
+    too many runs = oscillation.) Values on the exact cent scale;
+    median via the pinned percentile==quantile_cont identity
+    (robust_zscore's half-multiple argument), ties AT the median
+    dropped (the classical treatment). Runs counted as lag-based
+    breaks; n1/n2/R are exact integers, and the one float expression —
+    z = (R − (1 + 2n1n2/n)) / sqrt(2n1n2(2n1n2−n)/(n²(n−1))) — is
+    spelled identically on both engines with each factor cast to
+    double pre-product (the hjorth/acf overflow discipline), 4-dp
+    rounded in the integer domain. Degenerate series (one-sided signs,
+    or 2n1n2 = n making σ = 0) emit NULL z, never Inf. 100 TB shape:
+    median window + lag window + reduce on ONE user_id exchange."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = ev.repartition("user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("_c"),
+    )
+    med = cents.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "_c",
+        F.expr("percentile(_c, 0.5)").over(wu).alias("_med"),
+    )
+    kept = med.where(F.col("_c") != F.col("_med")).select(
+        "user_id", "ts", "event_id",
+        (F.col("_c") > F.col("_med")).alias("_s"),
+    )
+    runs = kept.select(
+        "user_id",
+        "_s",
+        F.when(
+            F.lag("_s").over(wo).isNull()
+            | (F.lag("_s").over(wo) != F.col("_s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_brk"),
+    )
+    agg = runs.groupBy("user_id").agg(
+        F.sum(F.col("_s").cast("long")).alias("n_above"),
+        F.sum((~F.col("_s")).cast("long")).alias("n_below"),
+        F.sum("_brk").cast("long").alias("runs"),
+    )
+    n1, n2, r = F.col("n_above"), F.col("n_below"), F.col("runs")
+    n = n1 + n2
+    a2 = 2 * n1 * n2
+    mu = 1 + a2.cast("double") / n
+    var = (
+        a2.cast("double")
+        * (a2 - n).cast("double")
+        / (n.cast("double") * n.cast("double") * (n - 1).cast("double"))
+    )
+    z = F.when(
+        (n1 > 0) & (n2 > 0) & (a2 != n),
+        (r.cast("double") - mu) / F.sqrt(var),
+    )
+    return agg.select(
+        "user_id",
+        n.cast("long").alias("n_used"),
+        "n_above",
+        "n_below",
+        "runs",
+        (F.floor(z * 10000 + 0.5) / 10000).alias("z"),
+    ).orderBy("user_id")
+
+
+def q_gopher_quality_filter(spark, sf_dir):
+    """Named Gopher quality rules (round 6): the Rae et al. 2021 (A1.1)
+    per-document filter flags a pre-training pipeline applies before
+    dedup — word count in [50, 100000], mean word length in [3, 10],
+    symbol-to-word ratio (lone '#' or '...'-bearing words) ≤ 0.1,
+    ≥ 80% of words containing an alphabetic character, and ≥ 2 distinct
+    required stopwords present. The rule layer ABOVE the raw signals
+    (q_quality_score's ratios, q_gopher_repetition's dup shares): every
+    threshold is an ALL-INTEGER cross-multiplied predicate (3n ≤ ΣL ≤
+    10n, 10·sym ≤ n, 5·alpha ≥ 4n) so flag membership can never differ
+    by a float ulp — there is not one float in the query. The stopword
+    census is 8 explicit array_contains/list_contains terms (distinct
+    presence, not occurrences) shared verbatim by both engines; the
+    alpha test uses the shared Java/RE2 regex subset (pii_scan's
+    discipline). 100 TB shape: pure map-side — split + array HOFs are
+    Catalyst expressions, ZERO exchanges (the chunk_documents shape);
+    the orderBy is presentational."""
+    d = _t(spark, sf_dir, "documents")
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    ws = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        ws.alias("_ws"),
+    ).select(
+        "doc_id",
+        F.size("_ws").cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(_ws, 0L, (acc, w) -> acc + length(w))"
+        ).alias("sum_wlen"),
+        F.expr(
+            "size(filter(_ws, w -> w = '#' or contains(w, '...')))"
+        ).cast("long").alias("n_sym"),
+        F.expr(
+            "size(filter(_ws, w -> w rlike '[A-Za-z]'))"
+        ).cast("long").alias("n_alpha"),
+        sum(
+            [F.array_contains("_ws", s).cast("int") for s in stops],
+            F.lit(0),
+        ).cast("long").alias("n_stop"),
+    )
+    n, sl = F.col("n_words"), F.col("sum_wlen")
+    flags = base.select(
+        "doc_id",
+        "n_words",
+        "sum_wlen",
+        "n_sym",
+        "n_alpha",
+        "n_stop",
+        ((n >= 50) & (n <= 100000)).alias("wc_ok"),
+        ((3 * n <= sl) & (sl <= 10 * n)).alias("mwl_ok"),
+        (10 * F.col("n_sym") <= n).alias("sym_ok"),
+        (5 * F.col("n_alpha") >= 4 * n).alias("alpha_ok"),
+        (F.col("n_stop") >= 2).alias("stop_ok"),
+    )
+    keep = (
+        F.col("wc_ok")
+        & F.col("mwl_ok")
+        & F.col("sym_ok")
+        & F.col("alpha_ok")
+        & F.col("stop_ok")
+    )
+    return flags.withColumn("keep", keep).orderBy("doc_id")
+
+
+CORR_TOP_USERS = 20  # pair census bounded at K^2/2 whatever the corpus
+
+
+def q_corr_pairs(spark, sf_dir):
+    """Top-K user synchrony pairs (round 6): pairwise Pearson
+    correlation of the K most active users' zero-filled minutely event
+    counts over the global span — the coordinated-behavior detector
+    (a clique of near-1 correlations = a botnet or a shared upstream;
+    corr_to_global only says WHO moves with the fleet, this says who
+    moves with WHOM). All sufficient statistics exact integers: zeros
+    contribute nothing to Σx/Σx²/Σxy, so the dense-grid moments reduce
+    to sparse sums over present minutes plus the global n = span
+    minutes; corr = (n·Sxy − Sx·Sy)/sqrt((n·Sxx − Sx²)(n·Syy − Sy²))
+    with each factor cast to double pre-product (acf_lags), NULL on
+    zero variance, 4-dp integer-domain rounding. Top-K deterministic
+    (count desc, user asc). 100 TB shape: the corpus crosses the wire
+    ONCE into the persisted (user, minute) grid (map-side partials);
+    the span and top-K derive from grid re-aggregates (never a second
+    corpus scan — the branch-replication audit); the pair join runs on
+    K broadcast-filtered grid slices, K²/2-bounded, and the K×K pair
+    frame is a deliberate tiny-side BNLJ."""
+    ev = _t(spark, sf_dir, "events")
+    minute = F.floor(F.unix_timestamp("ts") / 60).cast("long")
+    grid = (
+        ev.select("user_id", minute.alias("_m"))
+        .groupBy("user_id", "_m")
+        .agg(F.count("*").alias("_c"))
+        .persist()
+    )
+    span = grid.agg(
+        (F.max("_m") - F.min("_m") + 1).cast("long").alias("n_min")
+    )
+    stats = grid.groupBy("user_id").agg(
+        F.sum("_c").cast("long").alias("_sx"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_sxx"),
+    )
+    top = stats.orderBy(F.desc("_sx"), F.asc("user_id")).limit(
+        CORR_TOP_USERS
+    )
+    ga = grid.join(
+        F.broadcast(top.select(F.col("user_id").alias("_ua"))),
+        grid["user_id"] == F.col("_ua"),
+    ).select(F.col("_ua"), F.col("_m"), F.col("_c").alias("_ca"))
+    gb = grid.join(
+        F.broadcast(top.select(F.col("user_id").alias("_ub"))),
+        grid["user_id"] == F.col("_ub"),
+    ).select(F.col("_ub"), F.col("_m"), F.col("_c").alias("_cb"))
+    sxy = (
+        ga.join(F.broadcast(gb), "_m")
+        .where(F.col("_ua") < F.col("_ub"))
+        .groupBy("_ua", "_ub")
+        .agg(
+            F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("_sxy"),
+            F.count("*").cast("long").alias("_shared"),
+        )
+    )
+    pa = top.select(
+        F.col("user_id").alias("_ua"),
+        F.col("_sx").alias("_sa"),
+        F.col("_sxx").alias("_saa"),
+    )
+    pb = top.select(
+        F.col("user_id").alias("_ub"),
+        F.col("_sx").alias("_sb"),
+        F.col("_sxx").alias("_sbb"),
+    )
+    pairs = (
+        pa.join(F.broadcast(pb), pa["_ua"] < pb["_ub"])
+        .join(sxy, ["_ua", "_ub"], "left")
+        .crossJoin(F.broadcast(span))
+        .na.fill({"_sxy": 0, "_shared": 0})
+    )
+    nd = F.col("n_min").cast("double")
+    num = nd * F.col("_sxy").cast("double") - F.col("_sa").cast(
+        "double"
+    ) * F.col("_sb").cast("double")
+    da = nd * F.col("_saa").cast("double") - F.col("_sa").cast(
+        "double"
+    ) * F.col("_sa").cast("double")
+    db = nd * F.col("_sbb").cast("double") - F.col("_sb").cast(
+        "double"
+    ) * F.col("_sb").cast("double")
+    corr = F.when((da > 0) & (db > 0), num / F.sqrt(da * db))
+    return pairs.select(
+        F.col("_ua").alias("user_a"),
+        F.col("_ub").alias("user_b"),
+        F.col("n_min").alias("n_minutes"),
+        F.col("_shared").alias("shared_minutes"),
+        F.col("_sxy").alias("sum_xy"),
+        (F.floor(corr * 10000 + 0.5) / 10000).alias("corr"),
+    ).orderBy("user_a", "user_b")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6138,6 +6428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_features": q_user_features,
         "markov_entropy": q_markov_entropy,
         "session_type_lift": q_session_type_lift,
+        "permutation_entropy": q_permutation_entropy,
+        "runs_test": q_runs_test,
+        "gopher_quality_filter": q_gopher_quality_filter,
+        "corr_pairs": q_corr_pairs,
     }
 
 
@@ -8661,6 +8955,155 @@ def oracle_sql() -> dict[str, str]:
                JOIN marg mb ON mb.event_type = tb
                CROSS JOIN n
         ORDER BY ta, tb""",
+        "permutation_entropy": """
+        WITH l AS (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS x2,
+                 lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS x1,
+                 lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS x0
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), p AS (
+          SELECT user_id,
+                 9 * (CAST(x1 < x0 AS INT) + CAST(x2 < x0 AS INT))
+                 + 3 * (CAST(x0 <= x1 AS INT) + CAST(x2 < x1 AS INT))
+                 + (CAST(x0 <= x2 AS INT) + CAST(x1 <= x2 AS INT)) AS pat
+          FROM l WHERE x0 IS NOT NULL
+        ), g AS (
+          SELECT user_id, pat, CAST(count(*) AS BIGINT) AS c
+          FROM p GROUP BY user_id, pat
+        )
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS n_windows,
+               CAST(count(*) AS BIGINT) AS n_patterns,
+               round(ln(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))
+                     - sum(c * ln(c)) / CAST(sum(c) AS BIGINT),
+                     4) AS pe_nats,
+               round((ln(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))
+                      - sum(c * ln(c)) / CAST(sum(c) AS BIGINT))
+                     / 1.791759469228055, 4) AS pe_norm
+        FROM g GROUP BY user_id ORDER BY user_id""",
+        "runs_test": """
+        WITH cc AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS cv,
+                 quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+                   OVER (PARTITION BY user_id) AS med
+          FROM events
+        ), k AS (
+          SELECT user_id, ts, event_id, (cv > med) AS s
+          FROM cc WHERE cv != med
+        ), r AS (
+          SELECT user_id, s,
+                 CASE WHEN lag(s) OVER w IS NULL OR lag(s) OVER w != s
+                      THEN 1 ELSE 0 END AS brk
+          FROM k
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), a AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+                 CAST(sum(brk) AS BIGINT) AS runs
+          FROM r GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(n1 + n2 AS BIGINT) AS n_used,
+               n1 AS n_above, n2 AS n_below, runs,
+               CASE WHEN n1 > 0 AND n2 > 0 AND 2 * n1 * n2 != n1 + n2
+                 THEN floor(
+                   (CAST(runs AS DOUBLE)
+                    - (1 + CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2)))
+                   / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                          * CAST(2 * n1 * n2 - (n1 + n2) AS DOUBLE)
+                          / (CAST(n1 + n2 AS DOUBLE)
+                             * CAST(n1 + n2 AS DOUBLE)
+                             * CAST(n1 + n2 - 1 AS DOUBLE)))
+                   * 10000 + 0.5) / 10000
+               END AS z
+        FROM a ORDER BY user_id""",
+        "gopher_quality_filter": """
+        WITH b AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(list_aggregate(list_transform(ws, w -> length(w)),
+                                     'sum') AS BIGINT) AS sum_wlen,
+                 CAST(len(list_filter(ws, w -> w = '#'
+                          OR contains(w, '...'))) AS BIGINT) AS n_sym,
+                 CAST(len(list_filter(ws,
+                          w -> regexp_matches(w, '[A-Za-z]')))
+                      AS BIGINT) AS n_alpha,
+                 CAST(CAST(list_contains(ws, 'the') AS INT)
+                    + CAST(list_contains(ws, 'be') AS INT)
+                    + CAST(list_contains(ws, 'to') AS INT)
+                    + CAST(list_contains(ws, 'of') AS INT)
+                    + CAST(list_contains(ws, 'and') AS INT)
+                    + CAST(list_contains(ws, 'that') AS INT)
+                    + CAST(list_contains(ws, 'have') AS INT)
+                    + CAST(list_contains(ws, 'with') AS INT)
+                      AS BIGINT) AS n_stop
+          FROM b
+        )
+        SELECT doc_id, n_words, sum_wlen, n_sym, n_alpha, n_stop,
+               (n_words >= 50 AND n_words <= 100000) AS wc_ok,
+               (3 * n_words <= sum_wlen
+                AND sum_wlen <= 10 * n_words) AS mwl_ok,
+               (10 * n_sym <= n_words) AS sym_ok,
+               (5 * n_alpha >= 4 * n_words) AS alpha_ok,
+               (n_stop >= 2) AS stop_ok,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (3 * n_words <= sum_wlen
+                     AND sum_wlen <= 10 * n_words)
+                AND (10 * n_sym <= n_words)
+                AND (5 * n_alpha >= 4 * n_words)
+                AND (n_stop >= 2)) AS keep
+        FROM m ORDER BY doc_id""",
+        "corr_pairs": f"""
+        WITH grid AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ), span AS (
+          SELECT CAST(max(m) - min(m) + 1 AS BIGINT) AS n_min FROM grid
+        ), stats AS (
+          SELECT user_id, CAST(sum(c) AS BIGINT) AS sx,
+                 CAST(sum(c * c) AS BIGINT) AS sxx
+          FROM grid GROUP BY user_id
+        ), top AS (
+          SELECT * FROM stats
+          ORDER BY sx DESC, user_id LIMIT {CORR_TOP_USERS}
+        ), xy AS (
+          SELECT a.user_id AS ua, b.user_id AS ub,
+                 CAST(sum(ga.c * gb.c) AS BIGINT) AS sxy,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM top a JOIN top b ON a.user_id < b.user_id
+          JOIN grid ga ON ga.user_id = a.user_id
+          JOIN grid gb ON gb.user_id = b.user_id AND gb.m = ga.m
+          GROUP BY 1, 2
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               n_min AS n_minutes,
+               COALESCE(shared, 0) AS shared_minutes,
+               COALESCE(sxy, 0) AS sum_xy,
+               CASE WHEN CAST(n_min AS DOUBLE) * CAST(a.sxx AS DOUBLE)
+                         - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE) > 0
+                     AND CAST(n_min AS DOUBLE) * CAST(b.sxx AS DOUBLE)
+                         - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) > 0
+                 THEN floor(
+                   (CAST(n_min AS DOUBLE) * CAST(COALESCE(sxy, 0) AS DOUBLE)
+                    - CAST(a.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
+                   / sqrt((CAST(n_min AS DOUBLE) * CAST(a.sxx AS DOUBLE)
+                           - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
+                          * (CAST(n_min AS DOUBLE) * CAST(b.sxx AS DOUBLE)
+                             - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE)))
+                   * 10000 + 0.5) / 10000
+               END AS corr
+        FROM top a JOIN top b ON a.user_id < b.user_id
+        LEFT JOIN xy ON xy.ua = a.user_id AND xy.ub = b.user_id
+        CROSS JOIN span
+        ORDER BY user_a, user_b""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

@@ -921,6 +921,37 @@ def test_latest_state_and_user_features_shapes(spark):
     assert n == 1, f"user_features: {n} hash exchanges\n{p[:3000]}"
 
 
+def test_round6_session5_shapes(spark):
+    """permutation_entropy / runs_test: lag + grid + reduce (resp. two
+    order-statistic windows + reduce) on ONE user exchange, join-free.
+    gopher_quality_filter: pure map-side — ZERO exchanges, zero joins.
+    corr_pairs: the corpus is scanned into a PERSISTED grid (every
+    downstream branch reads cache, never parquet twice at runtime), the
+    pair joins broadcast, and nothing is a cartesian product."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    for name in ("permutation_entropy", "runs_test"):
+        p = _plan(E.queries()[name](spark, sf))
+        assert "EvalPython" not in p, (name, p[:2000])
+        assert "Join" not in p, (name, p[:2000])
+        n = p.count("Exchange hashpartitioning")
+        assert n == 1, f"{name}: {n} hash exchanges\n{p[:3000]}"
+
+    p = _plan(E.q_gopher_quality_filter(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "Join" not in p, p[:2000]
+    assert p.count("Exchange hashpartitioning") == 0, p[:3000]
+
+    p = _plan(E.q_corr_pairs(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert "InMemoryTableScan" in p, p[:3000]
+    assert "TakeOrderedAndProject" in p, p[:3000]
+
+
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated
     complement to the per-query asserts above, via tools/plan_audit.py):

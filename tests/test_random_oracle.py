@@ -36,7 +36,8 @@ QUERIES = [
     "chi2_type_hour", "pot_exceedances", "anomaly_contribution",
     "sax_discords", "seasonal_anomaly", "melt_type_stats",
     "exp_gap_fit", "type_trigrams", "latest_state", "user_features",
-    "markov_entropy", "session_type_lift",
+    "markov_entropy", "session_type_lift", "permutation_entropy",
+    "runs_test", "corr_pairs",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -177,6 +178,7 @@ DOC_QUERIES = [
     # so the bounded Misra-Gries candidate path actually decrements here
     "heavy_hitters", "pmi_collocations", "triangle_count",
     "source_dup_matrix", "chunk_dup_groups", "zipf_fit",
+    "gopher_quality_filter",
 ]
 
 
@@ -235,6 +237,15 @@ def _build_documents(seed: int) -> "pd.DataFrame":
     add(" ".join(["same"] * 32))
     add("the and of " * 8 + "the", lang="en")
     add("der und die " * 6, lang="de")
+    # gopher-rule support: symbol-heavy words ('#', '...'), a numeric
+    # (non-alpha) doc, and one 60-word doc that PASSES all five rules
+    add("# " * 10 + "see... more... " + rand_text(20))
+    add(" ".join(str(int(x)) for x in rng.integers(0, 99, 40)))
+    add(
+        "the data and table be good to scan of rows and that have "
+        "with speed " + rand_text(46),
+        lang="en",
+    )
     # bulk randoms
     for _ in range(30):
         add(rand_text(int(rng.integers(5, 80))))
