@@ -6281,6 +6281,198 @@ def q_corr_pairs(spark, sf_dir):
     ).orderBy("user_a", "user_b")
 
 
+def q_ljung_box(spark, sf_dir):
+    """Ljung–Box portmanteau whiteness test (round 6): is a series'
+    residual autocorrelation structure jointly zero at lags 1..3?
+    Q = n(n+2)·Σ r̂_k²/(n−k) with the STANDARD common-mean common-
+    denominator autocorrelation estimator r̂_k (Box–Jenkins), not
+    acf_lags' pairwise Pearson — the two agree asymptotically but Q's
+    χ² calibration needs this estimator. The one-number complement to
+    acf_lags: a detector pipeline runs it on R1-R4 residuals to decide
+    whether the window model left structure behind. All sufficient
+    statistics (n, S, Sxx, per-lag Sxy/Sx_head/Sy_tail) exact int64 on
+    the cent scale; r̂_k = (n²Sxy_k − nS(Sxk+Syk) + (n−k)S²) / (n(nSxx
+    − S²)) and Q evaluated with every factor cast to double pre-product
+    (the acf/hjorth overflow discipline), identically spelled both
+    engines; reject flag vs the pinned χ²₃(0.95) literal 7.8147. NULL
+    on n ≤ 3 or constant series. 100 TB shape: lag windows + reduce on
+    ONE user_id exchange."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.repartition("user_id").select(
+        "user_id",
+        c.alias("_c"),
+        *[F.lag(c, k).over(w).alias(f"_g{k}") for k in (1, 2, 3)],
+    )
+    z = F.lit(0).cast("long")
+    aggs = [
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_c").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_sxx"),
+    ]
+    for k in (1, 2, 3):
+        g = F.col(f"_g{k}")
+        ok = g.isNotNull()
+        aggs += [
+            F.sum(F.when(ok, F.col("_c") * g).otherwise(z)).alias(f"_sxy{k}"),
+            F.sum(F.when(ok, F.col("_c")).otherwise(z)).alias(f"_sh{k}"),
+            F.sum(F.when(ok, g).otherwise(z)).alias(f"_st{k}"),
+        ]
+    stats = base.groupBy("user_id").agg(*aggs)
+    nd = F.col("_n").cast("double")
+    sd = F.col("_s").cast("double")
+    den = nd * (nd * F.col("_sxx").cast("double") - sd * sd)
+
+    def r(k):
+        return (
+            nd * nd * F.col(f"_sxy{k}").cast("double")
+            - nd * sd * (F.col(f"_sh{k}") + F.col(f"_st{k}")).cast("double")
+            + (F.col("_n") - k).cast("double") * sd * sd
+        ) / den
+
+    q = (
+        nd
+        * (F.col("_n") + 2).cast("double")
+        * (
+            r(1) * r(1) / (F.col("_n") - 1).cast("double")
+            + r(2) * r(2) / (F.col("_n") - 2).cast("double")
+            + r(3) * r(3) / (F.col("_n") - 3).cast("double")
+        )
+    )
+    qq = F.when((F.col("_n") > 3) & (den > 0), q)
+    return stats.select(
+        "user_id",
+        F.col("_n").alias("n"),
+        (F.floor(qq * 10000 + 0.5) / 10000).alias("lb_q"),
+        F.when(qq.isNotNull(), qq > 7.8147).alias("reject_5pct"),
+    ).orderBy("user_id")
+
+
+def q_label_centroid_dists(spark, sf_dir):
+    """Pairwise cosine between label centroids (round 6): the class-
+    separation matrix above q_label_centroids — near-1 off-diagonal
+    cosines mean two labels' prototypes collapse (mislabeled data or a
+    class split that isn't real), the diagnostic run before trusting
+    nearest-class-mean or per-class drift monitors. Bit-exactness by
+    construction: the cosine is computed over the PUBLISHED 4-dp
+    centroid integers (label_centroids' sign·((2|s|·10⁴+den) div
+    (2·den)) spelling — already integer-domain deterministic), so every
+    dot/norm term is a small exact int64 (≪ 2⁵³: no big-integer→double
+    rounding divergence class at all) and the single float expression
+    num/sqrt(na·nb) is identically spelled. NULL on a zero-norm
+    centroid. 100 TB shape: ONE (label, dim) exchange with map-side
+    partials (the corpus never re-shuffles); the persisted labels×dims
+    grid feeds both the pair join (broadcast, |labels|²-bounded) and
+    the norms."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.round(F.col("x").cast("double") * 1000000).cast("long")
+    agg = (
+        e.select("label", F.posexplode("embedding").alias("i", "x"))
+        .select("label", "i", q.alias("_q"))
+        .groupBy("label", "i")
+        .agg(F.count("*").cast("long").alias("_n"), F.sum("_q").alias("_s"))
+    )
+    m4 = (
+        F.when(F.col("_s") < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.expr(
+            "(2 * abs(_s) * 10000 + _n * 1000000) div (2 * _n * 1000000)"
+        )
+    ).cast("long")
+    grid = agg.select("label", "i", m4.alias("_m")).persist()
+    norms = grid.groupBy("label").agg(
+        F.sum(F.col("_m") * F.col("_m")).cast("long").alias("_nn")
+    )
+    pairs = (
+        grid.select(
+            F.col("label").alias("label_a"),
+            F.col("i"),
+            F.col("_m").alias("_ma"),
+        )
+        .join(
+            F.broadcast(
+                grid.select(
+                    F.col("label").alias("label_b"),
+                    F.col("i"),
+                    F.col("_m").alias("_mb"),
+                )
+            ),
+            "i",
+        )
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("_ma") * F.col("_mb")).cast("long").alias("_dot"),
+            F.count("*").cast("long").alias("n_dims"),
+        )
+    )
+    j = (
+        pairs.join(
+            F.broadcast(norms.select(F.col("label").alias("label_a"),
+                                     F.col("_nn").alias("_na"))),
+            "label_a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("label").alias("label_b"),
+                                     F.col("_nn").alias("_nb"))),
+            "label_b",
+        )
+    )
+    cos = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        F.col("_dot").cast("double")
+        / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double")),
+    )
+    return j.select(
+        "label_a",
+        "label_b",
+        "n_dims",
+        (F.floor(cos * 10000 + 0.5) / 10000).alias("cos"),
+    ).orderBy("label_a", "label_b")
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document shingle novelty (round 6): what fraction of a doc's
+    distinct word-3-grams appear in NO earlier document (doc_id order =
+    ingest order)? The incremental-crawl health curve a corpus pipeline
+    watches: novelty collapsing toward 0 means the crawler is re-reading
+    the same web (dedup load about to spike), per-source novelty ranks
+    feeds' marginal value. The marginal-information complement to the
+    dedup family (which asks "is this PAIR a dup"; this asks "did doc d
+    add anything"). First-seer = min(doc_id) OVER the shingle partition
+    — a window, not an agg+self-join, so the shingle relation is
+    scanned ONCE and never broadcast; exact and order-independent.
+    novelty = n_novel/n_shingles rounded half-up in the INTEGER domain
+    (nonneg rational, the label_centroids div spelling). Docs with <3
+    words have no shingles and are absent on both engines. 100 TB
+    shape: exactly two exchanges — the shingle window, then the doc
+    reduce — one corpus scan, no join anywhere."""
+    sh = _shingles(spark, sf_dir)
+    wsh = Window.partitionBy("shingle")
+    per = (
+        sh.select(
+            "doc_id",
+            (F.min("doc_id").over(wsh) == F.col("doc_id")).alias("_nv"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.col("_nv").cast("long")).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (
+            F.expr(
+                "(2 * n_novel * 10000 + n_shingles) div (2 * n_shingles)"
+            )
+            / F.lit(10000.0)
+        ).alias("novelty"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6432,6 +6624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "gopher_quality_filter": q_gopher_quality_filter,
         "corr_pairs": q_corr_pairs,
+        "ljung_box": q_ljung_box,
+        "label_centroid_dists": q_label_centroid_dists,
+        "ngram_novelty": q_ngram_novelty,
     }
 
 
@@ -9104,6 +9299,137 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN xy ON xy.ua = a.user_id AND xy.ub = b.user_id
         CROSS JOIN span
         ORDER BY user_a, user_b""",
+        "ljung_box": """
+        WITH l AS (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS g1,
+                 lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS g2,
+                 lag(CAST(round(value * 100) AS BIGINT), 3) OVER w AS g3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), a AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(sum(c * c) AS BIGINT) AS sxx,
+                 CAST(sum(CASE WHEN g1 IS NOT NULL THEN c * g1 ELSE 0 END)
+                      AS BIGINT) AS sxy1,
+                 CAST(sum(CASE WHEN g1 IS NOT NULL THEN c ELSE 0 END)
+                      AS BIGINT) AS sh1,
+                 CAST(sum(CASE WHEN g1 IS NOT NULL THEN g1 ELSE 0 END)
+                      AS BIGINT) AS st1,
+                 CAST(sum(CASE WHEN g2 IS NOT NULL THEN c * g2 ELSE 0 END)
+                      AS BIGINT) AS sxy2,
+                 CAST(sum(CASE WHEN g2 IS NOT NULL THEN c ELSE 0 END)
+                      AS BIGINT) AS sh2,
+                 CAST(sum(CASE WHEN g2 IS NOT NULL THEN g2 ELSE 0 END)
+                      AS BIGINT) AS st2,
+                 CAST(sum(CASE WHEN g3 IS NOT NULL THEN c * g3 ELSE 0 END)
+                      AS BIGINT) AS sxy3,
+                 CAST(sum(CASE WHEN g3 IS NOT NULL THEN c ELSE 0 END)
+                      AS BIGINT) AS sh3,
+                 CAST(sum(CASE WHEN g3 IS NOT NULL THEN g3 ELSE 0 END)
+                      AS BIGINT) AS st3
+          FROM l GROUP BY user_id
+        ), b AS (
+          SELECT *,
+                 CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS den
+          FROM a
+        ), rr AS (
+          SELECT *,
+                 (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(sxy1 AS DOUBLE)
+                  - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                    * CAST(sh1 + st1 AS DOUBLE)
+                  + CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE)) / den AS r1,
+                 (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(sxy2 AS DOUBLE)
+                  - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                    * CAST(sh2 + st2 AS DOUBLE)
+                  + CAST(n - 2 AS DOUBLE) * CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE)) / den AS r2,
+                 (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(sxy3 AS DOUBLE)
+                  - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                    * CAST(sh3 + st3 AS DOUBLE)
+                  + CAST(n - 3 AS DOUBLE) * CAST(s AS DOUBLE)
+                    * CAST(s AS DOUBLE)) / den AS r3
+          FROM b
+        ), qq AS (
+          SELECT *,
+                 CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                   * (r1 * r1 / CAST(n - 1 AS DOUBLE)
+                      + r2 * r2 / CAST(n - 2 AS DOUBLE)
+                      + r3 * r3 / CAST(n - 3 AS DOUBLE)) AS q
+          FROM rr
+        )
+        SELECT user_id, n,
+               CASE WHEN n > 3 AND den > 0
+                 THEN floor(q * 10000 + 0.5) / 10000 END AS lb_q,
+               CASE WHEN n > 3 AND den > 0 THEN (q > 7.8147) END
+                 AS reject_5pct
+        FROM qq ORDER BY user_id""",
+        "label_centroid_dists": """
+        WITH p AS (
+          SELECT label,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                   AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                      AS BIGINT) AS q
+          FROM embeddings
+        ), a AS (
+          SELECT label, dim,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q) AS BIGINT) AS s
+          FROM p GROUP BY label, dim
+        ), g AS (
+          SELECT label, dim,
+                 CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                      * ((2 * abs(s) * 10000 + n * 1000000)
+                         // (2 * n * 1000000)) AS BIGINT) AS m
+          FROM a
+        ), norms AS (
+          SELECT label, CAST(sum(m * m) AS BIGINT) AS sq
+          FROM g GROUP BY label
+        ), d AS (
+          SELECT ga.label AS label_a, gb.label AS label_b,
+                 CAST(sum(ga.m * gb.m) AS BIGINT) AS dot,
+                 CAST(count(*) AS BIGINT) AS n_dims
+          FROM g ga JOIN g gb
+            ON gb.dim = ga.dim AND ga.label < gb.label
+          GROUP BY 1, 2
+        )
+        SELECT label_a, label_b, n_dims,
+               CASE WHEN na.sq > 0 AND nb.sq > 0 THEN
+                 floor(CAST(dot AS DOUBLE)
+                       / sqrt(CAST(na.sq AS DOUBLE)
+                              * CAST(nb.sq AS DOUBLE))
+                       * 10000 + 0.5) / 10000
+               END AS cos
+        FROM d JOIN norms na ON na.label = label_a
+               JOIN norms nb ON nb.label = label_b
+        ORDER BY label_a, label_b""",
+        "ngram_novelty": """
+        WITH _WPOS_, _SH_,
+        f AS (
+          SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY shingle
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               (2 * CAST(sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)
+                         AS BIGINT) * 10000
+                + CAST(count(*) AS BIGINT))
+               // (2 * CAST(count(*) AS BIGINT)) / 10000.0 AS novelty
+        FROM sh s JOIN f USING (shingle)
+        GROUP BY s.doc_id ORDER BY s.doc_id""".replace(
+            "_WPOS_", _WPOS_SQL.strip().rstrip()
+        ).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

@@ -521,6 +521,73 @@ def dedup_stream(
     ).dropDuplicatesWithinWatermark(keys or ["event_id"])
 
 
+def latest_state_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming CDC compaction — the stateful twin of the batch
+    ``q_latest_state`` serving view (round 6): per user, the single most
+    recent event by the deterministic (ts, event_id) recency order,
+    carried as O(1) state across micro-batches and checkpointed
+    restarts. Each micro-batch that touches a key APPENDS that key's
+    current state row, so the sink compacts to the serving table by
+    keeping each key's max-(last_ts_us, last_event_id) row — exactly
+    what a foreachBatch MERGE upsert sink does, and exactly the batch
+    first-row-window plan's answer (parity pinned in test_streaming).
+
+    Recency compares the integer (microsecond, event_id) tuple — never
+    a float, never a wall clock — so same-timestamp ties cannot flap
+    between batch and stream or across a restart. ``value`` is emitted
+    RAW (the batch query's 4-dp rounding is presentational; the parity
+    test applies Spark's own round to both sides). State per user is
+    one 4-field record; the only stateful exchange keys on user_id —
+    the same bounded-state contract as cusum_stream.
+
+    Ordering contract: none needed within a batch (the argmax scans all
+    chunks), and cross-batch correctness needs no event-time ordering
+    either — an out-of-order LATE event simply loses the (ts, event_id)
+    comparison, matching the batch semantics over the full log.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, last_event_id long, last_type string, "
+        "last_value double, last_ts_us long"
+    )
+    state_schema = "ts_us long, event_id long, event_type string, value double"
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        best = tuple(state.get) if state.exists else None
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            pdf = pdf.assign(_ts_us=ts_us)
+            row = pdf.sort_values(["_ts_us", "event_id"]).iloc[-1]
+            cand = (
+                int(row["_ts_us"]),
+                int(row["event_id"]),
+                str(row["event_type"]),
+                float(row["value"]),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        if best is not None:
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_event_id": [best[1]],
+                    "last_type": [best[2]],
+                    "last_value": [best[3]],
+                    "last_ts_us": [best[0]],
+                }
+            )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def interval_pair_stream(
     a_stream: DataFrame,
     b_stream: DataFrame,

@@ -951,6 +951,26 @@ def test_round6_session5_shapes(spark):
     assert "InMemoryTableScan" in p, p[:3000]
     assert "TakeOrderedAndProject" in p, p[:3000]
 
+    # ljung_box: the three lag windows + reduce share one user exchange
+    p = _plan(E.q_ljung_box(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"ljung_box: {n} hash exchanges\n{p[:3000]}"
+
+    # ngram_novelty: first-seer is a WINDOW, never an agg+self-join or a
+    # shingle broadcast — one corpus scan, no join node
+    p = _plan(E.q_ngram_novelty(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    assert p.count("Scan parquet") == 1, p[:3000]
+
+    # label_centroid_dists: persisted 4-dp centroid grid feeds the
+    # broadcast pair join and the norms — cache reads, no SMJ/cartesian
+    p = _plan(E.q_label_centroid_dists(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert "InMemoryTableScan" in p, p[:3000]
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

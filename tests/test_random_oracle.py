@@ -37,7 +37,7 @@ QUERIES = [
     "sax_discords", "seasonal_anomaly", "melt_type_stats",
     "exp_gap_fit", "type_trigrams", "latest_state", "user_features",
     "markov_entropy", "session_type_lift", "permutation_entropy",
-    "runs_test", "corr_pairs",
+    "runs_test", "corr_pairs", "ljung_box",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -178,7 +178,7 @@ DOC_QUERIES = [
     # so the bounded Misra-Gries candidate path actually decrements here
     "heavy_hitters", "pmi_collocations", "triangle_count",
     "source_dup_matrix", "chunk_dup_groups", "zipf_fit",
-    "gopher_quality_filter",
+    "gopher_quality_filter", "ngram_novelty",
 ]
 
 
@@ -289,7 +289,10 @@ def test_document_twins_agree_on_adversarial_corpus(spark, tmp_path, seed):
     assert not failures, failures
 
 
-EMB_QUERIES = ["embedding_norms", "embedding_topk", "label_centroids"]
+EMB_QUERIES = [
+    "embedding_norms", "embedding_topk", "label_centroids",
+    "label_centroid_dists",
+]
 
 
 def _build_embeddings(seed: int) -> "pd.DataFrame":

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from engine.io import ParquetManifestFormat, synth_tokens
@@ -932,3 +933,112 @@ def test_psi_stream_cent_quantization_matches_batch_round(spark):
     v = np.asarray(vals, dtype=np.float64) * 100
     got = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
     assert got.tolist() == want
+
+
+def test_latest_state_batch_stream_parity(spark, tmp_path):
+    """Round-6 twin pin: latest_state_stream (O(1)-state CDC compaction)
+    over TWO file drops with a checkpointed restart, compacted by
+    keeping each key's max-(last_ts_us, last_event_id) emitted row, must
+    equal the batch q_latest_state serving view row-for-row — including
+    a crafted same-timestamp tie (decided by event_id on both sides) and
+    a crafted LATE event in drop 2 (older than drop 1's head: it must
+    NOT displace the newer state)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # crafted rows: user 7001 gets two events at the SAME microsecond
+    # (tie -> higher event_id wins); the second lands in drop 2 but is
+    # event-time OLDER than user 7002's drop-2 event (late-arrival path)
+    crafted = spark.createDataFrame(
+        [
+            (900001, "2024-06-01 00:00:00", 7001, "click", 1.0),
+            (900003, "2024-06-01 00:00:00", 7001, "view", 2.0),
+            (900002, "2024-06-02 00:00:00", 7002, "click", 3.0),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value",
+    )
+    t_split = ev.agg(
+        F.expr("percentile(unix_timestamp(ts), 0.5)").cast("long").alias("t")
+    ).collect()[0]["t"]
+    d1 = ev.where(F.unix_timestamp("ts") < t_split).unionByName(
+        crafted.where(F.col("event_id") == 900001)
+    )
+    d2 = ev.where(F.unix_timestamp("ts") >= t_split).unionByName(
+        crafted.where(F.col("event_id") != 900001)
+    )
+    full = ev.unionByName(crafted)
+
+    src = str(tmp_path / "events_ls")
+    ckpt = str(tmp_path / "ckpt_ls")
+    outdir = str(tmp_path / "out_ls")
+    os.makedirs(src)
+
+    from engine.streaming import latest_state_stream
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        ).parquet(f"{src}/*")
+        q = (
+            latest_state_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    d1.write.parquet(f"{src}/d1")
+    run()
+    d2.write.parquet(f"{src}/d2")
+    run()
+
+    # compact the append log exactly like a MERGE sink: last state per key
+    emitted = spark.read.parquet(outdir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("last_ts_us"), F.desc("last_event_id")
+    )
+    got = {
+        r["user_id"]: (
+            r["last_event_id"],
+            r["last_type"],
+            r["v4"],
+            r["last_ts_us"] // 1_000_000,
+        )
+        for r in emitted.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id", "last_event_id", "last_type", "last_ts_us",
+            F.round("last_value", 4).alias("v4"),
+        )
+        .collect()
+    }
+
+    # batch twin over the full log (same Spark round applied by the query)
+    tmp = str(tmp_path / "sf_full")
+    os.makedirs(tmp)
+    full.write.parquet(os.path.join(tmp, "events.parquet"))
+    want = {
+        r["user_id"]: (
+            r["last_event_id"], r["last_type"], r["last_value"], r["last_ts"]
+        )
+        for r in entrymod.q_latest_state(spark, tmp).collect()
+    }
+    assert got == want
+    # the crafted semantics actually decided: tie by event_id, late loses
+    assert want[7001][0] == 900003 and want[7001][1] == "view"
+    assert want[7002][0] == 900002
