@@ -6473,6 +6473,69 @@ def q_ngram_novelty(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_rolling_skew(spark, sf_dir):
+    """Rolling skewness (round 6): the third standardized moment over
+    the same trailing 30-row window as R1/R2 — the asymmetry detector
+    (a heavy upper tail inside the window flags ramping load that a
+    symmetric z-score undercounts). R2's exact-integer discipline
+    extended one moment up: window sums S1=Σc, S2=Σc², S3=Σc³ are
+    exact int64 on the cent scale (domain bound documented: |cents| ≤
+    2·10⁵ keeps w·c³ < 2⁶³; the gate corpora top out at ~5.7·10⁴), and
+    g1 = (n²S3 − 3nS1S2 + 2S1³) / (nS2 − S1²)^{3/2} is evaluated with
+    every factor cast to double pre-product, identically spelled both
+    engines (int64→double casts are correctly rounded in BOTH, unlike
+    the 128-bit classes — no HUGEINT/decimal anywhere). min_periods
+    mask (R1's) and zero-variance windows emit NULL. ONE user_id
+    exchange; all three window sums share the frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(W_EVENTS - 1), 0)
+    )
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.count("value").over(w).alias("_k"),
+        F.sum(c).over(w).alias("_s1"),
+        F.sum(c * c).over(w).alias("_s2"),
+        F.sum(c * c * c).over(w).alias("_s3"),
+    )
+    nd = F.lit(float(W_EVENTS))
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    a = nd * nd * s3 - 3 * nd * s1 * s2 + 2 * s1 * s1 * s1
+    b = nd * s2 - s1 * s1
+    skew = F.when(
+        (F.col("_k") == W_EVENTS) & (b > 0), a / F.sqrt(b * b * b)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        (F.floor(skew * 10000 + 0.5) / 10000).alias("skew"),
+    ).orderBy("event_id")
+
+
+def q_spectral_entropy(spark, sf_dir):
+    """Normalized spectral entropy per series (round 6): Shannon entropy
+    of the non-DC periodogram over ln(n_bins) — 0 = one frequency owns
+    the variance (strongly periodic), 1 = white noise (Inouye et al.
+    1991). The one-number frequency-domain complexity score beside
+    fft_top_periods (which period) and permutation_entropy (time-domain
+    ordinal complexity). Same kernel family and 100 TB shape as the
+    periodogram: per-minute mean reduced IN SPARK below the single
+    series-key exchange, Arrow-batched rfft over the span-bounded dense
+    grid. No SQL twin exists for an FFT → rows-only driver check
+    (fft_top_periods precedent); physics pinned in tests/test_spectral:
+    injected sine → near 0, white noise → near 1, constant → absent."""
+    from engine.spectral import spectral_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    return spectral_entropy(ev).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6627,6 +6690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box": q_ljung_box,
         "label_centroid_dists": q_label_centroid_dists,
         "ngram_novelty": q_ngram_novelty,
+        "rolling_skew": q_rolling_skew,
+        "spectral_entropy": q_spectral_entropy,
     }
 
 
@@ -9430,6 +9495,40 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY s.doc_id ORDER BY s.doc_id""".replace(
             "_WPOS_", _WPOS_SQL.strip().rstrip()
         ).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "rolling_skew": f"""
+        WITH t AS (
+          SELECT event_id, user_id,
+                 count(value) OVER w AS k,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                      AS BIGINT) AS s1,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT)) OVER w
+                      AS BIGINT) AS s2,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT)) OVER w
+                      AS BIGINT) AS s3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {W_EVENTS - 1} PRECEDING
+                       AND CURRENT ROW)
+        ), m AS (
+          SELECT event_id, user_id, k,
+                 CAST({W_EVENTS} AS DOUBLE) * CAST({W_EVENTS} AS DOUBLE)
+                   * CAST(s3 AS DOUBLE)
+                 - 3 * CAST({W_EVENTS} AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE)
+                 + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) AS a,
+                 CAST({W_EVENTS} AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS b
+          FROM t
+        )
+        SELECT event_id, user_id,
+               CASE WHEN k = {W_EVENTS} AND b > 0
+                 THEN floor(a / sqrt(b * b * b) * 10000 + 0.5) / 10000
+               END AS skew
+        FROM m ORDER BY event_id""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

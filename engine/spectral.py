@@ -96,3 +96,70 @@ def fft_top_periods(
     return grid.groupBy(key_col).applyInPandas(
         run, f"{key_col} long, rank int, period_min double, power_frac double"
     )
+
+
+def spectral_entropy_value(
+    minutes: np.ndarray, vals: np.ndarray
+) -> tuple[int, int, float] | None:
+    """(n_grid, n_bins, normalized spectral entropy) for one series.
+
+    Shannon entropy of the normalized non-DC periodogram, divided by
+    ln(n_bins): 0 = all variance at one frequency (pure tone — a strongly
+    periodic series), 1 = flat spectrum (white noise). The one-number
+    frequency-domain complement to periodogram_top (WHICH period dominates)
+    and to permutation entropy (time-domain ordinal complexity) — the
+    standard EEG/vibration feature (Inouye et al. 1991). Zero-power bins
+    contribute 0 (the p·ln p limit). None for short grids (< _MIN_GRID),
+    constant series (no non-DC power), or a single usable bin."""
+    lo = int(minutes.min())
+    n = int(minutes.max()) - lo + 1
+    if n < _MIN_GRID:
+        return None
+    dense = np.full(n, np.nan)
+    dense[minutes - lo] = vals
+    mean = float(np.nanmean(dense))
+    dense = np.where(np.isnan(dense), mean, dense) - mean
+    spec = np.abs(np.fft.rfft(dense)) ** 2
+    spec = spec[1:]
+    tot = float(spec.sum())
+    if tot <= 0.0 or len(spec) < 2:
+        return None
+    p = spec[spec > 0.0] / tot
+    h = float(-(p * np.log(p)).sum())
+    return n, len(spec), h / float(np.log(float(len(spec))))
+
+
+def spectral_entropy(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key normalized spectral entropy from the per-minute mean grid.
+
+    Same 100 TB shape as fft_top_periods: the per-minute mean is reduced
+    IN SPARK below the one series-key exchange (the kernel sees grid-sized
+    groups, never raw-event volume); per-group memory is span-bounded."""
+    grid = (
+        df.groupBy(
+            F.col(key_col),
+            F.expr(f"unix_timestamp({ts_col}) DIV 60").alias("_m"),
+        )
+        .agg(F.avg(value_col).alias("_v"))
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = spectral_entropy_value(
+            pdf["_m"].to_numpy(np.int64), pdf["_v"].to_numpy(np.float64)
+        )
+        key = pdf[key_col].iloc[0]
+        rows = [] if r is None else [
+            (key, r[0], r[1], round(r[2], 4))
+        ]
+        return pd.DataFrame(
+            rows, columns=[key_col, "n_grid", "n_bins", "spec_entropy"]
+        )
+
+    return grid.groupBy(key_col).applyInPandas(
+        run, f"{key_col} long, n_grid long, n_bins long, spec_entropy double"
+    )

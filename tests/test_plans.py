@@ -971,6 +971,20 @@ def test_round6_session5_shapes(spark):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
     assert "InMemoryTableScan" in p, p[:3000]
 
+    # rolling_skew: all three moment window sums share ONE user exchange
+    p = _plan(E.q_rolling_skew(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"rolling_skew: {n} hash exchanges\n{p[:3000]}"
+
+    # spectral_entropy: minute-mean grid reduced BELOW the single series
+    # exchange; the only Python is the Arrow-batched kernel
+    p = _plan(E.q_spectral_entropy(spark, sf))
+    assert "BatchEvalPython" not in p, p[:2000]
+    assert "FlatMapGroupsInPandas" in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 2, f"spectral_entropy: {n} hash exchanges\n{p[:3000]}"
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

@@ -37,7 +37,7 @@ QUERIES = [
     "sax_discords", "seasonal_anomaly", "melt_type_stats",
     "exp_gap_fit", "type_trigrams", "latest_state", "user_features",
     "markov_entropy", "session_type_lift", "permutation_entropy",
-    "runs_test", "corr_pairs", "ljung_box",
+    "runs_test", "corr_pairs", "ljung_box", "rolling_skew",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
