@@ -6536,6 +6536,85 @@ def q_spectral_entropy(spark, sf_dir):
     return spectral_entropy(ev).orderBy("user_id")
 
 
+HILL_K = 100  # tail order statistics per type (capped by n_pos/10)
+HILL_SALTS = 16  # phase-1 fan-out of the distributed top-k
+
+
+def q_hill_tail_index(spark, sf_dir):
+    """Hill tail-index estimator (round 6): per event_type, α̂ = k /
+    Σᵢ₌₁..k (ln x₍ᵢ₎ − ln x₍ₖ₊₁₎) over the k largest positive values
+    (Hill 1975) — the EVT heavy-tailedness scalar that decides whether
+    POT/GPD machinery (q_pot_exceedances) is even applicable (α ≤ 2:
+    infinite variance, mean-based detectors are meaningless). k =
+    min(100, n_pos/10), deterministic (value desc, event_id) order
+    statistics on exact cents. 100 TB shape: event_type is a LOW-
+    cardinality skew key, so the top-(k+1) is the classic two-phase
+    distributed top-k — a salted (type, salt) window keeps k+1 local
+    survivors (the global top-(k+1) is provably inside their union),
+    then the global rank runs over the salts·(k+1)-bounded survivor
+    set; the corpus is never sorted inside one type partition. The
+    DuckDB twin is the direct single-window rank — same semantics,
+    deliberately different plan (the interval_overlap precedent). The
+    ≤k-term ln sum follows the vocabulary-sum float policy (4-dp);
+    all-ties-at-threshold (Σ = 0) emits NULL."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    pos = ev.select("event_type", "event_id", c.alias("_c")).where(
+        F.col("_c") > 0
+    )
+    census = pos.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pos")
+    )
+    wsalt = Window.partitionBy("event_type", "_salt").orderBy(
+        F.desc("_c"), F.asc("event_id")
+    )
+    local = (
+        pos.withColumn(
+            "_salt", F.pmod(F.xxhash64("event_id"), F.lit(HILL_SALTS))
+        )
+        .withColumn("_rn", F.row_number().over(wsalt))
+        .where(F.col("_rn") <= HILL_K + 1)
+    )
+    wt = Window.partitionBy("event_type").orderBy(
+        F.desc("_c"), F.asc("event_id")
+    )
+    ranked = (
+        local.select("event_type", "event_id", "_c")
+        .withColumn("_r", F.row_number().over(wt))
+        .join(F.broadcast(census), "event_type")
+        .withColumn(
+            "_k",
+            F.least(F.lit(HILL_K).cast("long"), F.expr("n_pos div 10")),
+        )
+        .where(F.col("_k") >= 2)
+    )
+    thr = ranked.where(F.col("_r") == F.col("_k") + 1).select(
+        "event_type", F.col("_c").alias("_xk")
+    )
+    top = ranked.where(F.col("_r") <= F.col("_k"))
+    res = (
+        top.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("_k").cast("long").alias("k"),
+            F.max("_xk").cast("long").alias("xk_cents"),
+            F.sum(
+                F.log(F.col("_c").cast("double"))
+                - F.log(F.col("_xk").cast("double"))
+            ).alias("_s"),
+        )
+    )
+    alpha = F.when(
+        F.col("_s") > 0, F.col("k").cast("double") / F.col("_s")
+    )
+    return res.select(
+        "event_type",
+        "k",
+        "xk_cents",
+        (F.floor(alpha * 10000 + 0.5) / 10000).alias("alpha"),
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6692,6 +6771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "rolling_skew": q_rolling_skew,
         "spectral_entropy": q_spectral_entropy,
+        "hill_tail_index": q_hill_tail_index,
     }
 
 
@@ -9529,6 +9609,42 @@ def oracle_sql() -> dict[str, str]:
                  THEN floor(a / sqrt(b * b * b) * 10000 + 0.5) / 10000
                END AS skew
         FROM m ORDER BY event_id""",
+        # hill_tail_index twin: the direct single-window rank (the Spark
+        # side's salted two-phase top-k is plan-only; semantics identical).
+        "hill_tail_index": f"""
+        WITH pos AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+          WHERE CAST(round(value * 100) AS BIGINT) > 0
+        ), census AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_pos
+          FROM pos GROUP BY event_type
+        ), r AS (
+          SELECT p.event_type, p.c,
+                 row_number() OVER (PARTITION BY p.event_type
+                                    ORDER BY p.c DESC, p.event_id ASC)
+                   AS rn,
+                 least(CAST({HILL_K} AS BIGINT), n.n_pos // 10) AS k
+          FROM pos p JOIN census n USING (event_type)
+        ), thr AS (
+          SELECT event_type, c AS xk
+          FROM r WHERE rn = k + 1 AND k >= 2
+        ), s AS (
+          SELECT r.event_type,
+                 CAST(max(r.k) AS BIGINT) AS k,
+                 CAST(max(t.xk) AS BIGINT) AS xk_cents,
+                 sum(ln(CAST(r.c AS DOUBLE))
+                     - ln(CAST(t.xk AS DOUBLE))) AS sm
+          FROM r JOIN thr t USING (event_type)
+          WHERE r.rn <= r.k
+          GROUP BY r.event_type
+        )
+        SELECT event_type, k, xk_cents,
+               CASE WHEN sm > 0
+                 THEN floor(k / sm * 10000 + 0.5) / 10000
+               END AS alpha
+        FROM s ORDER BY event_type""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

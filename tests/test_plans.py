@@ -985,6 +985,15 @@ def test_round6_session5_shapes(spark):
     n = p.count("Exchange hashpartitioning")
     assert n <= 2, f"spectral_entropy: {n} hash exchanges\n{p[:3000]}"
 
+    # hill_tail_index: the global rank runs over the SALTED survivor set
+    # (two-phase distributed top-k) — the corpus-wide window must sit on
+    # (type, salt), never on type alone, and every join broadcasts
+    p = _plan(E.q_hill_tail_index(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "_salt" in p, p[:3000]
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

@@ -38,6 +38,7 @@ QUERIES = [
     "exp_gap_fit", "type_trigrams", "latest_state", "user_features",
     "markov_entropy", "session_type_lift", "permutation_entropy",
     "runs_test", "corr_pairs", "ljung_box", "rolling_skew",
+    "hill_tail_index",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
