@@ -18,6 +18,7 @@ gated by ``python -m pytest -x -q`` against engine/oracle.py.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -6615,6 +6616,464 @@ def q_hill_tail_index(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _type_p99_exceedances(spark, sf_dir):
+    """Shared EVT front end: per event_type, the exact empirical P99
+    threshold (histogram-cumsum over the distinct-cents-sized relation,
+    pot_exceedances' scalable percentile — never a corpus sort) and the
+    strictly-above exceedance rows with integer epoch seconds."""
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("_c"),
+        F.expr("unix_timestamp(ts)").alias("_es"),
+    )
+    hist = cents.groupBy("event_type", "_c").agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtyp = Window.partitionBy("event_type")
+    # per-type total as a WINDOW over the same type partitioning the
+    # cumsum already exchanges on — one histogram branch, not two
+    thr = (
+        hist.withColumn("_cum", F.sum("_n").over(wcum))
+        .withColumn("_tot", F.sum("_n").over(wtyp))
+        .where(F.col("_cum") * 100 >= F.col("_tot") * POT_Q_PCT)
+        .groupBy("event_type")
+        .agg(F.min("_c").alias("thr_cents"))
+    )
+    return cents.join(F.broadcast(thr), "event_type").where(
+        F.col("_c") > F.col("thr_cents")
+    )
+
+
+def q_gpd_fit(spark, sf_dir):
+    """Generalized-Pareto fit of threshold excesses per event_type
+    (round 6): the DISTRIBUTION the POT method (Davison & Smith 1990,
+    Pickands 1975) says exceedances converge to — after q_pot_exceedances
+    declusters and q_hill_tail_index decides the tail is tractable, this
+    is the fit that turns a threshold into a return level. Method-of-
+    moments estimators from the exact integer excess sums Σy, Σy²
+    (y = cents − thr_cents > 0): with r = m²/s² spelled per-factor in
+    doubles from the int64 sufficient statistics, ξ̂ = (1 − r)/2 and
+    σ̂ = m·(1 + r)/2 (value units). Hosking & Wallis 1987 caveat
+    documented: MOM needs ξ < 1/4 for consistency — heavy-tail types
+    (hill alpha ≤ 4) should trust ξ̂'s sign, not its level. 100 TB
+    shape: ONE corpus scan into a map-side-combined (type, Σy, Σy²)
+    aggregate under the broadcast per-type threshold (distinct-cents
+    histogram, pot_exceedances' percentile); no window over the
+    exceedance stream at all. Overflow budget: Σy² ≤ n_exceed·(4·10⁵)²
+    (|cents| ≤ 2·10⁵ domain bound) — int64-safe below ~5·10⁷
+    exceedances per type, documented like the X29 quantization budget.
+    Variance guard n·Σy² − (Σy)² > 0 and n ≥ 2 else NULL (ANSI-safe)."""
+    exc = _type_p99_exceedances(spark, sf_dir)
+    y = F.col("_c") - F.col("thr_cents")
+    stats = exc.groupBy("event_type", "thr_cents").agg(
+        F.count("*").cast("long").alias("n_exceed"),
+        F.sum(y).alias("_sy"),
+        F.sum(y * y).alias("_syy"),
+    )
+    nd = F.col("n_exceed").cast("double")
+    syd = F.col("_sy").cast("double")
+    var_num = F.col("n_exceed") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r = (
+        syd
+        * syd
+        * (F.col("n_exceed") - 1).cast("double")
+        / (nd * var_num.cast("double"))
+    )
+    m = syd / nd / 100.0
+    ok = (F.col("n_exceed") >= 2) & (var_num > 0)
+    xi = F.when(ok, (1.0 - r) / 2.0)
+    sigma = F.when(ok, m * (1.0 + r) / 2.0)
+    return stats.select(
+        "event_type",
+        "thr_cents",
+        "n_exceed",
+        (F.floor(xi * 10000 + 0.5) / 10000).alias("xi"),
+        (F.floor(sigma * 10000 + 0.5) / 10000).alias("sigma"),
+    ).orderBy("event_type")
+
+
+def q_extremal_index(spark, sf_dir):
+    """Extremal index θ per event_type via the Ferro–Segers 2003
+    intervals estimator (round 6): the cluster-dependence scalar of
+    extremes — θ≈1 means exceedances arrive independently (POT can fit
+    raw exceedances), θ→0 means they clump and MUST be declustered
+    first (1/θ ≈ mean cluster size, validating q_pot_exceedances'
+    gap rule). Estimator on inter-exceedance times T in integer
+    seconds: θ̂ = min(1, 2(ΣT)²/((N−1)ΣT²)) when max T ≤ 2, else the
+    corrected 2(Σ(T−1))²/((N−1)Σ(T−1)(T−2)) — both branches derive
+    from the SAME exact int64 sufficient statistics (ΣT, ΣT², N) via
+    Σ(T−1) = ΣT−(N−1) and Σ(T−1)(T−2) = ΣT²−3ΣT+2(N−1), so the branch
+    predicate and every input are engine-exact. 100 TB shape: a naive
+    per-type gap lag is a 5-key skew window over the full exceedance
+    stream; instead the sums DECOMPOSE by calendar day (concurrency_
+    sweep's argument): within-day gap sums come from (type, day)-
+    partitioned windows on the P99-filtered stream, day-boundary gaps
+    from a lag over the days-sized per-(type, day) aggregate — the only
+    per-type-ordered relation is days-sized. Identity check: within-day
+    gaps Σ(n_d−1) + boundary gaps (n_days−1) = N−1 ✓. Gap values are
+    invariant to the (es, event_id) tie order (differences of the
+    sorted multiset of seconds), so the decomposition is deterministic.
+    Overflow budget: ΣT² ≤ span·max_gap ≤ span² — int64-safe for spans
+    to ~3000 years. Guard N ≥ 3 and positive denominator else NULL."""
+    exc = _type_p99_exceedances(spark, sf_dir).withColumn(
+        "_day", F.expr("_es div 86400")
+    )
+    wd = Window.partitionBy("event_type", "_day").orderBy("_es", "event_id")
+    g = exc.withColumn("_t", F.col("_es") - F.lag("_es").over(wd))
+    days = g.groupBy("event_type", "thr_cents", "_day").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_t").alias("_st"),
+        F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+        F.max("_t").alias("_mt"),
+        F.min("_es").alias("_first"),
+        F.max("_es").alias("_last"),
+    )
+    wdays = Window.partitionBy("event_type").orderBy("_day")
+    b = days.withColumn(
+        "_bt", F.col("_first") - F.lag("_last").over(wdays)
+    )
+    z = F.lit(0).cast("long")
+    stats = b.groupBy("event_type", "thr_cents").agg(
+        F.sum("_n").cast("long").alias("n_exceed"),
+        (
+            F.sum(F.coalesce(F.col("_st"), z))
+            + F.sum(F.coalesce(F.col("_bt"), z))
+        ).alias("_sum_t"),
+        (
+            F.sum(F.coalesce(F.col("_stt"), z))
+            + F.sum(F.coalesce(F.col("_bt") * F.col("_bt"), z))
+        ).alias("_sum_tt"),
+        F.greatest(
+            F.max(F.coalesce(F.col("_mt"), z)),
+            F.max(F.coalesce(F.col("_bt"), z)),
+        ).alias("max_gap_s"),
+    )
+    ng = F.col("n_exceed") - 1
+    st, stt = F.col("_sum_t"), F.col("_sum_tt")
+    plain_num = st.cast("double") * st.cast("double")
+    plain_den = ng.cast("double") * stt.cast("double")
+    corr_s1 = st - ng  # Σ(T−1), exact int64
+    corr_s2 = stt - 3 * st + 2 * ng  # Σ(T−1)(T−2), exact int64
+    corr_num = corr_s1.cast("double") * corr_s1.cast("double")
+    corr_den = ng.cast("double") * corr_s2.cast("double")
+    use_plain = F.col("max_gap_s") <= 2
+    theta_raw = F.when(
+        use_plain & (stt > 0), 2.0 * plain_num / plain_den
+    ).when(~use_plain & (corr_s2 > 0), 2.0 * corr_num / corr_den)
+    theta = F.when(
+        (F.col("n_exceed") >= 3) & theta_raw.isNotNull(),
+        F.least(F.lit(1.0), theta_raw),
+    )
+    return stats.select(
+        "event_type",
+        "thr_cents",
+        "n_exceed",
+        F.col("max_gap_s").cast("long").alias("max_gap_s"),
+        (F.floor(theta * 10000 + 0.5) / 10000).alias("theta"),
+    ).orderBy("event_type")
+
+
+FLAT_MIN = 5  # plateau = >= 5 consecutive identical values
+
+
+def q_flatline_runs(spark, sf_dir):
+    """Stuck-sensor / flatline census per series (round 6): maximal
+    runs of consecutive IDENTICAL values — the data-quality failure
+    rolling-std detectors go blind on (sd=0 masks the score) and the
+    first thing a telemetry pipeline checks before trusting a series.
+    Per user: total value runs, plateaus (runs >= FLAT_MIN), events
+    inside plateaus, and the longest run's length + value with a
+    deterministic argmax (struct-MIN over (-len, start_es, cents) —
+    user_features' one-pass idiom; ties at the same second resolve by
+    smaller value). Exact integers end to end (the one float is the
+    final cents/100.0, correctly rounded IEEE both engines). 100 TB
+    shape: the classic gaps-and-islands — ONE user exchange shared by
+    the break lag, the run-id running sum, and both groupBys (runs are
+    keyed (user, run), a prefix refinement of user)."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        c.alias("_c"),
+        F.expr("unix_timestamp(ts)").alias("_es"),
+    )
+    marked = base.withColumn(
+        "_brk",
+        F.when(
+            F.lag("_c").over(wo).isNull()
+            | (F.lag("_c").over(wo) != F.col("_c")),
+            1,
+        ).otherwise(0),
+    ).withColumn("_run", F.sum("_brk").over(wrun))
+    runs = marked.groupBy("user_id", "_run").agg(
+        F.count("*").cast("long").alias("_len"),
+        F.min("_c").alias("_v"),
+        F.min("_es").alias("_start"),
+    )
+    flat = F.col("_len") >= FLAT_MIN
+    per_user = runs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_runs"),
+        F.sum(flat.cast("long")).cast("long").alias("n_flat"),
+        F.sum(F.when(flat, F.col("_len")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("flat_events"),
+        F.min(
+            F.struct(
+                (-F.col("_len")).alias("nl"),
+                F.col("_start").alias("st"),
+                F.col("_v").alias("v"),
+            )
+        ).alias("_m"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_runs",
+        "n_flat",
+        "flat_events",
+        (-F.col("_m.nl")).cast("long").alias("longest_run"),
+        (F.col("_m.v") / 100.0).alias("longest_value"),
+    ).orderBy("user_id")
+
+
+def q_source_js_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between source word-unigram
+    distributions (round 6, Lin 1991): the DISTRIBUTION-level source
+    similarity matrix — source_dup_matrix says who re-hosts whose
+    documents; this says whose language is statistically the same even
+    when no document matches (mirror detection, template farms, and the
+    de-facto weight a mixture gives near-identical sources). JS in nats
+    (0 = identical, ln 2 = disjoint), computed WITHOUT densifying the
+    union vocabulary: only words in BOTH sources join, and each side's
+    missing-word mass enters in closed form — Σ_{P-only} p·ln2 =
+    ln2·(1−Σ_shared p) — so JS = ½(A + ln2·(1−sp)) + ½(B + ln2·(1−sq))
+    with A = Σ_shared p·ln(2p/(p+q)). Counts and totals are exact
+    int64; the per-word terms are the only floats and the sum has
+    vocabulary-size terms (word_entropy's 4-dp float policy). 100 TB
+    shape: the corpus reduces map-side to the (source, word) count grid
+    (vocabulary-bounded); the pair join is a self-join on word with
+    s1 < s2 — each word row meets ≤ |sources|−1 partners, one word
+    exchange; totals are a |sources|-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("_w")
+        )
+        .groupBy("source", "_w")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("_c").alias("_n"))
+    a = counts.select(
+        F.col("source").alias("s1"),
+        F.col("_w").alias("_w"),
+        F.col("_c").alias("_c1"),
+    )
+    b = counts.select(
+        F.col("source").alias("s2"),
+        F.col("_w").alias("_w"),
+        F.col("_c").alias("_c2"),
+    )
+    shared = a.join(b, "_w").where(F.col("s1") < F.col("s2"))
+    n1 = F.col("_n1").cast("double")
+    n2 = F.col("_n2").cast("double")
+    p = F.col("_c1").cast("double") / n1
+    q = F.col("_c2").cast("double") / n2
+    terms = (
+        shared.join(
+            F.broadcast(totals.withColumnRenamed("_n", "_n1")),
+            F.col("s1") == F.col("source"),
+        )
+        .drop("source")
+        .join(
+            F.broadcast(totals.withColumnRenamed("_n", "_n2")),
+            F.col("s2") == F.col("source"),
+        )
+        .drop("source")
+        .groupBy("s1", "s2")
+        .agg(
+            F.count("*").cast("long").alias("shared_words"),
+            F.sum(p * F.log(2.0 * p / (p + q))).alias("_a"),
+            F.sum(q * F.log(2.0 * q / (p + q))).alias("_b"),
+            F.sum(p).alias("_sp"),
+            F.sum(q).alias("_sq"),
+        )
+    )
+    ln2 = F.lit(float(math.log(2.0)))
+    js = 0.5 * (F.col("_a") + ln2 * (1.0 - F.col("_sp"))) + 0.5 * (
+        F.col("_b") + ln2 * (1.0 - F.col("_sq"))
+    )
+    return terms.select(
+        "s1",
+        "s2",
+        "shared_words",
+        (F.floor(js * 10000 + 0.5) / 10000).alias("js_nats"),
+    ).orderBy("s1", "s2")
+
+
+DTW_TOP_USERS = 8  # pairwise DTW over the K most active users
+DTW_BAND_MIN = 10  # Sakoe-Chiba half-width floor (minutes)
+DTW_BAND_DIV = 50  # band = max(floor, n/50) — 2% warping allowance
+
+
+def q_dtw_pairs(spark, sf_dir):
+    """Banded dynamic-time-warping distance between the top-K active
+    users' minutely count series (round 6, Sakoe & Chiba 1978): the
+    similarity Pearson cannot express — same behavior shifted or
+    locally stretched in time correlates near zero but warps to a
+    small DTW cost (jittered mirror bots, staged rollouts, replayed
+    traffic). corr_pairs says who moves synchronously; this says who
+    moves identically UP TO local time warping. Series are the
+    zero-filled minute counts over the global span (identical length
+    per pair); local cost |a−b| on int64 counts makes the distance
+    EXACT — no float policy anywhere. Band = max(10, n/50). 100 TB
+    shape: the corpus shuffles ONCE into the persisted (user, minute)
+    grid; span/top-K re-aggregate the grid (no second corpus scan);
+    densification is a span-bounded map+sequence transform (the
+    documented spectral grid budget — a year is 525k int64s, coarser
+    horizons pre-aggregate first); the K²/2 pair frame is a deliberate
+    tiny-side BNLJ and the kernel is O(n·band) per pair with O(band)
+    DP memory (engine/dtw.py). No SQL twin exists for a DP recurrence
+    — rows-only like fft_top_periods; the kernel is pinned in pytest
+    against an independent full-matrix DP."""
+    import pandas as pd  # noqa: F401 (kernel dependency, Arrow path)
+
+    ev = _t(spark, sf_dir, "events")
+    minute = F.floor(F.unix_timestamp("ts") / 60).cast("long")
+    grid = (
+        ev.select("user_id", minute.alias("_m"))
+        .groupBy("user_id", "_m")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .persist()
+    )
+    bounds = grid.agg(F.min("_m").alias("_m0"), F.max("_m").alias("_m1"))
+    act = grid.groupBy("user_id").agg(F.sum("_c").alias("_n"))
+    top = act.orderBy(F.desc("_n"), F.asc("user_id")).limit(DTW_TOP_USERS)
+    sel = grid.join(F.broadcast(top.select("user_id")), "user_id")
+    dense = (
+        sel.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "_m0", "_m1")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_m", "_c"))
+            ).alias("_mp")
+        )
+        .select(
+            "user_id",
+            F.transform(
+                F.sequence(F.col("_m0"), F.col("_m1")),
+                lambda m: F.coalesce(
+                    F.element_at(F.col("_mp"), m), F.lit(0).cast("long")
+                ),
+            ).alias("_s"),
+        )
+    )
+    a = dense.select(F.col("user_id").alias("u1"), F.col("_s").alias("_sa"))
+    b = dense.select(F.col("user_id").alias("u2"), F.col("_s").alias("_sb"))
+    # one task per pair: the kernel is ~1s per 30-day pair, so the
+    # K²/2 pairs (tiny rows, span-arrays ~10 MB total) round-robin
+    # across the cluster instead of serializing in one Arrow stream
+    pairs = a.join(F.broadcast(b), F.col("u1") < F.col("u2")).repartition(
+        DTW_TOP_USERS * (DTW_TOP_USERS - 1) // 2
+    )
+
+    def _kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        from engine.dtw import banded_dtw_l1
+
+        for pdf in batches:
+            out = []
+            # NOT itertuples: it renames underscore-leading columns
+            for u1, u2, sa, sb in zip(
+                pdf["u1"], pdf["u2"], pdf["_sa"], pdf["_sb"]
+            ):
+                av = np.asarray(sa, dtype=np.int64)
+                bv = np.asarray(sb, dtype=np.int64)
+                n = len(av)
+                band = max(DTW_BAND_MIN, n // DTW_BAND_DIV)
+                out.append(
+                    (int(u1), int(u2), n, banded_dtw_l1(av, bv, band))
+                )
+            yield pd.DataFrame(
+                out, columns=["u1", "u2", "n_minutes", "dtw_l1"]
+            )
+
+    res = pairs.mapInPandas(
+        _kern, "u1 long, u2 long, n_minutes long, dtw_l1 long"
+    )
+    return res.orderBy("u1", "u2")
+
+
+VR_Q = 5  # variance-ratio aggregation horizon (events)
+
+
+def q_variance_ratio(spark, sf_dir):
+    """Lo–MacKinlay variance ratio per series (round 6, Lo & MacKinlay
+    1988): VR(q) = Var(q-step increment)/(q·Var(1-step increment)) —
+    the random-walk diagnostic that classifies a series' memory (≈1
+    i.i.d. increments, >1 trending/persistent, <1 mean-reverting/
+    choppy), deciding which detector family applies: CUSUM-style drift
+    rules assume persistence, oscillation rules assume reversion.
+    Exact int64 sufficient statistics: 1-step increments from lag(1),
+    q-step increments TELESCOPE to level differences lag(q) — both
+    lags share the one user exchange (acf_lags' shape). Unbiased
+    sample variances from (m·Σd² − (Σd)²)/(m(m−1)) per-factor-cast;
+    VR = var_q/(q·var_1), 4-dp. Overlapping q-sums (the standard
+    overlap estimator) make mq = n−q. NULL when either variance is
+    degenerate (constant series, n < q+2), ANSI-safe."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "user_id",
+        (c - F.lag(c, 1).over(w)).alias("_d1"),
+        (c - F.lag(c, VR_Q).over(w)).alias("_dq"),
+    )
+    z = F.lit(0).cast("long")
+    stats = base.groupBy("user_id").agg(
+        F.sum(F.when(F.col("_d1").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("_m1"),
+        F.sum(F.coalesce(F.col("_d1"), z)).alias("_s1"),
+        F.sum(F.coalesce(F.col("_d1") * F.col("_d1"), z)).alias("_s11"),
+        F.sum(F.when(F.col("_dq").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("_mq"),
+        F.sum(F.coalesce(F.col("_dq"), z)).alias("_sq"),
+        F.sum(F.coalesce(F.col("_dq") * F.col("_dq"), z)).alias("_sqq"),
+    )
+    v1_num = F.col("_m1") * F.col("_s11") - F.col("_s1") * F.col("_s1")
+    vq_num = F.col("_mq") * F.col("_sqq") - F.col("_sq") * F.col("_sq")
+    v1 = v1_num.cast("double") / (
+        F.col("_m1").cast("double") * (F.col("_m1") - 1).cast("double")
+    )
+    vq = vq_num.cast("double") / (
+        F.col("_mq").cast("double") * (F.col("_mq") - 1).cast("double")
+    )
+    ok = (
+        (F.col("_m1") >= 2)
+        & (F.col("_mq") >= 2)
+        & (v1_num > 0)
+    )
+    vr = F.when(ok, vq / (float(VR_Q) * v1))
+    return stats.select(
+        "user_id",
+        (F.col("_m1") + 1).cast("long").alias("n"),
+        (F.floor(vr * 10000 + 0.5) / 10000).alias("vr"),
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6772,6 +7231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_skew": q_rolling_skew,
         "spectral_entropy": q_spectral_entropy,
         "hill_tail_index": q_hill_tail_index,
+        "gpd_fit": q_gpd_fit,
+        "extremal_index": q_extremal_index,
+        "flatline_runs": q_flatline_runs,
+        "source_js_divergence": q_source_js_divergence,
+        "dtw_pairs": q_dtw_pairs,
     }
 
 
@@ -9645,6 +10109,193 @@ def oracle_sql() -> dict[str, str]:
                  THEN floor(k / sm * 10000 + 0.5) / 10000
                END AS alpha
         FROM s ORDER BY event_type""",
+        "gpd_fit": f"""
+        WITH cents AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ), hist AS (
+          SELECT event_type, c, CAST(count(*) AS BIGINT) AS n
+          FROM cents GROUP BY event_type, c
+        ), cum AS (
+          SELECT event_type, c,
+                 sum(n) OVER (PARTITION BY event_type ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+                 sum(n) OVER (PARTITION BY event_type) AS tot
+          FROM hist
+        ), thr AS (
+          SELECT event_type, min(c) AS thr_cents
+          FROM cum WHERE cm * 100 >= tot * {POT_Q_PCT}
+          GROUP BY event_type
+        ), exc AS (
+          SELECT e.event_type, t.thr_cents, e.c - t.thr_cents AS y
+          FROM cents e JOIN thr t USING (event_type)
+          WHERE e.c > t.thr_cents
+        ), s AS (
+          SELECT event_type, thr_cents,
+                 CAST(count(*) AS BIGINT) AS n_exceed,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM exc GROUP BY event_type, thr_cents
+        )
+        SELECT event_type, thr_cents, n_exceed,
+               CASE WHEN n_exceed >= 2 AND n_exceed * syy - sy * sy > 0
+                 THEN floor((1.0
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                     * CAST(n_exceed - 1 AS DOUBLE)
+                     / (CAST(n_exceed AS DOUBLE)
+                        * CAST(n_exceed * syy - sy * sy AS DOUBLE)))
+                   / 2.0 * 10000 + 0.5) / 10000
+               END AS xi,
+               CASE WHEN n_exceed >= 2 AND n_exceed * syy - sy * sy > 0
+                 THEN floor(CAST(sy AS DOUBLE) / CAST(n_exceed AS DOUBLE)
+                   / 100.0
+                   * (1.0
+                      + CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                        * CAST(n_exceed - 1 AS DOUBLE)
+                        / (CAST(n_exceed AS DOUBLE)
+                           * CAST(n_exceed * syy - sy * sy AS DOUBLE)))
+                   / 2.0 * 10000 + 0.5) / 10000
+               END AS sigma
+        FROM s ORDER BY event_type""",
+        # extremal_index twin: the direct per-type lag over the full
+        # exceedance stream (the Spark side's day-decomposed sums are
+        # plan-only; the gap multiset is identical)
+        "extremal_index": f"""
+        WITH cents AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es
+          FROM events
+        ), hist AS (
+          SELECT event_type, c, CAST(count(*) AS BIGINT) AS n
+          FROM cents GROUP BY event_type, c
+        ), cum AS (
+          SELECT event_type, c,
+                 sum(n) OVER (PARTITION BY event_type ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+                 sum(n) OVER (PARTITION BY event_type) AS tot
+          FROM hist
+        ), thr AS (
+          SELECT event_type, min(c) AS thr_cents
+          FROM cum WHERE cm * 100 >= tot * {POT_Q_PCT}
+          GROUP BY event_type
+        ), exc AS (
+          SELECT e.event_type, t.thr_cents, e.es, e.event_id
+          FROM cents e JOIN thr t USING (event_type)
+          WHERE e.c > t.thr_cents
+        ), g AS (
+          SELECT event_type, thr_cents,
+                 es - lag(es) OVER (PARTITION BY event_type
+                                    ORDER BY es, event_id) AS t
+          FROM exc
+        ), s AS (
+          SELECT event_type, thr_cents,
+                 CAST(count(*) AS BIGINT) AS n_exceed,
+                 CAST(sum(t) AS BIGINT) AS sum_t,
+                 CAST(sum(t * t) AS BIGINT) AS sum_tt,
+                 CAST(coalesce(max(t), 0) AS BIGINT) AS max_gap_s
+          FROM g GROUP BY event_type, thr_cents
+        ), th AS (
+          SELECT event_type, thr_cents, n_exceed, max_gap_s,
+                 CASE
+                   WHEN max_gap_s <= 2 AND sum_tt > 0
+                     THEN 2.0 * (CAST(sum_t AS DOUBLE)
+                                 * CAST(sum_t AS DOUBLE))
+                          / (CAST(n_exceed - 1 AS DOUBLE)
+                             * CAST(sum_tt AS DOUBLE))
+                   WHEN max_gap_s > 2
+                        AND sum_tt - 3 * sum_t + 2 * (n_exceed - 1) > 0
+                     THEN 2.0 * (CAST(sum_t - (n_exceed - 1) AS DOUBLE)
+                                 * CAST(sum_t - (n_exceed - 1) AS DOUBLE))
+                          / (CAST(n_exceed - 1 AS DOUBLE)
+                             * CAST(sum_tt - 3 * sum_t
+                                    + 2 * (n_exceed - 1) AS DOUBLE))
+                 END AS raw
+          FROM s
+        )
+        SELECT event_type, thr_cents, n_exceed, max_gap_s,
+               CASE WHEN n_exceed >= 3 AND raw IS NOT NULL
+                 THEN floor(least(1.0, raw) * 10000 + 0.5) / 10000
+               END AS theta
+        FROM th ORDER BY event_type""",
+        "flatline_runs": f"""
+        WITH base AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es
+          FROM events
+        ), marked AS (
+          SELECT user_id, ts, event_id, c, es,
+                 CASE WHEN lag(c) OVER w IS NULL
+                        OR lag(c) OVER w != c THEN 1 ELSE 0 END AS brk
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), runsrc AS (
+          SELECT user_id, c, es,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+          FROM marked
+        ), runs AS (
+          SELECT user_id, r,
+                 CAST(count(*) AS BIGINT) AS len,
+                 CAST(min(c) AS BIGINT) AS v,
+                 CAST(min(es) AS BIGINT) AS start_es
+          FROM runsrc GROUP BY user_id, r
+        ), u AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_runs,
+                 CAST(sum(CASE WHEN len >= {FLAT_MIN} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_flat,
+                 CAST(sum(CASE WHEN len >= {FLAT_MIN} THEN len ELSE 0 END)
+                      AS BIGINT) AS flat_events,
+                 min(struct_pack(nl := -len, st := start_es, v := v)) AS m
+          FROM runs GROUP BY user_id
+        )
+        SELECT user_id, n_runs, n_flat, flat_events,
+               CAST(-m.nl AS BIGINT) AS longest_run,
+               m.v / 100.0 AS longest_value
+        FROM u ORDER BY user_id""",
+        "source_js_divergence": f"""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ), counts AS (
+          SELECT source, w, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY source, w
+        ), totals AS (
+          SELECT source, CAST(sum(c) AS BIGINT) AS n
+          FROM counts GROUP BY source
+        ), shared AS (
+          SELECT a.source AS s1, b.source AS s2, a.w,
+                 a.c AS c1, b.c AS c2
+          FROM counts a JOIN counts b
+            ON a.w = b.w AND a.source < b.source
+        ), terms AS (
+          SELECT s1, s2,
+                 CAST(count(*) AS BIGINT) AS shared_words,
+                 sum(CAST(c1 AS DOUBLE) / CAST(t1.n AS DOUBLE)
+                     * ln(2.0 * (CAST(c1 AS DOUBLE) / CAST(t1.n AS DOUBLE))
+                          / (CAST(c1 AS DOUBLE) / CAST(t1.n AS DOUBLE)
+                             + CAST(c2 AS DOUBLE) / CAST(t2.n AS DOUBLE))))
+                   AS a,
+                 sum(CAST(c2 AS DOUBLE) / CAST(t2.n AS DOUBLE)
+                     * ln(2.0 * (CAST(c2 AS DOUBLE) / CAST(t2.n AS DOUBLE))
+                          / (CAST(c1 AS DOUBLE) / CAST(t1.n AS DOUBLE)
+                             + CAST(c2 AS DOUBLE) / CAST(t2.n AS DOUBLE))))
+                   AS b,
+                 sum(CAST(c1 AS DOUBLE) / CAST(t1.n AS DOUBLE)) AS sp,
+                 sum(CAST(c2 AS DOUBLE) / CAST(t2.n AS DOUBLE)) AS sq
+          FROM shared
+          JOIN totals t1 ON t1.source = shared.s1
+          JOIN totals t2 ON t2.source = shared.s2
+          GROUP BY s1, s2
+        )
+        SELECT s1, s2, shared_words,
+               floor((0.5 * (a + {math.log(2.0)!r} * (1.0 - sp))
+                      + 0.5 * (b + {math.log(2.0)!r} * (1.0 - sq)))
+                     * 10000 + 0.5) / 10000 AS js_nats
+        FROM terms ORDER BY s1, s2""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

@@ -16,14 +16,16 @@ Layers:
   flags        q_detector_ensemble filtered to votes >= --min-votes
                (2-of-4 consensus by default)
   episodes     q_anomaly_runs — consecutive-flag islands per user
-  diagnostics  one row per user_id joining ten per-series one-row
+  diagnostics  one row per user_id joining eleven per-series one-row
                statistics (burstiness, Sen/OLS trend, Mann-Kendall,
                runs test, Ljung-Box, permutation entropy, Hjorth,
-               exponential-gap KS, gap coverage, anomaly episodes);
-               each input is ONE corpus scan reduced to a users-sized
-               frame BEFORE the join, so the join layer moves per-user
-               rows, never events
-  tails        q_hill_tail_index — EVT tail index per event_type
+               exponential-gap KS, gap coverage, flatline plateaus,
+               anomaly episodes); each input is ONE corpus scan reduced
+               to a users-sized frame BEFORE the join, so the join
+               layer moves per-user rows, never events
+  tails        the per-type EVT card: Hill tail index (is the tail
+               tractable) + Ferro-Segers extremal index (must I
+               decluster) + method-of-moments GPD fit (the fit)
 
 Scale shape: the flags/episodes layers are the event-sized outputs and
 stay partitioned by user; the diagnostics join is users-sized (orders of
@@ -70,6 +72,8 @@ _DIAG_SPECS = [
     ("hjorth_params", ["activity", "mobility", "complexity"], {}),
     ("exp_gap_fit", ["ks_d"], {"ks_d": "exp_ks_d"}),
     ("gap_profile", ["coverage", "longest_gap_min"], {}),
+    ("flatline_runs", ["n_flat", "longest_run"],
+     {"longest_run": "longest_flat_run"}),
     ("anomaly_runs", ["n_anoms", "n_episodes", "max_run"], {}),
 ]
 
@@ -120,7 +124,28 @@ def run_analyze(
         ).orderBy("user_id")
         _layer("series_diagnostics", diag)
 
-    _layer("type_tails", queries["hill_tail_index"](spark, input_dir))
+    # per-type EVT card: tail weight (hill) + cluster dependence
+    # (extremal index) + the GPD fit — three per-type one-row frames,
+    # joined on the 5-key type (immaterial at this cardinality)
+    evt = (
+        queries["hill_tail_index"](spark, input_dir)
+        .join(
+            queries["extremal_index"](spark, input_dir).select(
+                "event_type", "thr_cents", "n_exceed", "theta"
+            ),
+            "event_type",
+            "full_outer",
+        )
+        .join(
+            queries["gpd_fit"](spark, input_dir).select(
+                "event_type", "xi", "sigma"
+            ),
+            "event_type",
+            "full_outer",
+        )
+        .orderBy("event_type")
+    )
+    _layer("type_tails", evt)
 
     report["seconds"] = round(time.monotonic() - t0, 3)
     with open(os.path.join(output_dir, "report.json"), "w") as f:

@@ -44,7 +44,7 @@ def test_analyze_job_layers_match_gated_operators(spark, tmp_path):
     assert diag.select("user_id").distinct().count() == n_users
     for col in ("burstiness", "mk_z", "runs_z", "lb_q", "pe_norm",
                 "exp_ks_d", "coverage", "n_anoms", "slope_day",
-                "mobility"):
+                "mobility", "n_flat", "longest_flat_run"):
         assert col in diag.columns, col
     # a user with zero flagged events reads 0, not NULL
     assert diag.where("n_anoms IS NULL").count() == 0
@@ -60,9 +60,11 @@ def test_analyze_job_layers_match_gated_operators(spark, tmp_path):
     }
     assert got_b == want_b
 
-    # type_tails == hill_tail_index verbatim
+    # type_tails = the per-type EVT card (hill + extremal index + GPD)
     tails = spark.read.parquet(os.path.join(out, "type_tails"))
     assert tails.count() == queries["hill_tail_index"](spark, sf).count()
+    for col in ("alpha", "theta", "xi", "sigma", "thr_cents"):
+        assert col in tails.columns, col
 
     with open(os.path.join(out, "report.json")) as f:
         persisted = json.load(f)

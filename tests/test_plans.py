@@ -994,6 +994,38 @@ def test_round6_session5_shapes(spark):
     assert "CartesianProduct" not in p, p[:2000]
     assert "_salt" in p, p[:3000]
 
+    # gpd_fit: histogram threshold (cumsum + total share ONE type
+    # exchange) broadcast into a map-side-combined moment aggregate —
+    # no window over the exceedance stream, 2 scans / 3 exchanges
+    p = _plan(E.q_gpd_fit(spark, sf))
+    assert "EvalPython" not in p and "SortMergeJoin" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 3, f"gpd_fit: {n} hash exchanges\n{p[:3000]}"
+    assert p.count("Scan parquet") == 2, p[:3000]
+
+    # extremal_index: gap sums decomposed by day — the exceedance-stream
+    # windows sit on (type, day), never on the 5-key type alone; the
+    # only type-ordered window runs over the days-sized aggregate
+    p = _plan(E.q_extremal_index(spark, sf))
+    assert "EvalPython" not in p and "SortMergeJoin" not in p, p[:2000]
+    assert "_day" in p, p[:3000]
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 4, f"extremal_index: {n} hash exchanges\n{p[:3000]}"
+
+    # flatline_runs: gaps-and-islands — lag, run-id sum, and both
+    # groupBys (runs key is a prefix refinement) share ONE user exchange
+    p = _plan(E.q_flatline_runs(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"flatline_runs: {n} hash exchanges\n{p[:3000]}"
+
+    # source_js_divergence: corpus reduces map-side to the (source,
+    # word) grid; the pair join shuffles on word once, totals broadcast
+    p = _plan(E.q_source_js_divergence(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert p.count("BroadcastHashJoin") >= 2, p[:3000]
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

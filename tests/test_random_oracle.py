@@ -38,7 +38,7 @@ QUERIES = [
     "exp_gap_fit", "type_trigrams", "latest_state", "user_features",
     "markov_entropy", "session_type_lift", "permutation_entropy",
     "runs_test", "corr_pairs", "ljung_box", "rolling_skew",
-    "hill_tail_index",
+    "hill_tail_index", "gpd_fit", "extremal_index", "flatline_runs",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -179,7 +179,7 @@ DOC_QUERIES = [
     # so the bounded Misra-Gries candidate path actually decrements here
     "heavy_hitters", "pmi_collocations", "triangle_count",
     "source_dup_matrix", "chunk_dup_groups", "zipf_fit",
-    "gopher_quality_filter", "ngram_novelty",
+    "gopher_quality_filter", "ngram_novelty", "source_js_divergence",
 ]
 
 
