@@ -7074,6 +7074,99 @@ def q_variance_ratio(spark, sf_dir):
     ).orderBy("user_id")
 
 
+HURST_KS = (16, 32, 64, 128)  # R/S block sizes (events)
+
+
+def q_hurst_rs(spark, sf_dir):
+    """Hurst exponent per series via classical rescaled-range analysis
+    (round 6; Hurst 1951, Mandelbrot & Wallis 1969): the long-memory
+    scalar — H≈0.5 memoryless, H>0.5 persistent (trends feed trends:
+    drift detectors apply), H<0.5 anti-persistent (mean-reverting:
+    oscillation rules apply) — estimated as the OLS slope of
+    ln E[R/S](k) on ln k over dyadic block sizes k ∈ {16,32,64,128}.
+    Exact integer core: within each FULL k-block the demeaned cumsum
+    is kept on the k-scaled integer lattice iY_j = k·prefix_j − j·tot
+    (iY_k = 0 by construction), so R/S = (max iY − min iY) /
+    sqrt(k·Σc² − tot²) is one division of two int64s per block —
+    overflow budget |iY| ≤ k²·2·10⁵ ≤ 3.3e9 and k·Σc² ≤ 6.6e14 under
+    the |cents| ≤ 2·10⁵ domain bound. Constant blocks (v=0) and
+    degenerate scales are excluded on both engines; per-scale means
+    and the 4-point regression are the only floats (4-dp policy).
+    100 TB shape: ONE user exchange — the row-number window, the ×4
+    scale fan (a deliberate explode, documented), the (user, k, block)
+    windows, and all three groupBys are prefix refinements of the user
+    partitioning (word_entropy's clustering argument)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "user_id", c.alias("_c"), F.row_number().over(w).alias("_rn")
+    )
+    fan = base.withColumn(
+        "_k",
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in HURST_KS])
+        ),
+    ).withColumn("_blk", F.expr("(_rn - 1) div _k"))
+    wb = Window.partitionBy("user_id", "_k", "_blk")
+    wbo = wb.orderBy("_rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    en = fan.select(
+        "user_id",
+        "_k",
+        "_blk",
+        "_c",
+        F.sum("_c").over(wbo).alias("_pre"),
+        F.sum("_c").over(wb).alias("_tot"),
+        F.count("*").over(wb).alias("_cnt"),
+        (F.col("_rn") - F.col("_blk") * F.col("_k")).alias("_j"),
+    )
+    iy = en.where(F.col("_cnt") == F.col("_k")).select(
+        "user_id",
+        "_k",
+        "_blk",
+        "_c",
+        (F.col("_k") * F.col("_pre") - F.col("_j") * F.col("_tot")).alias(
+            "_iy"
+        ),
+        "_tot",
+    )
+    blocks = iy.groupBy("user_id", "_k", "_blk").agg(
+        (F.max("_iy") - F.min("_iy")).alias("_r"),
+        (
+            F.max("_k") * F.sum(F.col("_c") * F.col("_c"))
+            - F.max("_tot") * F.max("_tot")
+        ).alias("_v"),
+    )
+    rs = F.when(
+        F.col("_v") > 0,
+        F.col("_r").cast("double") / F.sqrt(F.col("_v").cast("double")),
+    )
+    perk = blocks.groupBy("user_id", "_k").agg(F.avg(rs).alias("_mrs"))
+    pts = perk.where(F.col("_mrs") > 0).select(
+        "user_id",
+        F.log(F.col("_k").cast("double")).alias("_x"),
+        F.log("_mrs").alias("_y"),
+    )
+    reg = pts.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_scales"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    pd_ = F.col("n_scales").cast("double")
+    den = pd_ * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num = pd_ * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    h = F.when((F.col("n_scales") >= 2) & (den > 0), num / den)
+    return reg.select(
+        "user_id",
+        "n_scales",
+        (F.floor(h * 10000 + 0.5) / 10000).alias("hurst"),
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7236,6 +7329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatline_runs": q_flatline_runs,
         "source_js_divergence": q_source_js_divergence,
         "dtw_pairs": q_dtw_pairs,
+        "variance_ratio": q_variance_ratio,
+        "hurst_rs": q_hurst_rs,
     }
 
 
@@ -10296,6 +10391,91 @@ def oracle_sql() -> dict[str, str]:
                       + 0.5 * (b + {math.log(2.0)!r} * (1.0 - sq)))
                      * 10000 + 0.5) / 10000 AS js_nats
         FROM terms ORDER BY s1, s2""",
+        "variance_ratio": f"""
+        WITH base AS (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT)
+                   - lag(CAST(round(value * 100) AS BIGINT), 1)
+                     OVER w AS d1,
+                 CAST(round(value * 100) AS BIGINT)
+                   - lag(CAST(round(value * 100) AS BIGINT), {VR_Q})
+                     OVER w AS dq
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id,
+                 CAST(count(d1) AS BIGINT) AS m1,
+                 CAST(coalesce(sum(d1), 0) AS BIGINT) AS s1,
+                 CAST(coalesce(sum(d1 * d1), 0) AS BIGINT) AS s11,
+                 CAST(count(dq) AS BIGINT) AS mq,
+                 CAST(coalesce(sum(dq), 0) AS BIGINT) AS sq,
+                 CAST(coalesce(sum(dq * dq), 0) AS BIGINT) AS sqq
+          FROM base GROUP BY user_id
+        )
+        SELECT user_id, CAST(m1 + 1 AS BIGINT) AS n,
+               CASE WHEN m1 >= 2 AND mq >= 2
+                      AND m1 * s11 - s1 * s1 > 0
+                 THEN floor(
+                   (CAST(mq * sqq - sq * sq AS DOUBLE)
+                    / (CAST(mq AS DOUBLE) * CAST(mq - 1 AS DOUBLE)))
+                   / ({float(VR_Q)!r}
+                      * (CAST(m1 * s11 - s1 * s1 AS DOUBLE)
+                         / (CAST(m1 AS DOUBLE) * CAST(m1 - 1 AS DOUBLE))))
+                   * 10000 + 0.5) / 10000
+               END AS vr
+        FROM s ORDER BY user_id""",
+        "hurst_rs": f"""
+        WITH base AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS BIGINT) AS rn
+          FROM events
+        ), fan AS (
+          SELECT user_id, c, rn, k, (rn - 1) // k AS blk
+          FROM base CROSS JOIN (
+            SELECT unnest({list(HURST_KS)}::BIGINT[]) AS k) ks
+        ), en AS (
+          SELECT user_id, k, blk, c,
+                 sum(c) OVER (PARTITION BY user_id, k, blk ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pre,
+                 sum(c) OVER (PARTITION BY user_id, k, blk) AS tot,
+                 count(*) OVER (PARTITION BY user_id, k, blk) AS cnt,
+                 rn - blk * k AS j
+          FROM fan
+        ), iy AS (
+          SELECT user_id, k, blk, c, k * pre - j * tot AS y, tot
+          FROM en WHERE cnt = k
+        ), blocks AS (
+          SELECT user_id, k, blk,
+                 CAST(max(y) - min(y) AS BIGINT) AS r,
+                 CAST(max(k) * sum(c * c) - max(tot) * max(tot)
+                      AS BIGINT) AS v
+          FROM iy GROUP BY user_id, k, blk
+        ), perk AS (
+          SELECT user_id, k,
+                 avg(CASE WHEN v > 0
+                       THEN CAST(r AS DOUBLE) / sqrt(CAST(v AS DOUBLE))
+                     END) AS mrs
+          FROM blocks GROUP BY user_id, k
+        ), pts AS (
+          SELECT user_id, ln(CAST(k AS DOUBLE)) AS x, ln(mrs) AS y
+          FROM perk WHERE mrs > 0
+        ), reg AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_scales,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM pts GROUP BY user_id
+        )
+        SELECT user_id, n_scales,
+               CASE WHEN n_scales >= 2
+                      AND CAST(n_scales AS DOUBLE) * sxx - sx * sx > 0
+                 THEN floor(
+                   (CAST(n_scales AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_scales AS DOUBLE) * sxx - sx * sx)
+                   * 10000 + 0.5) / 10000
+               END AS hurst
+        FROM reg ORDER BY user_id""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

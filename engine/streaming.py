@@ -621,3 +621,71 @@ def interval_pair_stream(
             f"AND b_ts <= a_ts + interval {int(interval_s)} seconds"
         ),
     ).select("user_id", "a_event_id", "b_event_id", "a_ts", "b_ts")
+
+
+def flatline_stream(events_stream: DataFrame, flat_min: int = 5) -> DataFrame:
+    """Streaming stuck-sensor alarm — the stateful twin of the batch
+    ``q_flatline_runs`` gaps-and-islands census (round 6). The batch
+    query reports the COMPLETED-run census; this fires in real time on
+    the ``flat_min``-th consecutive identical reading, per user, with
+    O(1) state: (current run's cents value, its length so far). Emits
+    one row per event carrying the run length ENDING at that event and
+    the is_flat flag — the append log's per-event run lengths equal the
+    batch window count over the run id exactly, across restarts,
+    because run identity is pure integer equality on HALF_UP cents (the
+    psi_stream rounding discipline; no float accumulates in state).
+
+    Ordering contract as stateful_detect_stream / cusum_stream: all
+    chunks of a key's batch are concatenated and sorted once by
+    (ts, event_id); event time must be non-decreasing batch-over-batch
+    (file-drop ingest); late data belongs to a watermark variant.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, event_id long, cents long, run_len long, "
+        "is_flat boolean"
+    )
+    state_schema = "cur long, run long"
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        cur0, run0 = state.get if state.exists else (0, 0)
+        chunks = [pdf for pdf in pdf_iter]
+        if not chunks:
+            state.update((int(cur0), int(run0)))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        v = pdf["value"].to_numpy(np.float64) * 100
+        # HALF_UP (away from zero) — matches batch F.round(value*100)
+        c = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        n = len(c)
+        idx = np.arange(n)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = c[1:] != c[:-1]
+        carried = run0 > 0 and c[0] == cur0
+        # run lengths within the batch: distance to the last break,
+        # then the carried prefix extends every row of the FIRST run
+        run_start = np.maximum.accumulate(np.where(brk, idx, -1))
+        run_len = (idx - run_start + 1).astype(np.int64)
+        if carried:
+            run_len[run_start == 0] += run0
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "cents": c,
+                "run_len": run_len,
+                "is_flat": run_len >= flat_min,
+            }
+        )
+        state.update((int(c[-1]), int(run_len[-1])))
+        yield out
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1026,6 +1026,15 @@ def test_round6_session5_shapes(spark):
     assert "CartesianProduct" not in p, p[:2000]
     assert p.count("BroadcastHashJoin") >= 2, p[:3000]
 
+    # variance_ratio / hurst_rs: join-free, single corpus scan, ONE
+    # user exchange — every window/groupBy is a prefix refinement
+    for name in ("variance_ratio", "hurst_rs"):
+        p = _plan(E.queries()[name](spark, sf))
+        assert "EvalPython" not in p and "Join" not in p, (name, p[:2000])
+        n = p.count("Exchange hashpartitioning")
+        assert n == 1, f"{name}: {n} hash exchanges\n{p[:3000]}"
+        assert p.count("Scan parquet") == 1, (name, p[:3000])
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

@@ -1042,3 +1042,97 @@ def test_latest_state_batch_stream_parity(spark, tmp_path):
     # the crafted semantics actually decided: tie by event_id, late loses
     assert want[7001][0] == 900003 and want[7001][1] == "view"
     assert want[7002][0] == 900002
+
+
+def test_flatline_batch_stream_parity(spark, tmp_path):
+    """Round-6 twin pin: flatline_stream (O(1)-state stuck-sensor alarm)
+    over TWO file drops with a checkpointed restart must emit, for every
+    event, the run length of identical HALF_UP cents ending at that
+    event — equal to an independent pandas gaps-and-islands recompute
+    over the full log. The crafted corpus includes a 12-reading constant
+    run SPLIT 6/6 across the restart boundary (drop-2 lengths must read
+    7..12, proving state carriage), an alternating series (every run
+    length 1), and an exact half-tie value (12.125 -> 1213 cents,
+    HALF_UP) that half-to-even rounding would misbin."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.streaming import flatline_stream
+
+    rows = []
+    # user 8001: 12 identical readings, minute-spaced, split 6/6
+    for i in range(12):
+        rows.append((810000 + i, f"2024-06-01 00:{i:02d}:00", 8001, 7.25))
+    # user 8002: alternating values -> all runs length 1
+    for i in range(10):
+        rows.append(
+            (820000 + i, f"2024-06-01 00:{i:02d}:30", 8002,
+             1.0 if i % 2 else 2.0)
+        )
+    # user 8003: half-tie cents (12.125*100 = 1212.5 -> 1213 HALF_UP),
+    # twice, then a genuinely different cent (12.14 -> 1214; note 12.13
+    # would NOT break the run — it rounds to the same 1213), then the
+    # tie value again
+    for i, v in enumerate([12.125, 12.125, 12.14, 12.125]):
+        rows.append((830000 + i, f"2024-06-01 01:{i:02d}:00", 8003, v))
+    pdf_all = pd.DataFrame(
+        rows, columns=["event_id", "ts_s", "user_id", "value"]
+    )
+    ev = spark.createDataFrame(
+        pdf_all, "event_id long, ts_s string, user_id long, value double"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "value"
+    )
+    d1 = ev.where(
+        (F.col("user_id") != 8001) | (F.col("event_id") < 810006)
+    ).where(F.col("user_id") != 8003)
+    d2 = ev.subtract(d1)
+
+    src = str(tmp_path / "events_fl")
+    ckpt = str(tmp_path / "ckpt_fl")
+    outdir = str(tmp_path / "out_fl")
+    os.makedirs(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(f"{src}/*")
+        q = (
+            flatline_stream(stream, flat_min=5)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    d1.write.parquet(f"{src}/d1")
+    run()
+    d2.write.parquet(f"{src}/d2")
+    run()
+
+    got = {
+        r["event_id"]: (r["cents"], r["run_len"], r["is_flat"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+
+    # independent recompute: pandas gaps-and-islands over the full log
+    full = pdf_all.sort_values(["user_id", "ts_s", "event_id"]).copy()
+    v = full["value"].to_numpy(np.float64) * 100
+    full["c"] = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    want = {}
+    for _, g in full.groupby("user_id", sort=False):
+        run_id = (g["c"] != g["c"].shift()).cumsum()
+        rl = g.groupby(run_id).cumcount() + 1
+        for eid, cc, r in zip(g["event_id"], g["c"], rl):
+            want[int(eid)] = (int(cc), int(r), bool(r >= 5))
+    assert got == want
+    # the crafted semantics actually decided:
+    assert got[810011] == (725, 12, True)   # spans the restart: 12 not 6
+    assert got[810006][1] == 7              # first drop-2 reading continues
+    assert all(got[820000 + i][1] == 1 for i in range(10))  # alternating
+    assert got[830000][0] == 1213           # HALF_UP half-tie cents
+    assert got[830002][0] == 1214           # the run breaker
+    assert got[830003][1] == 1              # broken by 12.14 in between
