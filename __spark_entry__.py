@@ -7167,6 +7167,59 @@ def q_hurst_rs(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_bocpd(spark, sf_dir):
+    """Bayesian online change-point detection per series (round 6,
+    Adams & MacKay 2007): the full run-length posterior, one event at a
+    time — the online multi-change-point view beside retrospective
+    Pettitt (one change, found after the fact) and CUSUM (drift past h).
+    Per event: the MAP run length since the last change point and
+    P(change at this step). Normal-Inverse-Gamma conjugate segments
+    (unit prior on in-kernel STANDARDIZED cents), Student-t predictive
+    in closed form, constant hazard 1/250, posterior truncated at
+    R_MAX=64 states (overflow mass collapses into the oldest state) —
+    per-series state is O(R_MAX) whatever the series length, and the
+    lgamma normalizers come from a half-integer-lattice table (no
+    scipy). Constant series (sd=0) emit no rows, documented. 100 TB
+    shape: ONE user exchange into the Arrow kernel (the shesd/lttb
+    family); per-step work O(R_MAX). Rows-only for the driver gate (a
+    sequential posterior recursion has no SQL twin); pinned in pytest
+    against an independent untruncated reference recursion plus a
+    level-shift physics pin (engine/changepoint.py)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def _kern(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from engine.changepoint import bocpd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["value"].to_numpy(np.float64) * 100
+        c = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        sd = float(np.std(c))
+        if sd == 0.0 or len(c) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "event_id", "map_run", "p_change"]
+            )
+        z = (c - float(np.mean(c))) / sd
+        map_run, p_change = bocpd(z)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "map_run": map_run,
+                "p_change": np.floor(p_change * 10000 + 0.5) / 10000,
+            }
+        )
+
+    res = ev.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandas(
+        _kern, "user_id long, event_id long, map_run long, p_change double"
+    )
+    return res.orderBy("user_id", "event_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7331,6 +7384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_pairs": q_dtw_pairs,
         "variance_ratio": q_variance_ratio,
         "hurst_rs": q_hurst_rs,
+        "bocpd": q_bocpd,
     }
 
 

@@ -16,13 +16,14 @@ Layers:
   flags        q_detector_ensemble filtered to votes >= --min-votes
                (2-of-4 consensus by default)
   episodes     q_anomaly_runs — consecutive-flag islands per user
-  diagnostics  one row per user_id joining eleven per-series one-row
+  diagnostics  one row per user_id joining thirteen per-series one-row
                statistics (burstiness, Sen/OLS trend, Mann-Kendall,
                runs test, Ljung-Box, permutation entropy, Hjorth,
                exponential-gap KS, gap coverage, flatline plateaus,
-               anomaly episodes); each input is ONE corpus scan reduced
-               to a users-sized frame BEFORE the join, so the join
-               layer moves per-user rows, never events
+               variance ratio, Hurst exponent, anomaly episodes); each
+               input is ONE corpus scan reduced to a users-sized frame
+               BEFORE the join, so the join layer moves per-user rows,
+               never events
   tails        the per-type EVT card: Hill tail index (is the tail
                tractable) + Ferro-Segers extremal index (must I
                decluster) + method-of-moments GPD fit (the fit)
@@ -74,6 +75,8 @@ _DIAG_SPECS = [
     ("gap_profile", ["coverage", "longest_gap_min"], {}),
     ("flatline_runs", ["n_flat", "longest_run"],
      {"longest_run": "longest_flat_run"}),
+    ("variance_ratio", ["vr"], {}),
+    ("hurst_rs", ["hurst"], {}),
     ("anomaly_runs", ["n_anoms", "n_episodes", "max_run"], {}),
 ]
 

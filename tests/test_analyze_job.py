@@ -44,7 +44,8 @@ def test_analyze_job_layers_match_gated_operators(spark, tmp_path):
     assert diag.select("user_id").distinct().count() == n_users
     for col in ("burstiness", "mk_z", "runs_z", "lb_q", "pe_norm",
                 "exp_ks_d", "coverage", "n_anoms", "slope_day",
-                "mobility", "n_flat", "longest_flat_run"):
+                "mobility", "n_flat", "longest_flat_run", "vr",
+                "hurst"):
         assert col in diag.columns, col
     # a user with zero flagged events reads 0, not NULL
     assert diag.where("n_anoms IS NULL").count() == 0

@@ -37,7 +37,7 @@ ALLOWED_ARROW = {
     "mann_kendall", "fft_top_periods", "lttb_downsample",
     "lttb_two_stage", "heavy_hitters", "pca_top_component",
     "pagerank_sim", "dedup_clusters", "dedup_keep", "shesd_outliers",
-    "spectral_entropy", "dtw_pairs",
+    "spectral_entropy", "dtw_pairs", "bocpd",
 }
 
 # deliberate tiny-side cross joins: 1-row global census broadcasts and
