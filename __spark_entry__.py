@@ -7220,6 +7220,93 @@ def q_bocpd(spark, sf_dir):
     return res.orderBy("user_id", "event_id")
 
 
+def q_fano_factor(spark, sf_dir):
+    """Index of dispersion (Fano factor) per series (round 6, Fano
+    1947): variance-to-mean ratio of the zero-filled minutely event
+    COUNTS over the global span — the Poisson-ness check on counts
+    (exp_gap_fit checks the GAPS; both ≈1 for a Poisson process, VMR>1
+    overdispersed/bursty, <1 regular/clocked). Zeros contribute nothing
+    to ΣC or ΣC², so the dense-grid moments reduce to sparse sums over
+    present minutes plus the broadcast global n = span minutes
+    (corr_pairs' decomposition): VMR = sample-var/mean =
+    (n·ΣC² − S²)/((n−1)·S) — ONE division of two exact int64s, 4-dp.
+    100 TB shape: map-side (user, minute) partial combine, one user
+    reduce, the span census a 1-row deliberate BNLJ broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    minute = F.floor(F.unix_timestamp("ts") / 60).cast("long")
+    grid = (
+        ev.select("user_id", minute.alias("_m"))
+        .groupBy("user_id", "_m")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    span = grid.agg(
+        (F.max("_m") - F.min("_m") + 1).cast("long").alias("n_min")
+    )
+    stats = grid.groupBy("user_id").agg(
+        F.sum("_c").cast("long").alias("n_events"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_scc"),
+    )
+    j = stats.crossJoin(F.broadcast(span))
+    num = F.col("n_min") * F.col("_scc") - F.col("n_events") * F.col(
+        "n_events"
+    )
+    vmr = F.when(
+        (F.col("n_events") > 0) & (F.col("n_min") >= 2),
+        num.cast("double")
+        / ((F.col("n_min") - 1).cast("double") * F.col("n_events").cast("double")),
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        "n_min",
+        (F.floor(vmr * 10000 + 0.5) / 10000).alias("vmr"),
+    ).orderBy("user_id")
+
+
+EULER_GAMMA = 0.5772156649015329  # Euler–Mascheroni, shared literal
+
+
+def q_record_stats(spark, sf_dir):
+    """Record statistics per series (round 6; Arnold/Balakrishnan/
+    Nagaraja, *Records* 1998): the count of strict upper records
+    (values exceeding every predecessor) — under ANY exchangeable
+    (trend-free) series the expected record count is the harmonic
+    number H_n ≈ ln n + γ, so record_ratio = n_records/(ln n + γ) ≫ 1
+    is a distribution-free upward-drift signal needing no moments at
+    all (robust where Mann-Kendall needs O(n²) and OLS needs
+    variance). ALL-INTEGER record predicate: cents > running max of
+    the strictly-preceding window (first event is a record by
+    convention); the only floats are the final ratio against the
+    shared ln+γ literal, 4-dp. ONE user exchange for the running-max
+    lag window and the reduce."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "user_id",
+        c.alias("_c"),
+        F.max(c).over(wprev).alias("_prevmax"),
+    )
+    rec = (
+        F.col("_prevmax").isNull() | (F.col("_c") > F.col("_prevmax"))
+    ).cast("long")
+    agg = base.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(rec).cast("long").alias("n_records"),
+    )
+    expected = F.log(F.col("n").cast("double")) + F.lit(EULER_GAMMA)
+    ratio = F.when(
+        F.col("n") >= 2, F.col("n_records").cast("double") / expected
+    )
+    return agg.select(
+        "user_id",
+        "n",
+        "n_records",
+        (F.floor(ratio * 10000 + 0.5) / 10000).alias("record_ratio"),
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7385,6 +7472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variance_ratio": q_variance_ratio,
         "hurst_rs": q_hurst_rs,
         "bocpd": q_bocpd,
+        "fano_factor": q_fano_factor,
+        "record_stats": q_record_stats,
     }
 
 
@@ -10530,6 +10619,52 @@ def oracle_sql() -> dict[str, str]:
                    * 10000 + 0.5) / 10000
                END AS hurst
         FROM reg ORDER BY user_id""",
+        "fano_factor": """
+        WITH grid AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id, m
+        ), span AS (
+          SELECT CAST(max(m) - min(m) + 1 AS BIGINT) AS n_min FROM grid
+        ), s AS (
+          SELECT user_id,
+                 CAST(sum(c) AS BIGINT) AS n_events,
+                 CAST(sum(c * c) AS BIGINT) AS scc
+          FROM grid GROUP BY user_id
+        )
+        SELECT user_id, n_events, n_min,
+               CASE WHEN n_events > 0 AND n_min >= 2
+                 THEN floor(
+                   CAST(n_min * scc - n_events * n_events AS DOUBLE)
+                   / (CAST(n_min - 1 AS DOUBLE)
+                      * CAST(n_events AS DOUBLE))
+                   * 10000 + 0.5) / 10000
+               END AS vmr
+        FROM s CROSS JOIN span ORDER BY user_id""",
+        "record_stats": f"""
+        WITH base AS (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 max(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prevmax
+          FROM events
+        ), agg AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN prevmax IS NULL OR c > prevmax
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_records
+          FROM base GROUP BY user_id
+        )
+        SELECT user_id, n, n_records,
+               CASE WHEN n >= 2
+                 THEN floor(CAST(n_records AS DOUBLE)
+                   / (ln(CAST(n AS DOUBLE)) + {EULER_GAMMA!r})
+                   * 10000 + 0.5) / 10000
+               END AS record_ratio
+        FROM agg ORDER BY user_id""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

@@ -1035,6 +1035,25 @@ def test_round6_session5_shapes(spark):
         assert n == 1, f"{name}: {n} hash exchanges\n{p[:3000]}"
         assert p.count("Scan parquet") == 1, (name, p[:3000])
 
+    # record_stats: running-max lag window + reduce on ONE user exchange
+    p = _plan(E.q_record_stats(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"record_stats: {n} hash exchanges\n{p[:3000]}"
+
+    # fano_factor: map-side (user, minute) partials, one user reduce,
+    # 1-row span census broadcast (deliberate BNLJ)
+    p = _plan(E.q_fano_factor(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p[:2500]
+
+    # bocpd: the only Python is the Arrow-grouped kernel on ONE exchange
+    p = _plan(E.q_bocpd(spark, sf))
+    assert "BatchEvalPython" not in p, p[:2000]
+    assert "FlatMapGroupsInPandas" in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"bocpd: {n} hash exchanges\n{p[:3000]}"
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

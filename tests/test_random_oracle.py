@@ -39,7 +39,7 @@ QUERIES = [
     "markov_entropy", "session_type_lift", "permutation_entropy",
     "runs_test", "corr_pairs", "ljung_box", "rolling_skew",
     "hill_tail_index", "gpd_fit", "extremal_index", "flatline_runs",
-    "variance_ratio", "hurst_rs",
+    "variance_ratio", "hurst_rs", "fano_factor", "record_stats",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
