@@ -7307,6 +7307,95 @@ def q_record_stats(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_source_length_profile(spark, sf_dir):
+    """Per-source token-length profile (round 6): doc count, token sum,
+    mean, and EXACT p25/p50/p75/p95 of per-doc token counts — the
+    length-distribution card a mixture designer reads next to
+    source_mix_rebalance (equal token share means nothing if one
+    source is all 10-token stubs) and the pack_sequences planner reads
+    to predict window fill. Quantiles follow bucket_quantiles' integer-
+    lattice discipline: on integer token counts the interpolated p25/
+    p50/p75 live on the 1/4 lattice and p95 on the 1/20 lattice, so
+    each is normalized through round(q·scale) int64 then one exact
+    division — engine-identical doubles, no 4-dp policy needed
+    anywhere (mean is one int/int division). 100 TB shape: map-side
+    tokenize + per-(source) grouped percentile, group-bounded memory
+    (sources ≪ corpus); one exchange on source."""
+    d = _t(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " ")).cast("long")
+    g = d.select("source", nt.alias("_nt")).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("tok_sum"),
+        F.round(F.expr("percentile(_nt, 0.25)") * 4)
+        .cast("long")
+        .alias("_i25"),
+        F.round(F.expr("percentile(_nt, 0.5)") * 2)
+        .cast("long")
+        .alias("_i50"),
+        F.round(F.expr("percentile(_nt, 0.75)") * 4)
+        .cast("long")
+        .alias("_i75"),
+        F.round(F.expr("percentile(_nt, 0.95)") * 20)
+        .cast("long")
+        .alias("_i95"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "tok_sum",
+        (F.col("tok_sum").cast("double") / F.col("n_docs").cast("double"))
+        .alias("mean_tok"),
+        (F.col("_i25") / 4.0).alias("p25"),
+        (F.col("_i50") / 2.0).alias("p50"),
+        (F.col("_i75") / 4.0).alias("p75"),
+        (F.col("_i95") / 20.0).alias("p95"),
+    ).orderBy("source")
+
+
+def q_kfold_leakage(spark, sf_dir):
+    """K-fold near-dup leakage audit (round 6): for every unordered
+    fold pair, how many VERIFIED near-dup document pairs (n-gram
+    Jaccard >= DEDUP_MIN_JACCARD — the dedup_clusters edge set) have
+    one endpoint in each fold. Off-diagonal rows are train/eval
+    LEAKAGE the hash split cannot see (q_decontaminate guards the
+    held-out benchmark; this audits the split itself — a near-dup pair
+    straddling folds lets the model memorize eval content from train):
+    the curator either dedups before splitting or moves whole dup
+    clusters into one fold. Fold = the q_kfold_assign salted-md5
+    assignment, bit-identical here. 100 TB shape: source_dup_matrix's
+    exact plan — the LSH-capped edge relation broadcasts INTO the
+    (doc_id -> fold) corpus projection at both endpoint lookups; the
+    corpus is never shuffled."""
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("fold|"), F.col("doc_id").cast("string")))
+    hv = sum(
+        (_nibble(hx, i + 1) * (16 ** (3 - i)) for i in range(4)),
+        F.lit(0),
+    )
+    folds = d.select("doc_id", (hv % KFOLD_K).cast("long").alias("_f"))
+    e = (
+        _jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= F.lit(DEDUP_MIN_JACCARD))
+        .select("d1", "d2")
+    )
+    half = folds.join(F.broadcast(e), folds["doc_id"] == e["d1"]).select(
+        F.col("_f").alias("_fa"), "d2"
+    )
+    sp = folds.join(F.broadcast(half), folds["doc_id"] == half["d2"]).select(
+        "_fa", F.col("_f").alias("_fb")
+    )
+    return (
+        sp.select(
+            F.least("_fa", "_fb").alias("fold_a"),
+            F.greatest("_fa", "_fb").alias("fold_b"),
+        )
+        .groupBy("fold_a", "fold_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .withColumn("leaky", F.col("fold_a") != F.col("fold_b"))
+        .orderBy("fold_a", "fold_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7474,6 +7563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bocpd": q_bocpd,
         "fano_factor": q_fano_factor,
         "record_stats": q_record_stats,
+        "source_length_profile": q_source_length_profile,
+        "kfold_leakage": q_kfold_leakage,
     }
 
 
@@ -9868,6 +9959,25 @@ def oracle_sql() -> dict[str, str]:
           JOIN documents b ON b.doc_id = ed.d2)
         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
         FROM sp GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+        "kfold_leakage": _CLUSTERS_SQL_PREFIX + f"""
+        , ed AS (SELECT d1, d2 FROM jp WHERE j >= {DEDUP_MIN_JACCARD}),
+        fd AS (
+          SELECT doc_id,
+            ((instr('0123456789abcdef', substring(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+           + (instr('0123456789abcdef', substring(md5('fold|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+           + (instr('0123456789abcdef', substring(md5('fold|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substring(md5('fold|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
+              % {KFOLD_K} AS f
+          FROM documents),
+        spf AS (
+          SELECT least(a.f, b.f) AS fold_a, greatest(a.f, b.f) AS fold_b
+          FROM ed JOIN fd a ON a.doc_id = ed.d1
+                  JOIN fd b ON b.doc_id = ed.d2)
+        SELECT CAST(fold_a AS BIGINT) AS fold_a,
+               CAST(fold_b AS BIGINT) AS fold_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               fold_a != fold_b AS leaky
+        FROM spf GROUP BY fold_a, fold_b ORDER BY fold_a, fold_b""",
         "type_trigrams": """
         WITH t AS (
           SELECT event_type AS t1,
@@ -10665,6 +10775,27 @@ def oracle_sql() -> dict[str, str]:
                    * 10000 + 0.5) / 10000
                END AS record_ratio
         FROM agg ORDER BY user_id""",
+        "source_length_profile": """
+        WITH nt AS (
+          SELECT source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents
+        ), g AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n) AS BIGINT) AS tok_sum,
+                 CAST(round(quantile_cont(n, 0.25) * 4) AS BIGINT) AS i25,
+                 CAST(round(quantile_cont(n, 0.5) * 2) AS BIGINT) AS i50,
+                 CAST(round(quantile_cont(n, 0.75) * 4) AS BIGINT) AS i75,
+                 CAST(round(quantile_cont(n, 0.95) * 20) AS BIGINT) AS i95
+          FROM nt GROUP BY source
+        )
+        SELECT source, n_docs, tok_sum,
+               CAST(tok_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 AS mean_tok,
+               i25 / 4.0 AS p25, i50 / 2.0 AS p50,
+               i75 / 4.0 AS p75, i95 / 20.0 AS p95
+        FROM g ORDER BY source""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

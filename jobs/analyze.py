@@ -16,14 +16,14 @@ Layers:
   flags        q_detector_ensemble filtered to votes >= --min-votes
                (2-of-4 consensus by default)
   episodes     q_anomaly_runs — consecutive-flag islands per user
-  diagnostics  one row per user_id joining thirteen per-series one-row
+  diagnostics  one row per user_id joining fifteen per-series one-row
                statistics (burstiness, Sen/OLS trend, Mann-Kendall,
                runs test, Ljung-Box, permutation entropy, Hjorth,
                exponential-gap KS, gap coverage, flatline plateaus,
-               variance ratio, Hurst exponent, anomaly episodes); each
-               input is ONE corpus scan reduced to a users-sized frame
-               BEFORE the join, so the join layer moves per-user rows,
-               never events
+               variance ratio, Hurst exponent, Fano factor, record
+               ratio, anomaly episodes); each input is ONE corpus scan
+               reduced to a users-sized frame BEFORE the join, so the
+               join layer moves per-user rows, never events
   tails        the per-type EVT card: Hill tail index (is the tail
                tractable) + Ferro-Segers extremal index (must I
                decluster) + method-of-moments GPD fit (the fit)
@@ -77,6 +77,8 @@ _DIAG_SPECS = [
      {"longest_run": "longest_flat_run"}),
     ("variance_ratio", ["vr"], {}),
     ("hurst_rs", ["hurst"], {}),
+    ("fano_factor", ["vmr"], {}),
+    ("record_stats", ["record_ratio"], {}),
     ("anomaly_runs", ["n_anoms", "n_episodes", "max_run"], {}),
 ]
 

@@ -45,7 +45,7 @@ def test_analyze_job_layers_match_gated_operators(spark, tmp_path):
     for col in ("burstiness", "mk_z", "runs_z", "lb_q", "pe_norm",
                 "exp_ks_d", "coverage", "n_anoms", "slope_day",
                 "mobility", "n_flat", "longest_flat_run", "vr",
-                "hurst"):
+                "hurst", "vmr", "record_ratio"):
         assert col in diag.columns, col
     # a user with zero flagged events reads 0, not NULL
     assert diag.where("n_anoms IS NULL").count() == 0

@@ -1054,6 +1054,21 @@ def test_round6_session5_shapes(spark):
     n = p.count("Exchange hashpartitioning")
     assert n == 1, f"bocpd: {n} hash exchanges\n{p[:3000]}"
 
+    # source_length_profile: one exchange on source, group-bounded
+    # percentile, join-free
+    p = _plan(E.q_source_length_profile(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"source_length_profile: {n} hash exchanges\n{p[:3000]}"
+
+    # kfold_leakage: the edge relation broadcasts into the fold
+    # projection at both endpoint lookups — corpus never shuffled for
+    # the join (source_dup_matrix's plan)
+    p = _plan(E.q_kfold_leakage(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated
