@@ -53,6 +53,7 @@ ALLOWED_BNLJ = {
     "dedup_clusters", "dedup_keep", "embedding_near_dups",
     "winnow_pairs", "source_mix_rebalance", "pot_exceedances",
     "anomaly_contribution", "triangle_count", "source_dup_matrix",
+    "kfold_leakage",
     "decontaminate", "pagerank_sim", "lang_source_cube", "zipf_fit",
     "markov_entropy", "session_type_lift",
     "corr_pairs", "dtw_pairs", "fano_factor",
