@@ -7396,6 +7396,241 @@ def q_kfold_leakage(spark, sf_dir):
     )
 
 
+XCORR_MAX_LAG = 3  # pairwise lead-lag scan window, minutes
+
+
+def q_xcorr_pairs(spark, sf_dir):
+    """Directed pair lead-lag (round 6): for every unordered pair of
+    the K most active users, the lag L ∈ [-3, +3] minutes maximising
+    the Pearson correlation between a's zero-filled minutely count and
+    b's shifted by L — the "who leads WHOM" influence edge that
+    completes the synchrony triptych: corr_pairs is lag-0 pairwise,
+    lead_lag_ccf is lagged but vs the FLEET, dtw_pairs is warp-
+    invariant (no direction). best_lag > 0 means a's activity at t
+    co-moves with b's at t+L: a LEADS b. All sufficient statistics
+    exact int64 over the sparse grid: for lag L the overlap window is
+    [m0+max(0,-L), m1-max(0,L)] with n_L = n_min − |L| dense minutes,
+    so the trimmed per-user sums are conditional aggregates of ONE
+    grid pass (zeros contribute nothing), and ΣaᵗbᵗᐩL is an equi-join
+    of b's grid slice against a's exploded by the 7 lags (key m+L —
+    never a band/theta join). corr per (pair, lag) in the corr_pairs
+    closed form (per-factor double casts, floor(x·10⁴+0.5)/10⁴,
+    NULL on zero overlap variance); best lag deterministic (corr desc
+    NULLS LAST, |lag|, lag). 100 TB shape: ONE corpus shuffle into the
+    persisted grid (span/top-K are grid re-aggregates, never a second
+    corpus scan); everything after runs on K broadcast-filtered grid
+    slices; the K²/2 × 7 pair frame and the 1-row span are deliberate
+    tiny-side broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    minute = F.floor(F.unix_timestamp("ts") / 60).cast("long")
+    grid = (
+        ev.select("user_id", minute.alias("_m"))
+        .groupBy("user_id", "_m")
+        .agg(F.count("*").alias("_c"))
+        .persist()
+    )
+    span = grid.agg(
+        F.min("_m").cast("long").alias("_m0"),
+        F.max("_m").cast("long").alias("_m1"),
+    )
+    top = (
+        grid.groupBy("user_id")
+        .agg(F.sum("_c").cast("long").alias("_sx"))
+        .orderBy(F.desc("_sx"), F.asc("user_id"))
+        .limit(CORR_TOP_USERS)
+        .select("user_id")
+    )
+    z = F.lit(0).cast("long")
+    aggs = []
+    for j in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1):
+        ok = (F.col("_m") >= F.col("_m0") + F.lit(max(0, -j))) & (
+            F.col("_m") <= F.col("_m1") - F.lit(max(0, j))
+        )
+        tag = f"p{j}" if j >= 0 else f"m{-j}"
+        aggs += [
+            F.sum(F.when(ok, F.col("_c")).otherwise(z))
+            .cast("long")
+            .alias(f"_t1_{tag}"),
+            F.sum(F.when(ok, F.col("_c") * F.col("_c")).otherwise(z))
+            .cast("long")
+            .alias(f"_t2_{tag}"),
+        ]
+    um = (
+        grid.join(F.broadcast(top), "user_id")
+        .crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(*aggs)
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("_l"),
+                F.col(f"_t1_{'p' + str(j) if j >= 0 else 'm' + str(-j)}")
+                .alias("_t1"),
+                F.col(f"_t2_{'p' + str(j) if j >= 0 else 'm' + str(-j)}")
+                .alias("_t2"),
+            )
+            for j in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)
+        ]
+    )
+    uml = um.select("user_id", F.explode(entries).alias("_e")).select(
+        "user_id", "_e._l", "_e._t1", "_e._t2"
+    )
+    lags = F.array(
+        [F.lit(v) for v in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1)]
+    )
+    ga = (
+        grid.join(
+            F.broadcast(top.withColumnRenamed("user_id", "_ua")),
+            grid["user_id"] == F.col("_ua"),
+        )
+        .select("_ua", "_m", F.col("_c").alias("_ca"))
+        .select(
+            "_ua", "_m", "_ca", F.explode(lags).alias("_l")
+        )
+        .withColumn("_mb", F.col("_m") + F.col("_l"))
+    )
+    gb = grid.join(
+        F.broadcast(top.withColumnRenamed("user_id", "_ub")),
+        grid["user_id"] == F.col("_ub"),
+    ).select(F.col("_ub"), F.col("_m").alias("_mb"), F.col("_c").alias("_cb"))
+    sxy = (
+        ga.join(F.broadcast(gb), "_mb")
+        .where(F.col("_ua") < F.col("_ub"))
+        .groupBy("_ua", "_ub", "_l")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("_sxy"))
+    )
+    a_side = uml.select(
+        F.col("user_id").alias("_ua"),
+        F.col("_l"),
+        F.col("_t1").alias("_sa"),
+        F.col("_t2").alias("_saa"),
+    )
+    b_side = uml.select(
+        F.col("user_id").alias("_ub"),
+        (-F.col("_l")).cast("int").alias("_l"),
+        F.col("_t1").alias("_sb"),
+        F.col("_t2").alias("_sbb"),
+    )
+    base = (
+        a_side.join(F.broadcast(b_side), "_l")
+        .where(F.col("_ua") < F.col("_ub"))
+        .join(F.broadcast(sxy), ["_ua", "_ub", "_l"], "left")
+        .na.fill({"_sxy": 0})
+        .crossJoin(F.broadcast(span))
+        .withColumn(
+            "_nl",
+            (F.col("_m1") - F.col("_m0") + 1 - F.abs(F.col("_l"))).cast(
+                "long"
+            ),
+        )
+    )
+    nd = F.col("_nl").cast("double")
+    num = nd * F.col("_sxy").cast("double") - F.col("_sa").cast(
+        "double"
+    ) * F.col("_sb").cast("double")
+    da = nd * F.col("_saa").cast("double") - F.col("_sa").cast(
+        "double"
+    ) * F.col("_sa").cast("double")
+    db = nd * F.col("_sbb").cast("double") - F.col("_sb").cast(
+        "double"
+    ) * F.col("_sb").cast("double")
+    corr = F.when(
+        (da > 0) & (db > 0),
+        F.floor(num / F.sqrt(da * db) * 10000 + 0.5) / 10000,
+    )
+    cc = base.select("_ua", "_ub", "_l", corr.alias("_corr"))
+    wbest = Window.partitionBy("_ua", "_ub").orderBy(
+        F.col("_corr").desc_nulls_last(), F.abs(F.col("_l")), F.col("_l")
+    )
+    best = (
+        cc.withColumn("_rn", F.row_number().over(wbest))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    zero = cc.where(F.col("_l") == 0).select(
+        "_ua", "_ub", F.col("_corr").alias("_corr0")
+    )
+    return (
+        best.join(F.broadcast(zero), ["_ua", "_ub"])
+        .select(
+            F.col("_ua").alias("user_a"),
+            F.col("_ub").alias("user_b"),
+            F.col("_l").alias("best_lag"),
+            F.col("_corr").alias("best_corr"),
+            F.col("_corr0").alias("corr0"),
+        )
+        .orderBy("user_a", "user_b")
+    )
+
+
+def q_spearman_to_global(spark, sf_dir):
+    """Rank-robust fleet synchrony (round 6): Spearman's ρ between a
+    user's minutely event count and the GLOBAL minutely count over the
+    minutes the user is active — the robust twin of corr_to_global,
+    whose Pearson estimate one 1000× burst minute can single-handedly
+    pin to 1.0; on ranks that minute is just "the largest", so ρ reads
+    co-movement of the TYPICAL minutes. Exact-integer discipline via
+    doubled average ranks: 2·avgrank(v) = rank_asc(v) + n + 1 −
+    rank_desc(v) (min-rank + max-rank, the tie-average identity), an
+    int64 for every tie pattern — Pearson on the doubled ranks equals
+    Pearson on average ranks (scale invariance), which IS the
+    tied-data Spearman ρ. Closed form with per-factor double casts,
+    floor(x·10⁴+0.5)/10⁴, NULL on a constant side (zero rank
+    variance). Overflow budget: Σr² ≤ 4n³ stays in int64 for n ≤
+    1.3M active minutes per user (≈2.5 years of every-minute activity;
+    same documented budget class as hurst_rs). 100 TB shape: ONE
+    corpus shuffle to the (user, minute) grid; the global series is a
+    minutes-sized grid re-agg broadcast back; all four rank windows
+    and the count window partition by user_id alone, so they share ONE
+    grid-sized exchange with the final per-user reduce."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.expr("unix_timestamp(ts) DIV 60")
+    um = ev.groupBy("user_id", m.alias("minute")).agg(
+        F.count("*").cast("long").alias("_x")
+    )
+    gm = um.groupBy("minute").agg(F.sum("_x").alias("_y"))
+    j = um.join(F.broadcast(gm), "minute")
+    wn = Window.partitionBy("user_id")
+    n_w = F.count("*").over(wn).cast("long")
+
+    def dr(col):
+        asc = F.rank().over(wn.orderBy(F.col(col).asc())).cast("long")
+        desc = F.rank().over(wn.orderBy(F.col(col).desc())).cast("long")
+        return asc + n_w + F.lit(1).cast("long") - desc
+
+    r = j.select(
+        "user_id", dr("_x").alias("_rx"), dr("_y").alias("_ry")
+    )
+    s = r.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+    )
+    nd = F.col("_n").cast("double")
+    num = nd * F.col("_sxy").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    fx = nd * F.col("_sxx").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sx").cast("double")
+    fy = nd * F.col("_syy").cast("double") - F.col("_sy").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    rho = F.when(
+        (fx > 0) & (fy > 0),
+        F.floor(num / F.sqrt(fx * fy) * 10000 + 0.5) / 10000,
+    )
+    return s.select(
+        "user_id",
+        F.col("_n").alias("n_minutes"),
+        rho.alias("rho_global"),
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7565,6 +7800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_stats": q_record_stats,
         "source_length_profile": q_source_length_profile,
         "kfold_leakage": q_kfold_leakage,
+        "xcorr_pairs": q_xcorr_pairs,
+        "spearman_to_global": q_spearman_to_global,
     }
 
 
@@ -10796,6 +11033,126 @@ def oracle_sql() -> dict[str, str]:
                i25 / 4.0 AS p25, i50 / 2.0 AS p50,
                i75 / 4.0 AS p75, i95 / 20.0 AS p95
         FROM g ORDER BY source""",
+        "xcorr_pairs": f"""
+        WITH grid AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ), span AS (
+          SELECT CAST(min(m) AS BIGINT) AS m0,
+                 CAST(max(m) AS BIGINT) AS m1
+          FROM grid
+        ), top AS (
+          SELECT user_id FROM (
+            SELECT user_id, CAST(sum(c) AS BIGINT) AS sx
+            FROM grid GROUP BY 1
+          ) ORDER BY sx DESC, user_id LIMIT {CORR_TOP_USERS}
+        ), lags AS (
+          SELECT CAST(range AS INTEGER) AS l
+          FROM range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG + 1})
+        ), uml AS (
+          SELECT t.user_id, l.l,
+                 CAST(sum(CASE WHEN g.m >= s.m0 + GREATEST(0, -l.l)
+                                AND g.m <= s.m1 - GREATEST(0, l.l)
+                           THEN g.c ELSE 0 END) AS BIGINT) AS t1,
+                 CAST(sum(CASE WHEN g.m >= s.m0 + GREATEST(0, -l.l)
+                                AND g.m <= s.m1 - GREATEST(0, l.l)
+                           THEN g.c * g.c ELSE 0 END) AS BIGINT) AS t2
+          FROM top t JOIN grid g USING (user_id)
+          CROSS JOIN lags l CROSS JOIN span s
+          GROUP BY 1, 2
+        ), xy AS (
+          SELECT ga.user_id AS ua, gb.user_id AS ub, l.l,
+                 CAST(sum(ga.c * gb.c) AS BIGINT) AS sxy
+          FROM grid ga JOIN top ta ON ga.user_id = ta.user_id
+          CROSS JOIN lags l
+          JOIN grid gb ON gb.m = ga.m + l.l
+          JOIN top tb ON gb.user_id = tb.user_id
+          WHERE ga.user_id < gb.user_id
+          GROUP BY 1, 2, 3
+        ), base AS (
+          SELECT a.user_id AS ua, b.user_id AS ub, a.l AS lag,
+                 CAST(s.m1 - s.m0 + 1 - abs(a.l) AS BIGINT) AS nl,
+                 a.t1 AS sa, a.t2 AS saa, b.t1 AS sb, b.t2 AS sbb,
+                 CAST(COALESCE(xy.sxy, 0) AS BIGINT) AS sxy
+          FROM uml a JOIN uml b
+            ON b.l = -a.l AND a.user_id < b.user_id
+          CROSS JOIN span s
+          LEFT JOIN xy
+            ON xy.ua = a.user_id AND xy.ub = b.user_id AND xy.l = a.l
+        ), cc AS (
+          SELECT ua, ub, lag,
+                 CASE WHEN CAST(nl AS DOUBLE) * CAST(saa AS DOUBLE)
+                           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+                       AND CAST(nl AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+                   THEN floor(
+                     (CAST(nl AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                     / sqrt((CAST(nl AS DOUBLE) * CAST(saa AS DOUBLE)
+                             - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                            * (CAST(nl AS DOUBLE) * CAST(sbb AS DOUBLE)
+                               - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                     * 10000 + 0.5) / 10000
+                 END AS corr
+          FROM base
+        ), best AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY ua, ub
+                   ORDER BY corr DESC NULLS LAST, abs(lag), lag) AS rn
+          FROM cc
+        )
+        SELECT b.ua AS user_a, b.ub AS user_b,
+               CAST(b.lag AS INTEGER) AS best_lag,
+               b.corr AS best_corr, c0.corr AS corr0
+        FROM best b JOIN cc c0
+          ON c0.ua = b.ua AND c0.ub = b.ub AND c0.lag = 0
+        WHERE b.rn = 1
+        ORDER BY user_a, user_b""",
+        "spearman_to_global": """
+        WITH um AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), gm AS (
+          SELECT minute, CAST(sum(x) AS BIGINT) AS y FROM um GROUP BY 1
+        ), r AS (
+          SELECT user_id,
+                 CAST(rank() OVER (PARTITION BY user_id ORDER BY x ASC)
+                      + count(*) OVER (PARTITION BY user_id) + 1
+                      - rank() OVER (PARTITION BY user_id ORDER BY x DESC)
+                      AS BIGINT) AS rx,
+                 CAST(rank() OVER (PARTITION BY user_id ORDER BY y ASC)
+                      + count(*) OVER (PARTITION BY user_id) + 1
+                      - rank() OVER (PARTITION BY user_id ORDER BY y DESC)
+                      AS BIGINT) AS ry
+          FROM um JOIN gm USING (minute)
+        ), s AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(rx) AS BIGINT) AS sx,
+                 CAST(sum(ry) AS BIGINT) AS sy,
+                 CAST(sum(rx * ry) AS BIGINT) AS sxy,
+                 CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                 CAST(sum(ry * ry) AS BIGINT) AS syy
+          FROM r GROUP BY 1
+        )
+        SELECT user_id, n AS n_minutes,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                     AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                 THEN floor(
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   * 10000 + 0.5) / 10000
+               END AS rho_global
+        FROM s ORDER BY user_id""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

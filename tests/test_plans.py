@@ -1070,6 +1070,35 @@ def test_round6_session5_shapes(spark):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
 
 
+def test_round6_session6_shapes(spark):
+    """xcorr_pairs: corpus scanned once into the PERSISTED grid (span,
+    top-K, trimmed moments, and the lag-shifted Σab all read cache);
+    every join broadcasts (pair frame, lag equi-join, 1-row span);
+    top-K via TakeOrdered; no cartesian, no SMJ/SHJ, no Python.
+    spearman_to_global: corr_to_global's exact census — the four rank
+    windows and the count window all partition by user_id alone, so
+    they share ONE grid-sized exchange with the per-user reduce (4
+    hash exchanges total: grid, gm re-agg, broadcast build side's
+    grid, window+reduce)."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(E.q_xcorr_pairs(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert "InMemoryTableScan" in p, p[:3000]
+    assert "TakeOrderedAndProject" in p, p[:3000]
+
+    p = _plan(E.q_spearman_to_global(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 4, f"spearman_to_global: {n} hash exchanges\n{p[:3000]}"
+
+
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated
     complement to the per-query asserts above, via tools/plan_audit.py):
