@@ -7631,6 +7631,49 @@ def q_spearman_to_global(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_bpe_merge_candidates(spark, sf_dir):
+    """BPE first-merge census (round 6): the 20 most frequent adjacent
+    character pairs across the corpus, weighted by word frequency —
+    iteration one of byte-pair-encoding tokenizer training (Sennrich
+    et al. ACL 2016): the pair this census ranks first IS the first
+    merge a BPE tokenizer trained on this corpus would learn, and the
+    full table is the merge-candidate frontier. Run per snapshot it
+    doubles as a drift signal one level below word statistics (zipf_fit
+    watches word frequencies; this watches subword structure — a
+    source-mix shift toward code or another script moves the pair head
+    long before the word head). Exact integer counts end to end;
+    deterministic (count desc, a, b) tie-break. 100 TB shape: ONE
+    corpus scan map-side exploded to words, one exchange to the
+    VOCABULARY census (map-side partials), then the character-pair
+    explode runs on the vocab relation (vocab-sized, never
+    token-sized — each distinct word contributes its pairs once,
+    weighted by count), one tiny (a, b) exchange (≤ alphabet²), and
+    TakeOrdered — never a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pairs = wc.select(
+        "c",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i ->"
+                " struct(substring(w, i, 1) AS a,"
+                " substring(w, i + 1, 1) AS b))"
+            )
+        ).alias("_p"),
+    ).select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"), "c")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("c").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7802,6 +7845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_leakage": q_kfold_leakage,
         "xcorr_pairs": q_xcorr_pairs,
         "spearman_to_global": q_spearman_to_global,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
     }
 
 
@@ -11153,6 +11197,21 @@ def oracle_sql() -> dict[str, str]:
                    * 10000 + 0.5) / 10000
                END AS rho_global
         FROM s ORDER BY user_id""",
+        "bpe_merge_candidates": """
+        WITH wc AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          WHERE len(w) >= 2 GROUP BY w
+        ), p AS (
+          SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b, c
+          FROM (SELECT w, c,
+                       unnest(generate_series(1, len(w) - 1)) AS i
+                FROM wc)
+        )
+        SELECT a, b, CAST(sum(c) AS BIGINT) AS pair_count
+        FROM p GROUP BY a, b
+        ORDER BY pair_count DESC, a, b LIMIT 20""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

@@ -1098,6 +1098,15 @@ def test_round6_session6_shapes(spark):
     n = p.count("Exchange hashpartitioning")
     assert n <= 4, f"spearman_to_global: {n} hash exchanges\n{p[:3000]}"
 
+    # bpe_merge_candidates: word census then the char-pair explode on
+    # the VOCAB relation (vocab-sized, never token-sized) — two hash
+    # exchanges (word, pair), join-free, TakeOrdered top-20
+    p = _plan(E.q_bpe_merge_candidates(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 2, f"bpe_merge_candidates: {n} hash exchanges\n{p[:3000]}"
+    assert "TakeOrderedAndProject" in p, p[:3000]
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

@@ -182,7 +182,7 @@ DOC_QUERIES = [
     "heavy_hitters", "pmi_collocations", "triangle_count",
     "source_dup_matrix", "chunk_dup_groups", "zipf_fit",
     "gopher_quality_filter", "ngram_novelty", "source_js_divergence",
-    "source_length_profile", "kfold_leakage",
+    "source_length_profile", "kfold_leakage", "bpe_merge_candidates",
 ]
 
 
