@@ -16,17 +16,20 @@ Layers:
   flags        q_detector_ensemble filtered to votes >= --min-votes
                (2-of-4 consensus by default)
   episodes     q_anomaly_runs — consecutive-flag islands per user
-  diagnostics  one row per user_id joining fifteen per-series one-row
+  diagnostics  one row per user_id joining seventeen per-series one-row
                statistics (burstiness, Sen/OLS trend, Mann-Kendall,
                runs test, Ljung-Box, permutation entropy, Hjorth,
                exponential-gap KS, gap coverage, flatline plateaus,
                variance ratio, Hurst exponent, Fano factor, record
-               ratio, anomaly episodes); each input is ONE corpus scan
-               reduced to a users-sized frame BEFORE the join, so the
-               join layer moves per-user rows, never events
+               ratio, Pearson + Spearman fleet synchrony, anomaly
+               episodes); each input is ONE corpus scan reduced to a
+               users-sized frame BEFORE the join, so the join layer
+               moves per-user rows, never events
   tails        the per-type EVT card: Hill tail index (is the tail
                tractable) + Ferro-Segers extremal index (must I
                decluster) + method-of-moments GPD fit (the fit)
+  synchrony    directed influence edges among the top-K active users
+               (q_xcorr_pairs): best lag, corr at best lag, lag-0 corr
 
 Scale shape: the flags/episodes layers are the event-sized outputs and
 stay partitioned by user; the diagnostics join is users-sized (orders of
@@ -45,6 +48,7 @@ Output layout:
     <output>/episodes/             per-user episode summary
     <output>/series_diagnostics/   one row per user_id
     <output>/type_tails/           per-type Hill tail index
+    <output>/synchrony_pairs/      top-K pair lead-lag edges
     <output>/report.json           row counts + seconds per layer
 """
 
@@ -79,6 +83,11 @@ _DIAG_SPECS = [
     ("hurst_rs", ["hurst"], {}),
     ("fano_factor", ["vmr"], {}),
     ("record_stats", ["record_ratio"], {}),
+    # fleet synchrony, both estimators: a large Pearson-vs-Spearman gap
+    # is itself diagnostic (a single shared burst minute, not sustained
+    # co-movement, is carrying the Pearson number)
+    ("corr_to_global", ["corr_global"], {}),
+    ("spearman_to_global", ["rho_global"], {}),
     ("anomaly_runs", ["n_anoms", "n_episodes", "max_run"], {}),
 ]
 
@@ -151,6 +160,11 @@ def run_analyze(
         .orderBy("event_type")
     )
     _layer("type_tails", evt)
+
+    # directed influence edges among the top-K active users: best lag +
+    # corr at best lag + lag-0 corr per pair (who leads whom) — K²/2
+    # rows, the coordination card beside the per-series diagnostics
+    _layer("synchrony_pairs", queries["xcorr_pairs"](spark, input_dir))
 
     report["seconds"] = round(time.monotonic() - t0, 3)
     with open(os.path.join(output_dir, "report.json"), "w") as f:

@@ -45,7 +45,8 @@ def test_analyze_job_layers_match_gated_operators(spark, tmp_path):
     for col in ("burstiness", "mk_z", "runs_z", "lb_q", "pe_norm",
                 "exp_ks_d", "coverage", "n_anoms", "slope_day",
                 "mobility", "n_flat", "longest_flat_run", "vr",
-                "hurst", "vmr", "record_ratio"):
+                "hurst", "vmr", "record_ratio", "corr_global",
+                "rho_global"):
         assert col in diag.columns, col
     # a user with zero flagged events reads 0, not NULL
     assert diag.where("n_anoms IS NULL").count() == 0
@@ -66,6 +67,12 @@ def test_analyze_job_layers_match_gated_operators(spark, tmp_path):
     assert tails.count() == queries["hill_tail_index"](spark, sf).count()
     for col in ("alpha", "theta", "xi", "sigma", "thr_cents"):
         assert col in tails.columns, col
+
+    # synchrony_pairs = q_xcorr_pairs verbatim (K²/2 lead-lag edges)
+    sync = spark.read.parquet(os.path.join(out, "synchrony_pairs"))
+    assert sync.count() == queries["xcorr_pairs"](spark, sf).count()
+    for col in ("user_a", "user_b", "best_lag", "best_corr", "corr0"):
+        assert col in sync.columns, col
 
     with open(os.path.join(out, "report.json")) as f:
         persisted = json.load(f)
