@@ -7674,6 +7674,61 @@ def q_bpe_merge_candidates(spark, sf_dir):
     )
 
 
+BOILER_PREFIX_K = 8  # tokens in the template-detection prefix
+BOILER_MIN_DOCS = 2  # a prefix shared by >= this many docs is a template
+
+
+def q_boilerplate_prefixes(spark, sf_dir):
+    """Per-source boilerplate/template census (round 6): the exact
+    8-token document prefixes shared by >= 2 documents of the same
+    source, with the share of that source's (eligible) documents each
+    one covers — crawled corpora carry navigation chrome, licence
+    headers, and CMS templates as repeated document HEADS, and the
+    standard pipeline stage strips or down-weights them (the
+    boilerplate-removal step beside jusText/trafilatura in web
+    pipelines; chunk_dup_groups sees repeated passages ANYWHERE, this
+    names the per-source head templates specifically). Docs shorter
+    than the prefix are excluded from numerator AND denominator (no
+    padding pseudo-prefix). share is the house integer-domain half-up
+    4-dp rate ((2·n·10⁴ + tot) div (2·tot), the vocab_coverage
+    spelling) so engines cannot disagree on a .00005 boundary.
+    100 TB shape: map-side prefix extraction (split/slice/join — no
+    UDF), ONE (source, prefix) exchange with map-side partials, the
+    per-source eligible-doc totals re-aggregated from THAT census
+    (never a second corpus scan) and broadcast back; deterministic
+    (source, n_docs desc, prefix) order."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pre = (
+        d.where(F.size(toks) >= BOILER_PREFIX_K)
+        .select(
+            "source",
+            F.array_join(F.slice(toks, 1, BOILER_PREFIX_K), " ").alias(
+                "prefix"
+            ),
+        )
+        .groupBy("source", "prefix")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    tot = pre.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("_tot")
+    )
+    return (
+        pre.where(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "prefix",
+            "n_docs",
+            (
+                F.expr("(2 * n_docs * 10000 + _tot) div (2 * _tot)")
+                / F.lit(10000.0)
+            ).alias("share"),
+        )
+        .orderBy("source", F.desc("n_docs"), "prefix")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7846,6 +7901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_pairs": q_xcorr_pairs,
         "spearman_to_global": q_spearman_to_global,
         "bpe_merge_candidates": q_bpe_merge_candidates,
+        "boilerplate_prefixes": q_boilerplate_prefixes,
     }
 
 
@@ -11212,6 +11268,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT a, b, CAST(sum(c) AS BIGINT) AS pair_count
         FROM p GROUP BY a, b
         ORDER BY pair_count DESC, a, b LIMIT 20""",
+        "boilerplate_prefixes": f"""
+        WITH pre AS (
+          SELECT source,
+                 array_to_string(
+                   string_split(text, ' ')[1:{BOILER_PREFIX_K}], ' ')
+                   AS prefix,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {BOILER_PREFIX_K}
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT source, CAST(sum(n_docs) AS BIGINT) AS t
+          FROM pre GROUP BY 1
+        )
+        SELECT p.source, p.prefix, p.n_docs,
+               ((2 * p.n_docs * 10000 + t.t) // (2 * t.t)) / 10000.0
+                 AS share
+        FROM pre p JOIN tot t ON t.source = p.source
+        WHERE p.n_docs >= {BOILER_MIN_DOCS}
+        ORDER BY p.source, p.n_docs DESC, p.prefix""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

@@ -1107,6 +1107,15 @@ def test_round6_session6_shapes(spark):
     assert n == 2, f"bpe_merge_candidates: {n} hash exchanges\n{p[:3000]}"
     assert "TakeOrderedAndProject" in p, p[:3000]
 
+    # boilerplate_prefixes: map-side prefix extraction, one (source,
+    # prefix) census exchange, per-source totals re-agg'd from the
+    # census and broadcast back — no UDF, no SMJ, no cartesian
+    p = _plan(E.q_boilerplate_prefixes(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "BroadcastHashJoin" in p, p[:3000]
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated
