@@ -7729,6 +7729,70 @@ def q_boilerplate_prefixes(spark, sf_dir):
     )
 
 
+def q_ar1_halflife(spark, sf_dir):
+    """AR(1) mean-reversion half-life (round 6): per series, the lag-1
+    autoregressive coefficient φ (OLS of value_t on value_{t−1}, the
+    Yule-Walker/OLS estimate) and the implied half-life ln(½)/ln(φ) —
+    the INTERPRETABLE time constant the memory classifiers point at:
+    variance_ratio says "mean-reverting", hurst_rs says "anti-
+    persistent", this says "a shock decays to half in ~N steps", which
+    is what an on-call engineer needs to decide how long to wait out a
+    deviation before paging. Event-step domain (consecutive events,
+    acf_lags' convention), exact int64 cent sufficient statistics over
+    the lag pairs (n', Σx, Σy, Σxy, Σxx with x = lagged, y = current),
+    φ in the per-factor-double-cast closed form, half-life only for
+    0 < φ < 1 (φ ≤ 0 oscillates, φ ≥ 1 doesn't revert — NULL, like
+    the classifiers' untestable branches), both 4-dp via
+    floor(x·10⁴+0.5)/10⁴ spelled identically in both engines;
+    half-life derives from the UNROUNDED φ so the two 4-dp roundings
+    cannot compound. NULL φ on constant lag vector. 100 TB shape:
+    ljung_box's exact plan — lag window + reduce on ONE user
+    exchange, join-free."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.repartition("user_id").select(
+        "user_id", c.alias("_y"), F.lag(c, 1).over(w).alias("_x")
+    )
+    z = F.lit(0).cast("long")
+    ok = F.col("_x").isNotNull()
+    s = base.groupBy("user_id").agg(
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("_n"),
+        F.sum(F.when(ok, F.col("_x")).otherwise(z)).alias("_sx"),
+        F.sum(F.when(ok, F.col("_y")).otherwise(z)).alias("_sy"),
+        F.sum(F.when(ok, F.col("_x") * F.col("_y")).otherwise(z)).alias(
+            "_sxy"
+        ),
+        F.sum(F.when(ok, F.col("_x") * F.col("_x")).otherwise(z)).alias(
+            "_sxx"
+        ),
+    )
+    nd = F.col("_n").cast("double")
+    den = nd * F.col("_sxx").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sx").cast("double")
+    num = nd * F.col("_sxy").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    # NULL divisor (not a CASE around the division): ANSI mode raises on
+    # x/0 even when a CASE guards the output, because subexpression
+    # elimination and WHEN-predicate evaluation compute the division
+    # unconditionally — x/NULL is NULL, never an error (the seed-6202
+    # adversarial constant-series catch). 0<φ<1 is tested division-free
+    # as 0<num<den (den>0), so no predicate divides either.
+    phi = num / F.when(den > 0, den)
+    hl = F.when(
+        (den > 0) & (num > 0) & (num < den),
+        F.log(F.lit(0.5)) / F.log(phi),
+    )
+    return s.select(
+        "user_id",
+        F.col("_n").alias("n_pairs"),
+        (F.floor(phi * 10000 + 0.5) / 10000).alias("phi"),
+        (F.floor(hl * 10000 + 0.5) / 10000).alias("halflife_steps"),
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7902,6 +7966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_to_global": q_spearman_to_global,
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "boilerplate_prefixes": q_boilerplate_prefixes,
+        "ar1_halflife": q_ar1_halflife,
     }
 
 
@@ -11288,6 +11353,44 @@ def oracle_sql() -> dict[str, str]:
         FROM pre p JOIN tot t ON t.source = p.source
         WHERE p.n_docs >= {BOILER_MIN_DOCS}
         ORDER BY p.source, p.n_docs DESC, p.prefix""",
+        "ar1_halflife": """
+        WITH l AS (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS y,
+                 lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS x
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN x IS NOT NULL THEN x ELSE 0 END)
+                      AS BIGINT) AS sx,
+                 CAST(sum(CASE WHEN x IS NOT NULL THEN y ELSE 0 END)
+                      AS BIGINT) AS sy,
+                 CAST(sum(CASE WHEN x IS NOT NULL THEN x * y ELSE 0 END)
+                      AS BIGINT) AS sxy,
+                 CAST(sum(CASE WHEN x IS NOT NULL THEN x * x ELSE 0 END)
+                      AS BIGINT) AS sxx
+          FROM l GROUP BY user_id
+        ), p AS (
+          SELECT user_id, n,
+                 CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                 CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+          FROM s
+        ), q AS (
+          SELECT user_id, n, den, num,
+                 num / (CASE WHEN den > 0 THEN den END) AS phi
+          FROM p
+        )
+        SELECT user_id, n AS n_pairs,
+               floor(phi * 10000 + 0.5) / 10000 AS phi,
+               CASE WHEN den > 0 AND num > 0 AND num < den
+                    THEN floor(ln(0.5) / ln(phi) * 10000 + 0.5) / 10000
+               END AS halflife_steps
+        FROM q ORDER BY user_id""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

@@ -1116,6 +1116,13 @@ def test_round6_session6_shapes(spark):
     assert "CartesianProduct" not in p, p[:2000]
     assert "BroadcastHashJoin" in p, p[:3000]
 
+    # ar1_halflife: ljung_box's shape — lag window + reduce on ONE
+    # user exchange, join-free
+    p = _plan(E.q_ar1_halflife(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"ar1_halflife: {n} hash exchanges\n{p[:3000]}"
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

@@ -40,7 +40,7 @@ QUERIES = [
     "runs_test", "corr_pairs", "ljung_box", "rolling_skew",
     "hill_tail_index", "gpd_fit", "extremal_index", "flatline_runs",
     "variance_ratio", "hurst_rs", "fano_factor", "record_stats",
-    "xcorr_pairs", "spearman_to_global",
+    "xcorr_pairs", "spearman_to_global", "ar1_halflife",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
