@@ -7793,6 +7793,81 @@ def q_ar1_halflife(spark, sf_dir):
     ).orderBy("user_id")
 
 
+CONTAIN_MAX_DF = 50  # hotter shingles are boilerplate (winnow discipline)
+CONTAIN_MIN_PP4 = 5000  # emit pairs where the smaller doc is >=50% contained
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment pairs (round 6): for document
+    pairs sharing capped shingles, |A∩B| / min(|A|, |B|) — Broder's
+    containment coefficient, the dedup signal JACCARD STRUCTURALLY
+    MISSES: a 100-shingle doc pasted whole into a 10,000-shingle doc
+    has containment 1.0 but Jaccard 0.01, so it survives the
+    minhash/LSH chain (which recalls high-JACCARD pairs only) and
+    leaks the duplicated passage into training. Semantics are defined
+    on the df-capped shingle universe (shingles in > CONTAIN_MAX_DF
+    docs are corpus boilerplate and are dropped BEFORE everything —
+    sizes, intersections, and the join all see the same capped world,
+    so the measure is self-consistent and the pair volume is
+    ΣC(df,2)-bounded, the winnow_pairs discipline). Containment is the
+    house integer-domain half-up 4-dp rate of exact int64 counts; the
+    ≥0.5 floor is applied to the ROUNDED integer (pp4 ≥ 5000) so a
+    boundary pair cannot flip between engines. 100 TB shape: one
+    shingle exchange (window df-cap), the capped equi self-join on
+    shingle, then the bounded pair relation broadcasts INTO the
+    docs-sized size projection at both endpoints (kfold_leakage's
+    plan) — doc sizes never shuffle for the join."""
+    sh = _shingles(spark, sf_dir)
+    w = Window.partitionBy("shingle")
+    kept = (
+        sh.select("doc_id", "shingle", F.count("*").over(w).alias("_df"))
+        .where(F.col("_df") <= CONTAIN_MAX_DF)
+        .select("doc_id", "shingle")
+        .persist()
+    )
+    sizes = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("_sz")
+    )
+    a = kept.select(F.col("doc_id").alias("d1"), "shingle")
+    b = kept.select(F.col("doc_id").alias("d2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").cast("long").alias("_shared"))
+    )
+    e1 = sizes.join(
+        F.broadcast(shared), sizes["doc_id"] == shared["d1"]
+    ).select("d1", "d2", "_shared", F.col("_sz").alias("_sz1"))
+    e2 = sizes.join(F.broadcast(e1), sizes["doc_id"] == e1["d2"]).select(
+        "d1", "d2", "_shared", "_sz1", F.col("_sz").alias("_sz2")
+    )
+    pp4 = F.expr(
+        "(2 * _shared * 10000 + least(_sz1, _sz2))"
+        " div (2 * least(_sz1, _sz2))"
+    )
+    return (
+        e2.select(
+            "d1",
+            "d2",
+            F.col("_shared").alias("shared_shingles"),
+            F.col("_sz1").alias("n_shingles_1"),
+            F.col("_sz2").alias("n_shingles_2"),
+            pp4.alias("_pp4"),
+        )
+        .where(F.col("_pp4") >= CONTAIN_MIN_PP4)
+        .select(
+            "d1",
+            "d2",
+            "shared_shingles",
+            "n_shingles_1",
+            "n_shingles_2",
+            (F.col("_pp4") / F.lit(10000.0)).alias("containment"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7967,6 +8042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "ar1_halflife": q_ar1_halflife,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -11391,6 +11467,38 @@ def oracle_sql() -> dict[str, str]:
                     THEN floor(ln(0.5) / ln(phi) * 10000 + 0.5) / 10000
                END AS halflife_steps
         FROM q ORDER BY user_id""",
+        "containment_pairs": f"""
+        WITH _WPOS_, _SH_,
+        kept AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM sh)
+          WHERE df <= {CONTAIN_MAX_DF}
+        ), sizes AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+          FROM kept GROUP BY 1
+        ), shared AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM kept a JOIN kept b
+            ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), e AS (
+          SELECT s.d1, s.d2, s.shared, z1.sz AS sz1, z2.sz AS sz2,
+                 (2 * s.shared * 10000 + LEAST(z1.sz, z2.sz))
+                   // (2 * LEAST(z1.sz, z2.sz)) AS pp4
+          FROM shared s
+          JOIN sizes z1 ON z1.doc_id = s.d1
+          JOIN sizes z2 ON z2.doc_id = s.d2
+        )
+        SELECT d1, d2, shared AS shared_shingles,
+               sz1 AS n_shingles_1, sz2 AS n_shingles_2,
+               pp4 / 10000.0 AS containment
+        FROM e WHERE pp4 >= {CONTAIN_MIN_PP4}
+        ORDER BY d1, d2""".replace(
+            "_WPOS_", _WPOS_SQL.strip().rstrip()
+        ).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

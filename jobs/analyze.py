@@ -16,13 +16,14 @@ Layers:
   flags        q_detector_ensemble filtered to votes >= --min-votes
                (2-of-4 consensus by default)
   episodes     q_anomaly_runs — consecutive-flag islands per user
-  diagnostics  one row per user_id joining seventeen per-series one-row
+  diagnostics  one row per user_id joining eighteen per-series one-row
                statistics (burstiness, Sen/OLS trend, Mann-Kendall,
                runs test, Ljung-Box, permutation entropy, Hjorth,
                exponential-gap KS, gap coverage, flatline plateaus,
-               variance ratio, Hurst exponent, Fano factor, record
-               ratio, Pearson + Spearman fleet synchrony, anomaly
-               episodes); each input is ONE corpus scan reduced to a
+               variance ratio, AR(1) φ + half-life, Hurst exponent,
+               Fano factor, record ratio, Pearson + Spearman fleet
+               synchrony, anomaly episodes); each input is ONE corpus
+               scan reduced to a
                users-sized frame BEFORE the join, so the join layer
                moves per-user rows, never events
   tails        the per-type EVT card: Hill tail index (is the tail
@@ -80,6 +81,7 @@ _DIAG_SPECS = [
     ("flatline_runs", ["n_flat", "longest_run"],
      {"longest_run": "longest_flat_run"}),
     ("variance_ratio", ["vr"], {}),
+    ("ar1_halflife", ["phi", "halflife_steps"], {}),
     ("hurst_rs", ["hurst"], {}),
     ("fano_factor", ["vmr"], {}),
     ("record_stats", ["record_ratio"], {}),

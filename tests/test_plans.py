@@ -1123,6 +1123,15 @@ def test_round6_session6_shapes(spark):
     n = p.count("Exchange hashpartitioning")
     assert n == 1, f"ar1_halflife: {n} hash exchanges\n{p[:3000]}"
 
+    # containment_pairs: persisted capped-shingle relation; the bounded
+    # pair relation broadcasts INTO the size projection at both
+    # endpoints (kfold_leakage's plan) — no SMJ/SHJ, no cartesian
+    p = _plan(E.q_containment_pairs(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert "InMemoryTableScan" in p, p[:3000]
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

@@ -183,7 +183,7 @@ DOC_QUERIES = [
     "source_dup_matrix", "chunk_dup_groups", "zipf_fit",
     "gopher_quality_filter", "ngram_novelty", "source_js_divergence",
     "source_length_profile", "kfold_leakage", "bpe_merge_candidates",
-    "boilerplate_prefixes",
+    "boilerplate_prefixes", "containment_pairs",
 ]
 
 
