@@ -7868,6 +7868,81 @@ def q_containment_pairs(spark, sf_dir):
     )
 
 
+EMB_OUTLIER_K = 5  # bottom-K least-centroid-like vectors per label
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label embedding outliers (round 6): for every label, the K
+    vectors with the LOWEST cosine to their own label centroid — the
+    label-QA pass a curator runs before trusting labels for stratified
+    sampling, per-class drift monitors, or nearest-class-mean
+    classification (a vector far from its own prototype is mislabeled,
+    noisy, or a genuine subcluster the taxonomy misses;
+    label_centroid_dists asks whether CLASSES collapse, this asks which
+    MEMBERS don't belong). Bit-exactness by construction: vectors
+    quantized to micro-unit int64s, the centroid at the PUBLISHED 4-dp
+    integers (label_centroids' sign·((2|s|·10⁴+den) div (2·den))
+    spelling), so dot and both norms are small exact int64s and the
+    single float expression dot/sqrt(nv·nc) is identically spelled;
+    4-dp floor(·10⁴+0.5) rounding, rank on the ROUNDED cosine with
+    vec_id tie-break, NULL cosine (zero vector or zero centroid)
+    ranked FIRST deliberately — a degenerate vector IS an outlier.
+    100 TB shape: ONE (label, dim) exchange builds the labels×dims
+    centroid grid, broadcast back onto the exploded corpus; per-vector
+    dot+norm reduce on one (vec, label) exchange; the rank window runs
+    per label over vectors (the corpus-sized window is partitioned by
+    label — skew-safe at real label cardinalities; K rows survive per
+    label)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.round(F.col("x").cast("double") * 1000000).cast("long")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "label", "i", q.alias("_q"))
+    agg = ex.groupBy("label", "i").agg(
+        F.count("*").cast("long").alias("_n"), F.sum("_q").alias("_s")
+    )
+    m4 = (
+        F.when(F.col("_s") < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.expr(
+            "(2 * abs(_s) * 10000 + _n * 1000000) div (2 * _n * 1000000)"
+        )
+    ).cast("long")
+    grid = agg.select("label", "i", m4.alias("_m")).persist()
+    cnorm = grid.groupBy("label").agg(
+        F.sum(F.col("_m") * F.col("_m")).cast("long").alias("_nc")
+    )
+    dots = (
+        ex.join(F.broadcast(grid), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("_q") * F.col("_m")).cast("long").alias("_dot"),
+            F.sum(F.col("_q") * F.col("_q")).cast("long").alias("_nv"),
+        )
+    )
+    j = dots.join(F.broadcast(cnorm), "label")
+    cos = F.when(
+        (F.col("_nv") > 0) & (F.col("_nc") > 0),
+        F.floor(
+            F.col("_dot").cast("double")
+            / F.sqrt(
+                F.col("_nv").cast("double") * F.col("_nc").cast("double")
+            )
+            * 10000
+            + 0.5
+        )
+        / 10000,
+    )
+    scored = j.select("label", "vec_id", cos.alias("cos_to_centroid"))
+    wr = Window.partitionBy("label").orderBy(
+        F.col("cos_to_centroid").asc_nulls_first(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= EMB_OUTLIER_K)
+        .orderBy("label", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8043,6 +8118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "ar1_halflife": q_ar1_halflife,
         "containment_pairs": q_containment_pairs,
+        "embedding_outliers": q_embedding_outliers,
     }
 
 
@@ -11499,6 +11575,53 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY d1, d2""".replace(
             "_WPOS_", _WPOS_SQL.strip().rstrip()
         ).replace("_SH_", _SHINGLES_SQL.strip().rstrip()),
+        "embedding_outliers": f"""
+        WITH p AS (
+          SELECT vec_id, label,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                   AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                      AS BIGINT) AS q
+          FROM embeddings
+        ), a AS (
+          SELECT label, dim,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q) AS BIGINT) AS s
+          FROM p GROUP BY label, dim
+        ), g AS (
+          SELECT label, dim,
+                 CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                      * ((2 * abs(s) * 10000 + n * 1000000)
+                         // (2 * n * 1000000)) AS BIGINT) AS m
+          FROM a
+        ), cn AS (
+          SELECT label, CAST(sum(m * m) AS BIGINT) AS nc
+          FROM g GROUP BY label
+        ), d AS (
+          SELECT p.vec_id, p.label,
+                 CAST(sum(p.q * g.m) AS BIGINT) AS dot,
+                 CAST(sum(p.q * p.q) AS BIGINT) AS nv
+          FROM p JOIN g ON g.label = p.label AND g.dim = p.dim
+          GROUP BY 1, 2
+        ), sc AS (
+          SELECT d.label, d.vec_id,
+                 CASE WHEN d.nv > 0 AND cn.nc > 0 THEN
+                   floor(CAST(d.dot AS DOUBLE)
+                         / sqrt(CAST(d.nv AS DOUBLE)
+                                * CAST(cn.nc AS DOUBLE))
+                         * 10000 + 0.5) / 10000
+                 END AS cos_to_centroid
+          FROM d JOIN cn ON cn.label = d.label
+        ), r AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY label
+                   ORDER BY cos_to_centroid ASC NULLS FIRST, vec_id)
+                 AS INTEGER) AS rank
+          FROM sc
+        )
+        SELECT label, vec_id, cos_to_centroid, rank
+        FROM r WHERE rank <= {EMB_OUTLIER_K}
+        ORDER BY label, rank""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

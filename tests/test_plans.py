@@ -1132,6 +1132,14 @@ def test_round6_session6_shapes(spark):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
     assert "InMemoryTableScan" in p, p[:3000]
 
+    # embedding_outliers: persisted centroid grid broadcast back onto
+    # the exploded corpus; all joins broadcast; rank window per label
+    p = _plan(E.q_embedding_outliers(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "InMemoryTableScan" in p, p[:3000]
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

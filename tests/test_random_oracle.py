@@ -296,7 +296,7 @@ def test_document_twins_agree_on_adversarial_corpus(spark, tmp_path, seed):
 
 EMB_QUERIES = [
     "embedding_norms", "embedding_topk", "label_centroids",
-    "label_centroid_dists",
+    "label_centroid_dists", "embedding_outliers",
 ]
 
 
