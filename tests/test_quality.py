@@ -922,3 +922,50 @@ def test_heavy_hitters_mg_guarantee_on_skewed_vocab(spark, tmp_path):
     assert want == got
     assert ("edge", 100) in got  # the exact-boundary word survives
     assert len(got) == 11
+
+
+def test_xcorr_pairs_detects_planted_lead_lag(spark, tmp_path):
+    """Physics pin for q_xcorr_pairs (oracle equality proves the engines
+    AGREE, not that the semantics detect a lead): user `follow` replays
+    user `lead`'s burst minutes shifted +2, so for the (follow, lead)
+    pair — a=follow, b=lead, corr_L = corr(a_t, b_{t+L}) — the maximum
+    sits at L = -2 (b LEADS a by 2 minutes), near-perfect, and strictly
+    above the misaligned lag-0 correlation. A third `noise` user makes
+    the top-K selection non-trivial."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    burst_minutes = [5, 17, 33, 51, 74, 98, 120, 150, 181, 207]
+    t0 = np.datetime64("2024-05-01T00:00:00", "us")
+    rows = []
+    eid = 0
+    for m in burst_minutes:
+        for k in range(5):
+            rows.append(("lead", t0 + np.timedelta64(m * 60_000_000 + k, "us"), eid))
+            eid += 1
+            rows.append(
+                ("follow", t0 + np.timedelta64((m + 2) * 60_000_000 + k, "us"), eid)
+            )
+            eid += 1
+    for m in range(0, 240, 7):
+        rows.append(("noise", t0 + np.timedelta64(m * 60_000_000, "us"), eid))
+        eid += 1
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    ev["event_type"] = "click"
+    ev["value"] = 1.0
+    sf = str(tmp_path / "xcorr")
+    spark.createDataFrame(ev).write.parquet(f"{sf}/events.parquet")
+
+    out = {
+        (r["user_a"], r["user_b"]): r
+        for r in E.q_xcorr_pairs(spark, sf).collect()
+    }
+    assert set(out) == {
+        ("follow", "lead"), ("follow", "noise"), ("lead", "noise"),
+    }
+    r = out[("follow", "lead")]
+    assert r["best_lag"] == -2, dict(r.asDict())
+    assert r["best_corr"] > 0.9, dict(r.asDict())
+    assert r["corr0"] is None or r["best_corr"] > r["corr0"], dict(r.asDict())
