@@ -6255,9 +6255,15 @@ def q_corr_pairs(spark, sf_dir):
         F.col("_sx").alias("_sb"),
         F.col("_sxx").alias("_sbb"),
     )
+    # sxy is K²/2-bounded — broadcast EXPLICITLY so the plan is pinned
+    # by construction: when another operator has persisted an identical
+    # grid subtree (q_xcorr_pairs in the analyze battery), the cache
+    # substitution changes size estimates and auto-broadcast silently
+    # degraded this join to a SortMergeJoin (caught by the session-5
+    # plan pin during the session-6 full-suite run)
     pairs = (
         pa.join(F.broadcast(pb), pa["_ua"] < pb["_ub"])
-        .join(sxy, ["_ua", "_ub"], "left")
+        .join(F.broadcast(sxy), ["_ua", "_ub"], "left")
         .crossJoin(F.broadcast(span))
         .na.fill({"_sxy": 0, "_shared": 0})
     )
