@@ -7949,6 +7949,119 @@ def q_embedding_outliers(spark, sf_dir):
     )
 
 
+def q_weekend_shift(spark, sf_dir):
+    """Weekday-vs-weekend level shift (round 6): per series, Welch's
+    unequal-variance z between weekday and weekend cent values — the
+    calendar regime detector seasonal_profile (hour-of-day) does not
+    cover: a tenant whose weekend level differs needs per-regime
+    baselines before any of the R1–R4 detectors threshold correctly.
+    Day-of-week from pure epoch integer arithmetic ((epoch_days + 3)
+    mod 7, Monday=0; day 0 = Thursday 1970-01-01), NOT calendar
+    functions — Spark's dayofweek is 1=Sunday while DuckDB's dow is
+    0=Sunday, so the integer spelling is the only one that cannot
+    diverge (and it is timezone-free by construction). Exact int64
+    sufficient statistics per side (n, Σc, Σc²); unbiased variances
+    and z = (m1−m2)/sqrt(v1/n1 + v2/n2) with every factor double-cast,
+    4-dp floor(·10⁴+0.5); the per-side n ≥ 2 guards use the
+    NULL-DIVISOR idiom (v/when(n≥2, n)) — ar1_halflife's lesson: a
+    CASE around the division does not stop ANSI from evaluating it —
+    and the final z is additionally gated on den > 0 (both variances
+    zero → no test). 100 TB shape: ONE user exchange, map-side
+    conditional partials, join-free."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    idx = (F.expr("unix_timestamp(ts) DIV 86400") + 3) % 7
+    wkd = idx >= 5  # Saturday=5, Sunday=6 under Monday=0
+    z = F.lit(0).cast("long")
+    s = ev.select("user_id", c.alias("_c"), wkd.alias("_w")).groupBy(
+        "user_id"
+    ).agg(
+        F.sum(F.when(~F.col("_w"), 1).otherwise(0)).cast("long").alias("_n1"),
+        F.sum(F.when(~F.col("_w"), F.col("_c")).otherwise(z)).alias("_s1"),
+        F.sum(F.when(~F.col("_w"), F.col("_c") * F.col("_c")).otherwise(z))
+        .alias("_q1"),
+        F.sum(F.when(F.col("_w"), 1).otherwise(0)).cast("long").alias("_n2"),
+        F.sum(F.when(F.col("_w"), F.col("_c")).otherwise(z)).alias("_s2"),
+        F.sum(F.when(F.col("_w"), F.col("_c") * F.col("_c")).otherwise(z))
+        .alias("_q2"),
+    )
+
+    def var(n, sm, sq):
+        nd = F.col(n).cast("double")
+        nd_ok = F.when(F.col(n) >= 2, nd)
+        num = nd * F.col(sq).cast("double") - F.col(sm).cast(
+            "double"
+        ) * F.col(sm).cast("double")
+        return num / (nd_ok * (nd_ok - 1))
+
+    v1, v2 = var("_n1", "_s1", "_q1"), var("_n2", "_s2", "_q2")
+    n1d = F.when(F.col("_n1") >= 2, F.col("_n1").cast("double"))
+    n2d = F.when(F.col("_n2") >= 2, F.col("_n2").cast("double"))
+    den = v1 / n1d + v2 / n2d
+    m1 = F.col("_s1").cast("double") / n1d / 100.0
+    m2 = F.col("_s2").cast("double") / n2d / 100.0
+    zstat = F.when(den > 0, (m1 - m2) / F.sqrt(den))
+    return s.select(
+        "user_id",
+        F.col("_n1").alias("n_weekday"),
+        F.col("_n2").alias("n_weekend"),
+        (F.floor(m1 * 10000 + 0.5) / 10000).alias("mean_weekday"),
+        (F.floor(m2 * 10000 + 0.5) / 10000).alias("mean_weekend"),
+        (F.floor(zstat * 10000 + 0.5) / 10000).alias("welch_z"),
+    ).orderBy("user_id")
+
+
+def q_heaps_fit(spark, sf_dir):
+    """Heaps' law fit of vocabulary growth (round 6): OLS of ln V on
+    ln N over the per-source (token count, distinct-word count) points
+    — V ≈ K·N^β (Heaps 1978), the vocabulary-GROWTH law beside
+    zipf_fit's frequency law: natural text sits near β ≈ 0.5; β → 1
+    means every source brings its own disjoint vocabulary (token soup,
+    IDs, boilerplate hashes), β → 0 means a closed templated
+    vocabulary — a one-number corpus-composition check and the
+    tokenizer-sizing prior (how fast does OOV grow as the corpus
+    scales). Per-source N and V are exact integers from ONE word
+    exchange (count + count distinct in the same aggregate); the ln-ln
+    OLS runs on the sources-sized relation with zipf_fit's float
+    policy (4-dp round absorbs summation-order ulps), NULL slope when
+    all sources have equal N (den == 0, and ANSI would raise on the
+    division — zipf's guard)."""
+    d = _t(spark, sf_dir, "documents")
+    sv = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.countDistinct("w").cast("long").alias("_v"),
+        )
+    )
+    xy = sv.select(
+        F.log(F.col("_n").cast("double")).alias("x"),
+        F.log(F.col("_v").cast("double")).alias("y"),
+    )
+    sums = xy.agg(
+        F.count("*").cast("double").alias("_k"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+    )
+    den = F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (
+        F.col("_k") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / den
+    return sums.select(
+        F.col("_k").cast("long").alias("n_sources"),
+        F.round(F.when(den > 0, slope), 4).alias("beta"),
+        F.round(
+            F.when(
+                den > 0, (F.col("_sy") - slope * F.col("_sx")) / F.col("_k")
+            ),
+            4,
+        ).alias("ln_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8125,6 +8238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar1_halflife": q_ar1_halflife,
         "containment_pairs": q_containment_pairs,
         "embedding_outliers": q_embedding_outliers,
+        "weekend_shift": q_weekend_shift,
+        "heaps_fit": q_heaps_fit,
     }
 
 
@@ -11628,6 +11743,87 @@ def oracle_sql() -> dict[str, str]:
         SELECT label, vec_id, cos_to_centroid, rank
         FROM r WHERE rank <= {EMB_OUTLIER_K}
         ORDER BY label, rank""",
+        "weekend_shift": """
+        WITH e AS (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7)
+                   >= 5 AS w
+          FROM events
+        ), s AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN NOT w THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+                 CAST(sum(CASE WHEN NOT w THEN c ELSE 0 END) AS BIGINT)
+                   AS s1,
+                 CAST(sum(CASE WHEN NOT w THEN c * c ELSE 0 END)
+                      AS BIGINT) AS q1,
+                 CAST(sum(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+                 CAST(sum(CASE WHEN w THEN c ELSE 0 END) AS BIGINT)
+                   AS s2,
+                 CAST(sum(CASE WHEN w THEN c * c ELSE 0 END) AS BIGINT)
+                   AS q2
+          FROM e GROUP BY user_id
+        ), p AS (
+          SELECT user_id, n1, n2,
+                 (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / ((CASE WHEN n1 >= 2 THEN CAST(n1 AS DOUBLE) END)
+                    * ((CASE WHEN n1 >= 2 THEN CAST(n1 AS DOUBLE) END)
+                       - 1)) AS v1,
+                 (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                 / ((CASE WHEN n2 >= 2 THEN CAST(n2 AS DOUBLE) END)
+                    * ((CASE WHEN n2 >= 2 THEN CAST(n2 AS DOUBLE) END)
+                       - 1)) AS v2,
+                 CAST(s1 AS DOUBLE)
+                   / (CASE WHEN n1 >= 2 THEN CAST(n1 AS DOUBLE) END)
+                   / 100.0 AS m1,
+                 CAST(s2 AS DOUBLE)
+                   / (CASE WHEN n2 >= 2 THEN CAST(n2 AS DOUBLE) END)
+                   / 100.0 AS m2
+          FROM s
+        ), q AS (
+          SELECT *,
+                 v1 / (CASE WHEN n1 >= 2 THEN CAST(n1 AS DOUBLE) END)
+                 + v2 / (CASE WHEN n2 >= 2 THEN CAST(n2 AS DOUBLE) END)
+                   AS den
+          FROM p
+        )
+        SELECT user_id, n1 AS n_weekday, n2 AS n_weekend,
+               floor(m1 * 10000 + 0.5) / 10000 AS mean_weekday,
+               floor(m2 * 10000 + 0.5) / 10000 AS mean_weekend,
+               CASE WHEN den > 0 THEN
+                 floor((m1 - m2) / sqrt(den) * 10000 + 0.5) / 10000
+               END AS welch_z
+        FROM q ORDER BY user_id""",
+        "heaps_fit": """
+        WITH sv AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          GROUP BY source
+        ), xy AS (
+          SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+          FROM sv
+        ), s AS (
+          SELECT CAST(count(*) AS DOUBLE) AS k,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM xy
+        )
+        SELECT CAST(k AS BIGINT) AS n_sources,
+               CASE WHEN k * sxx - sx * sx > 0
+                    THEN round((k * sxy - sx * sy) / (k * sxx - sx * sx),
+                               4) END AS beta,
+               CASE WHEN k * sxx - sx * sx > 0
+                    THEN round((sy - (k * sxy - sx * sy)
+                                     / (k * sxx - sx * sx) * sx) / k,
+                               4) END AS ln_k
+        FROM s""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

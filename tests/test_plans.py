@@ -1140,6 +1140,19 @@ def test_round6_session6_shapes(spark):
     assert "CartesianProduct" not in p, p[:2000]
     assert "InMemoryTableScan" in p, p[:3000]
 
+    # weekend_shift: map-side conditional partials, ONE user exchange,
+    # join-free (the epoch-integer dow needs no calendar join)
+    p = _plan(E.q_weekend_shift(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"weekend_shift: {n} hash exchanges\n{p[:3000]}"
+
+    # heaps_fit: word exchange to per-source (N, V), ln-ln OLS on the
+    # sources-sized relation — no corpus re-scan, join-free
+    p = _plan(E.q_heaps_fit(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    assert p.count("Scan parquet") == 1, p[:3000]
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

@@ -41,6 +41,7 @@ QUERIES = [
     "hill_tail_index", "gpd_fit", "extremal_index", "flatline_runs",
     "variance_ratio", "hurst_rs", "fano_factor", "record_stats",
     "xcorr_pairs", "spearman_to_global", "ar1_halflife",
+    "weekend_shift",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -183,7 +184,7 @@ DOC_QUERIES = [
     "source_dup_matrix", "chunk_dup_groups", "zipf_fit",
     "gopher_quality_filter", "ngram_novelty", "source_js_divergence",
     "source_length_profile", "kfold_leakage", "bpe_merge_candidates",
-    "boilerplate_prefixes", "containment_pairs",
+    "boilerplate_prefixes", "containment_pairs", "heaps_fit",
 ]
 
 
