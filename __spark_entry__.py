@@ -8062,6 +8062,98 @@ def q_heaps_fit(spark, sf_dir):
     )
 
 
+BURN_WIN_S = 3600  # short error-budget window (trailing, vs corpus anchor)
+BURN_FACTOR = 2  # page when the short-window error rate is 2x baseline
+
+
+def q_error_burn(spark, sf_dir):
+    """Error-budget burn rate (round 6): per series, the error-event
+    share in the trailing hour (against the corpus max-ts anchor)
+    compared to the series' OWN all-time error share — the SRE
+    multi-window burn-rate alert (error budget burning BURN_FACTOR×
+    faster than baseline pages; a constant elevated error rate does
+    not, because the baseline absorbs it — that is the point of the
+    ratio form). The burn flag is decided in EXACT INTEGERS by
+    cross-multiplication (e1h·n_total ≥ 2·n1h·e_total — no rate is
+    ever materialized for the decision, so no float boundary exists);
+    the reported rates and burn ratio are 4-dp with NULL-divisor
+    guards (no 1h traffic → NULL short rate; an error-free series →
+    NULL burn: nothing to burn). 100 TB shape: the anchor is a 1-row
+    broadcast (the fano/activity_gini census BNLJ); one user exchange
+    of map-side conditional partials, join-free otherwise."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(
+        F.max(F.unix_timestamp("ts").cast("long")).alias("_t_max")
+    )
+    sec = F.unix_timestamp("ts").cast("long")
+    is_err = (F.col("event_type") == "error").cast("long")
+    base = ev.select(
+        "user_id", sec.alias("_sec"), is_err.alias("_e")
+    ).crossJoin(F.broadcast(anchor))
+    recent = F.col("_sec") > F.col("_t_max") - BURN_WIN_S
+    z = F.lit(0).cast("long")
+    s = base.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_e").cast("long").alias("_et"),
+        F.sum(F.when(recent, 1).otherwise(0)).cast("long").alias("_n1"),
+        F.sum(F.when(recent, F.col("_e")).otherwise(z))
+        .cast("long")
+        .alias("_e1"),
+    )
+    n, et, n1, e1 = (F.col(c) for c in ("_n", "_et", "_n1", "_e1"))
+    rate_all = F.expr("(2 * _et * 10000 + _n) div (2 * _n)") / F.lit(
+        10000.0
+    )
+    rate_1h = F.when(
+        n1 > 0,
+        F.expr("(2 * _e1 * 10000 + _n1) div (2 * _n1)") / F.lit(10000.0),
+    )
+    burn = F.when(
+        (n1 > 0) & (et > 0),
+        F.floor(
+            (e1 * n).cast("double") / (n1 * et).cast("double") * 10000
+            + 0.5
+        )
+        / 10000,
+    )
+    flag = F.when(
+        (n1 > 0) & (et > 0),
+        e1 * n >= F.lit(BURN_FACTOR) * n1 * et,
+    )
+    return s.select(
+        "user_id",
+        n.alias("n_events"),
+        et.alias("n_errors"),
+        n1.alias("n_last_hour"),
+        e1.alias("errors_last_hour"),
+        rate_all.alias("err_rate_all"),
+        rate_1h.alias("err_rate_1h"),
+        burn.alias("burn_ratio"),
+        flag.alias("burning"),
+    ).orderBy("user_id")
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster size histogram (round 6): how many dup clusters
+    have 2 members, how many have 3, … — the one-glance census that
+    tells a curator whether duplication is pairwise noise (all size-2)
+    or template mass-production (a few giant clusters), and the
+    denominator behind "dedup will remove N − clusters docs". Pure
+    re-aggregation of the oracle-gated q_dedup_clusters labels (no
+    second implementation to drift); exact integers. 100 TB shape:
+    adds two label-sized exchanges above the dedup chain (cluster
+    reduce + size census) — both orders of magnitude below the
+    corpus."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("_sz"))
+        .groupBy(F.col("_sz").alias("cluster_size"))
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8240,6 +8332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "weekend_shift": q_weekend_shift,
         "heaps_fit": q_heaps_fit,
+        "error_burn": q_error_burn,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
     }
 
 
@@ -11824,6 +11918,50 @@ def oracle_sql() -> dict[str, str]:
                                      / (k * sxx - sx * sx) * sx) / k,
                                4) END AS ln_k
         FROM s""",
+        "error_burn": f"""
+        WITH anchor AS (
+          SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS t_max
+          FROM events
+        ), b AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+          FROM events
+        ), s AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(e) AS BIGINT) AS et,
+                 CAST(sum(CASE WHEN sec > t_max - {BURN_WIN_S}
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN sec > t_max - {BURN_WIN_S}
+                          THEN e ELSE 0 END) AS BIGINT) AS e1
+          FROM b CROSS JOIN anchor GROUP BY user_id
+        )
+        SELECT user_id, n AS n_events, et AS n_errors,
+               n1 AS n_last_hour, e1 AS errors_last_hour,
+               ((2 * et * 10000 + n) // (2 * n)) / 10000.0
+                 AS err_rate_all,
+               CASE WHEN n1 > 0 THEN
+                 ((2 * e1 * 10000 + n1) // (2 * n1)) / 10000.0
+               END AS err_rate_1h,
+               CASE WHEN n1 > 0 AND et > 0 THEN
+                 floor(CAST(e1 * n AS DOUBLE) / CAST(n1 * et AS DOUBLE)
+                       * 10000 + 0.5) / 10000
+               END AS burn_ratio,
+               CASE WHEN n1 > 0 AND et > 0 THEN
+                 e1 * n >= {BURN_FACTOR} * n1 * et
+               END AS burning
+        FROM s ORDER BY user_id""",
+        "dedup_cluster_sizes": _CLUSTERS_SQL_PREFIX + """
+        , labels AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id
+          FROM reach GROUP BY src
+        ), cs AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+          FROM labels GROUP BY cluster_id
+        )
+        SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM cs GROUP BY sz ORDER BY cluster_size""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

@@ -1153,6 +1153,15 @@ def test_round6_session6_shapes(spark):
     assert "EvalPython" not in p and "Join" not in p, p[:2000]
     assert p.count("Scan parquet") == 1, p[:3000]
 
+    # error_burn: 1-row anchor broadcast + ONE user exchange of
+    # conditional partials; no SMJ/cartesian/python
+    p = _plan(E.q_error_burn(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert "CartesianProduct" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 1, f"error_burn: {n} hash exchanges\n{p[:3000]}"
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

@@ -41,7 +41,7 @@ QUERIES = [
     "hill_tail_index", "gpd_fit", "extremal_index", "flatline_runs",
     "variance_ratio", "hurst_rs", "fano_factor", "record_stats",
     "xcorr_pairs", "spearman_to_global", "ar1_halflife",
-    "weekend_shift",
+    "weekend_shift", "error_burn",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -185,6 +185,7 @@ DOC_QUERIES = [
     "gopher_quality_filter", "ngram_novelty", "source_js_divergence",
     "source_length_profile", "kfold_leakage", "bpe_merge_candidates",
     "boilerplate_prefixes", "containment_pairs", "heaps_fit",
+    "dedup_cluster_sizes",
 ]
 
 

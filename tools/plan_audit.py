@@ -37,7 +37,7 @@ ALLOWED_ARROW = {
     "mann_kendall", "fft_top_periods", "lttb_downsample",
     "lttb_two_stage", "heavy_hitters", "pca_top_component",
     "pagerank_sim", "dedup_clusters", "dedup_keep", "shesd_outliers",
-    "spectral_entropy", "dtw_pairs", "bocpd",
+    "spectral_entropy", "dtw_pairs", "bocpd", "dedup_cluster_sizes",
 }
 
 # deliberate tiny-side cross joins: 1-row global census broadcasts and
@@ -57,6 +57,7 @@ ALLOWED_BNLJ = {
     "decontaminate", "pagerank_sim", "lang_source_cube", "zipf_fit",
     "markov_entropy", "session_type_lift",
     "corr_pairs", "dtw_pairs", "fano_factor", "xcorr_pairs",
+    "error_burn", "dedup_cluster_sizes",
     "mann_kendall", "seasonality_strength", "pettitt_change",
     "detector_ensemble", "lead_lag_ccf", "concurrency_sweep",
     "burstiness", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_lloyd_topk",
