@@ -8154,6 +8154,62 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     )
 
 
+def q_value_volume_corr(spark, sf_dir):
+    """Load↔magnitude coupling (round 6): per series, the Pearson
+    correlation between its minutely event COUNT and its minutely cent
+    SUM over active minutes — the intensive-vs-extensive diagnostic
+    (corr ≈ 1: value totals are just volume, a per-event detector
+    suffices; corr ≈ 0: magnitude moves independently of load, value
+    and rate need separate monitors — the "price-volume" question on
+    telemetry). Both series come from the SAME grid row, so unlike
+    corr_to_global there is no join at all: ONE corpus exchange to the
+    (user, minute, count, cent-sum) grid, one grid-sized per-user
+    re-agg of exact int64 moments, closed form with per-factor double
+    casts, 4-dp round, NULL on a constant side."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.expr("unix_timestamp(ts) DIV 60")
+    c = F.round(F.col("value") * 100).cast("long")
+    grid = (
+        ev.select("user_id", m.alias("_m"), c.alias("_c"))
+        .groupBy("user_id", "_m")
+        .agg(
+            F.count("*").cast("long").alias("_x"),
+            F.sum("_c").cast("long").alias("_y"),
+        )
+    )
+    s = grid.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    # per-factor double casts (the ljung_box/ar1 spelling), NOT int
+    # products then one cast: y is a per-minute cent SUM, so n·Σy² in
+    # the integer domain overflows long before the sums themselves do.
+    # Budget: the int64 SUMS hold while per-user Σ(minute-sum²) < 2⁶³
+    # (documented, same class as hurst_rs).
+    nd = F.col("_n").cast("double")
+    fx = nd * F.col("_sxx").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sx").cast("double")
+    fy = nd * F.col("_syy").cast("double") - F.col("_sy").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    num = nd * F.col("_sxy").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    return s.select(
+        "user_id",
+        F.col("_n").alias("n_minutes"),
+        F.when(
+            (fx > 0) & (fy > 0),
+            F.floor(num / F.sqrt(fx * fy) * 10000 + 0.5) / 10000,
+        ).alias("corr_vol_val"),
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8334,6 +8390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "error_burn": q_error_burn,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "value_volume_corr": q_value_volume_corr,
     }
 
 
@@ -11962,6 +12019,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
         FROM cs GROUP BY sz ORDER BY cluster_size""",
+        "value_volume_corr": """
+        WITH g AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m,
+                 CAST(count(*) AS BIGINT) AS x,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+          FROM events GROUP BY 1, 2
+        ), s AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM g GROUP BY user_id
+        )
+        SELECT user_id, n AS n_minutes,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                     AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                 THEN floor(
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   * 10000 + 0.5) / 10000
+               END AS corr_vol_val
+        FROM s ORDER BY user_id""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

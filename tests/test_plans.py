@@ -1162,6 +1162,13 @@ def test_round6_session6_shapes(spark):
     n = p.count("Exchange hashpartitioning")
     assert n <= 1, f"error_burn: {n} hash exchanges\n{p[:3000]}"
 
+    # value_volume_corr: both series from the SAME grid row — grid
+    # exchange + per-user re-agg, JOIN-FREE (unlike corr_to_global)
+    p = _plan(E.q_value_volume_corr(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 2, f"value_volume_corr: {n} hash exchanges\n{p[:3000]}"
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

@@ -41,7 +41,7 @@ QUERIES = [
     "hill_tail_index", "gpd_fit", "extremal_index", "flatline_runs",
     "variance_ratio", "hurst_rs", "fano_factor", "record_stats",
     "xcorr_pairs", "spearman_to_global", "ar1_halflife",
-    "weekend_shift", "error_burn",
+    "weekend_shift", "error_burn", "value_volume_corr",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
