@@ -969,3 +969,60 @@ def test_xcorr_pairs_detects_planted_lead_lag(spark, tmp_path):
     assert r["best_lag"] == -2, dict(r.asDict())
     assert r["best_corr"] > 0.9, dict(r.asDict())
     assert r["corr0"] is None or r["best_corr"] > r["corr0"], dict(r.asDict())
+
+
+def test_spearman_robust_where_pearson_burst_dominated(spark, tmp_path):
+    """Physics pin for q_spearman_to_global's motivation: user `burst`
+    shares ONE massive minute with the fleet and is otherwise
+    independent of it — the single shared burst pins the PEARSON
+    fleet-synchrony estimate high, while on ranks that minute is just
+    "the largest" so Spearman reads the (absent) typical-minute
+    co-movement. Asserts the documented gap: corr_global > 0.9,
+    rho_global < 0.6, on the same series."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    rng = np.random.default_rng(7)
+    t0 = np.datetime64("2024-06-01T00:00:00", "us")
+    rows = []
+    eid = 0
+
+    def add(user, minute, n):
+        nonlocal eid
+        for k in range(n):
+            rows.append(
+                (user, t0 + np.timedelta64(minute * 60_000_000 + k, "us"), eid)
+            )
+            eid += 1
+
+    # fleet background: 4 users with independent pseudo-random loads
+    for u in range(4):
+        for m in range(120):
+            add(f"bg{u}", m, int(rng.integers(1, 8)))
+    # burst user: flat 2 events/minute (no co-movement with the fleet),
+    # except one shared enormous minute where everyone spikes
+    for m in range(0, 120, 2):
+        add("burst", m, 2)
+    add("burst", 60, 400)
+    for u in range(4):
+        add(f"bg{u}", 60, 400)
+
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    ev["event_type"] = "click"
+    ev["value"] = 1.0
+    sf = str(tmp_path / "burst")
+    spark.createDataFrame(ev).write.parquet(f"{sf}/events.parquet")
+
+    pearson = {
+        r["user_id"]: r["corr_global"]
+        for r in E.q_corr_to_global(spark, sf).collect()
+    }
+    rho = {
+        r["user_id"]: r["rho_global"]
+        for r in E.q_spearman_to_global(spark, sf).collect()
+    }
+    assert pearson["burst"] > 0.9, pearson
+    assert rho["burst"] < 0.6, rho
+    assert pearson["burst"] - rho["burst"] > 0.4, (pearson, rho)
