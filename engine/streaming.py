@@ -689,3 +689,97 @@ def flatline_stream(events_stream: DataFrame, flat_min: int = 5) -> DataFrame:
     return events_stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def burn_stream(events_stream: DataFrame, factor: int = 2) -> DataFrame:
+    """Streaming error-budget burn-rate alert — the causal twin of the
+    batch q_error_burn (__spark_entry__.py X82), re-anchored for a
+    stream: the batch op compares the trailing hour to the series'
+    ALL-TIME error share (it can see the whole corpus); a stream cannot,
+    so this emits one row per CLOSED utc-hour per user with the hour's
+    error share compared to the series' cumulative share up to and
+    including that hour (the prefix baseline — every number the row
+    reports was knowable at emission time). The page decision is the
+    same EXACT INTEGER cross-multiplication as the batch op
+    (e_h·cum_n ≥ factor·n_h·cum_e — no float boundary), so stream and
+    reference can never disagree on a flag.
+
+    State per user is O(1) whatever the series length: the OPEN hour's
+    (hour, n, e) plus the closed-prefix totals (cum_n, cum_e). An hour
+    closes when a strictly later hour appears for that user; the open
+    hour is never emitted (a half-observed hour would alert on partial
+    data — the multi-window SRE rule evaluates complete windows).
+    Ordering contract as cusum_stream: chunks concatenated and sorted
+    by (ts, event_id); event time non-decreasing batch-over-batch
+    (file-drop ingest); late data belongs to the watermark variants.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, hour long, n long, n_err long,"
+        " cum_n long, cum_err long, burning boolean"
+    )
+    state_schema = "open_h long, open_n long, open_e long, cum_n long, cum_e long"
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        open_h, open_n, open_e, cum_n, cum_e = (
+            state.get if state.exists else (-1, 0, 0, 0, 0)
+        )
+        chunks = [pdf for pdf in pdf_iter]
+        if not chunks:
+            state.update((open_h, open_n, open_e, cum_n, cum_e))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        # unit-robust: datetime64 -> whole seconds regardless of whether
+        # pandas hands the column over as ns- or us-resolution
+        secs = pdf["ts"].to_numpy(dtype="datetime64[s]").astype(np.int64)
+        hrs = secs // 3600
+        errs = (pdf["event_type"].to_numpy() == "error").astype(np.int64)
+        g = (
+            pd.DataFrame({"h": hrs, "e": errs})
+            .groupby("h", sort=True)
+            .agg(n=("e", "size"), e=("e", "sum"))
+        )
+        hs = g.index.to_numpy(dtype=np.int64)
+        ns = g["n"].to_numpy(dtype=np.int64)
+        es = g["e"].to_numpy(dtype=np.int64)
+        if open_h >= 0:
+            if hs[0] == open_h:
+                ns[0] += open_n
+                es[0] += open_e
+            else:
+                hs = np.concatenate([[open_h], hs])
+                ns = np.concatenate([[open_n], ns])
+                es = np.concatenate([[open_e], es])
+        # everything but the LAST hour closes; it becomes the new open
+        ch, cn, ce = hs[:-1], ns[:-1], es[:-1]
+        if len(ch):
+            run_n = cum_n + np.cumsum(cn)
+            run_e = cum_e + np.cumsum(ce)
+            burning = ce * run_n >= factor * cn * run_e
+            # an error-free prefix has nothing to burn: flag NULL, the
+            # batch op's (et > 0) guard
+            burn_col = pd.array(burning, dtype="boolean")
+            burn_col[run_e == 0] = pd.NA
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(ch), key[0], dtype=np.int64),
+                    "hour": ch,
+                    "n": cn,
+                    "n_err": ce,
+                    "cum_n": run_n,
+                    "cum_err": run_e,
+                    "burning": burn_col,
+                }
+            )
+            cum_n, cum_e = int(run_n[-1]), int(run_e[-1])
+        state.update((int(hs[-1]), int(ns[-1]), int(es[-1]), cum_n, cum_e))
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

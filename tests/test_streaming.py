@@ -1136,3 +1136,103 @@ def test_flatline_batch_stream_parity(spark, tmp_path):
     assert got[830000][0] == 1213           # HALF_UP half-tie cents
     assert got[830002][0] == 1214           # the run breaker
     assert got[830003][1] == 1              # broken by 12.14 in between
+
+
+def test_burn_stream_parity_and_restart(spark, tmp_path):
+    """burn_stream (engine/streaming.py): closed-hour burn rows across a
+    checkpointed two-drop run equal an independent pandas reference over
+    the full series (prefix-baseline semantics, integer cross-multiplied
+    flag), the drop boundary mid-hour does NOT split that hour (it stays
+    open in state and closes with all its events counted), and the final
+    open hour of the whole stream is never emitted."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.streaming import burn_stream
+
+    t0 = 1704067200  # aligned to an hour boundary
+    rows = []
+    eid = 0
+    # user 1: 5 hours; hour 2 is an error storm (burning), hour 4 stays
+    # open. user 2: error-free (burning must be NULL on every row).
+    plan = {
+        1: [(0, 10, 1), (1, 8, 0), (2, 12, 9), (3, 10, 1), (4, 3, 0)],
+        2: [(0, 6, 0), (1, 6, 0), (2, 6, 0), (3, 2, 0)],
+    }
+    for uid, hours in plan.items():
+        for h, n, e in hours:
+            for k in range(n):
+                rows.append(
+                    (eid, t0 + h * 3600 + k * 60, uid,
+                     "error" if k < e else "click")
+                )
+                eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "epoch", "user_id", "event_type"])
+    df = df.sort_values("epoch").reset_index(drop=True)
+    # split mid-hour-2 so the drop boundary cuts an open hour
+    cut = int((df["epoch"] < t0 + 2 * 3600 + 600).sum())
+    src = str(tmp_path / "events_burn")
+    ckpt = str(tmp_path / "ckpt_burn")
+    outdir = str(tmp_path / "out_burn")
+    os.makedirs(src)
+
+    def write(part, name):
+        spark.createDataFrame(
+            part, "event_id long, epoch long, user_id long, event_type string"
+        ).select(
+            "event_id", F.timestamp_seconds("epoch").alias("ts"),
+            "user_id", "event_type",
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).parquet(f"{src}/*")
+        q = (
+            burn_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write(df.iloc[:cut], "d1")
+    run()
+    write(df.iloc[cut:], "d2")
+    run()
+
+    got = (
+        spark.read.parquet(outdir)
+        .toPandas()
+        .sort_values(["user_id", "hour"])
+        .reset_index(drop=True)
+    )
+
+    # independent reference: closed hours (all but each user's max hour),
+    # inclusive prefix baseline, integer cross-multiplied flag
+    want_rows = []
+    for uid, hours in plan.items():
+        cn = ce = 0
+        for h, n, e in hours[:-1]:
+            cn += n
+            ce += e
+            burning = None if ce == 0 else (e * cn >= 2 * n * ce)
+            want_rows.append((uid, h, n, e, cn, ce, burning))
+    want = pd.DataFrame(
+        want_rows,
+        columns=["user_id", "hour", "n", "n_err", "cum_n", "cum_err", "burning"],
+    ).sort_values(["user_id", "hour"]).reset_index(drop=True)
+    want["hour"] = want["hour"] + t0 // 3600
+
+    assert len(got) == len(want), (got, want)
+    for col in ("user_id", "hour", "n", "n_err", "cum_n", "cum_err"):
+        assert got[col].astype("int64").tolist() == want[col].astype("int64").tolist(), col
+    got_b = [None if pd.isna(x) else bool(x) for x in got["burning"]]
+    want_b = [x for x in want["burning"]]
+    assert got_b == want_b, (got_b, want_b)
+    # the storm hour is the only burning row
+    storm = got[(got["user_id"] == 1) & (got["hour"] == t0 // 3600 + 2)]
+    assert storm["burning"].tolist() == [True]
