@@ -16,13 +16,15 @@ Layers:
   flags        q_detector_ensemble filtered to votes >= --min-votes
                (2-of-4 consensus by default)
   episodes     q_anomaly_runs — consecutive-flag islands per user
-  diagnostics  one row per user_id joining eighteen per-series one-row
-               statistics (burstiness, Sen/OLS trend, Mann-Kendall,
-               runs test, Ljung-Box, permutation entropy, Hjorth,
-               exponential-gap KS, gap coverage, flatline plateaus,
-               variance ratio, AR(1) φ + half-life, Hurst exponent,
-               Fano factor, record ratio, Pearson + Spearman fleet
-               synchrony, anomaly episodes); each input is ONE corpus
+  diagnostics  one row per user_id joining twenty-one per-series
+               one-row statistics (burstiness, Sen/OLS trend,
+               Mann-Kendall, runs test, Ljung-Box, permutation
+               entropy, Hjorth, exponential-gap KS, gap coverage,
+               flatline plateaus, variance ratio, AR(1) φ + half-life,
+               Hurst exponent, Fano factor, record ratio, Pearson +
+               Spearman fleet synchrony, load↔magnitude coupling,
+               weekday/weekend Welch z, error-budget burn, anomaly
+               episodes); each input is ONE corpus
                scan reduced to a
                users-sized frame BEFORE the join, so the join layer
                moves per-user rows, never events
@@ -90,6 +92,9 @@ _DIAG_SPECS = [
     # co-movement, is carrying the Pearson number)
     ("corr_to_global", ["corr_global"], {}),
     ("spearman_to_global", ["rho_global"], {}),
+    ("value_volume_corr", ["corr_vol_val"], {}),
+    ("weekend_shift", ["welch_z"], {"welch_z": "weekend_z"}),
+    ("error_burn", ["burn_ratio", "burning"], {}),
     ("anomaly_runs", ["n_anoms", "n_episodes", "max_run"], {}),
 ]
 

@@ -46,7 +46,8 @@ def test_analyze_job_layers_match_gated_operators(spark, tmp_path):
                 "exp_ks_d", "coverage", "n_anoms", "slope_day",
                 "mobility", "n_flat", "longest_flat_run", "vr",
                 "hurst", "vmr", "record_ratio", "corr_global",
-                "rho_global"):
+                "rho_global", "corr_vol_val", "weekend_z",
+                "burn_ratio", "burning"):
         assert col in diag.columns, col
     # a user with zero flagged events reads 0, not NULL
     assert diag.where("n_anoms IS NULL").count() == 0
