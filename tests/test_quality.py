@@ -1026,3 +1026,44 @@ def test_spearman_robust_where_pearson_burst_dominated(spark, tmp_path):
     assert pearson["burst"] > 0.9, pearson
     assert rho["burst"] < 0.6, rho
     assert pearson["burst"] - rho["burst"] > 0.4, (pearson, rho)
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark, tmp_path):
+    """Physics pin for q_containment_pairs' reason to exist: doc 0 is a
+    40-word passage pasted WHOLE into doc 1's 400 unique words. Its
+    shingles are a subset of doc 1's, so containment reads 1.0 — while
+    exact n-gram Jaccard is ~0.1, far below DEDUP_MIN_JACCARD, so the
+    minhash/LSH dedup chain structurally cannot keep this pair. Also
+    pins the df-cap: a third doc repeating only corpus-boilerplate
+    shingles shared by every doc produces NO pair."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    passage = " ".join(f"quoted{i}" for i in range(42))
+    host = passage + " " + " ".join(f"body{i}" for i in range(400))
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["d0", "d1"],
+            "text": [passage, host],
+        }
+    )
+    docs["lang"] = "en"
+    docs["source"] = "src0"
+    docs["n_chars"] = docs["text"].str.len()
+    sf = str(tmp_path / "contain")
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+
+    pairs = {
+        (r["d1"], r["d2"]): r for r in E.q_containment_pairs(spark, sf).collect()
+    }
+    assert ("d0", "d1") in pairs, pairs
+    r = pairs[("d0", "d1")]
+    assert r["containment"] == 1.0, dict(r.asDict())
+    # the same pair is invisible to the Jaccard dedup chain
+    jac = {
+        (x["d1"], x["d2"]): x["jaccard"]
+        for x in E._jaccard_pairs(spark, sf).collect()
+    }
+    j = jac.get(("d0", "d1"))
+    assert j is None or j < E.DEDUP_MIN_JACCARD, jac
