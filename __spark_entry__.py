@@ -8210,6 +8210,23 @@ def q_value_volume_corr(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_distinct_cascade(spark, sf_dir):
+    """Mergeable-sketch distinct-user cascade (round 6): per event_type
+    per hour, approximate distinct users from DataSketches HLL sketches
+    built per MINUTE and union-merged upward — the only way a tier
+    cascade carries COUNT DISTINCT at 100 TB (exact distinct does not
+    re-aggregate; the sketch's register-maxima algebra does, with the
+    minute→hour union IDENTICAL to sketching the hour directly —
+    pytest-pinned, engine/rollup.py::distinct_user_cascade). Rows-only
+    by design: a sketch estimate has no exact SQL twin (DuckDB's
+    approx_count_distinct is a different sketch) — the error bound vs
+    exact and the merge-tree invariance are pinned in pytest
+    instead."""
+    from engine.rollup import distinct_user_cascade
+
+    return distinct_user_cascade(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8391,6 +8408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_burn": q_error_burn,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "value_volume_corr": q_value_volume_corr,
+        "distinct_cascade": q_distinct_cascade,
     }
 
 

@@ -1067,3 +1067,43 @@ def test_containment_catches_subset_dup_jaccard_misses(spark, tmp_path):
     }
     j = jac.get(("d0", "d1"))
     assert j is None or j < E.DEDUP_MIN_JACCARD, jac
+
+
+def test_distinct_cascade_merge_invariance_and_error_bound(spark):
+    """distinct_user_cascade (engine/rollup.py): (1) the minute->hour
+    sketch UNION yields the identical estimate to sketching each hour
+    directly (register-maxima algebra is merge-tree invariant — the
+    property that makes the cascade correct); (2) every hour's estimate
+    is within 5% of exact COUNT DISTINCT (lg_k=12 ~ 1.6% rsd)."""
+    from pyspark.sql import functions as F
+
+    from engine.rollup import distinct_user_cascade
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = {
+        (r["event_type"], r["hour"]): r
+        for r in distinct_user_cascade(ev).collect()
+    }
+
+    hour = F.expr("unix_timestamp(ts) DIV 3600")
+    direct = {
+        (r["event_type"], r["hour"]): r["est"]
+        for r in ev.groupBy("event_type", hour.alias("hour"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).cast("long").alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        (r["event_type"], r["hour"]): r["n"]
+        for r in ev.groupBy("event_type", hour.alias("hour"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for key, row in got.items():
+        assert row["approx_users"] == direct[key], (key, row, direct[key])
+        err = abs(row["approx_users"] - exact[key]) / exact[key]
+        assert err <= 0.05, (key, row["approx_users"], exact[key])
