@@ -8210,6 +8210,88 @@ def q_value_volume_corr(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_dow_hod_profile(spark, sf_dir):
+    """Day-of-week × hour-of-day activity fingerprint (round 6): the
+    7×24 event-count matrix per event_type — the full periodic
+    fingerprint above seasonal_profile's hour-of-day card and
+    weekend_shift's two-regime test (a human workload shows the
+    office-hours block; a cron shows one hot cell per day; a global
+    service shows flat dow with diurnal hod). Day-of-week from
+    weekend_shift's PURE EPOCH INTEGER spelling ((epoch_days+3) mod 7,
+    Monday=0 — Spark's and DuckDB's calendar dow disagree, integers
+    cannot); share is the house integer-domain half-up 4-dp rate of
+    the type total. 100 TB shape: map-side (type, dow, hod) partials,
+    ONE exchange on a ≤|types|·168 key space, totals re-agg'd from the
+    census itself and broadcast back."""
+    ev = _t(spark, sf_dir, "events")
+    dow = (F.expr("unix_timestamp(ts) DIV 86400") + 3) % 7
+    hod = F.expr("unix_timestamp(ts) DIV 3600") % 24
+    cell = (
+        ev.select(
+            "event_type",
+            dow.cast("int").alias("dow"),
+            hod.cast("int").alias("hod"),
+        )
+        .groupBy("event_type", "dow", "hod")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("_tot")
+    )
+    return (
+        cell.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "hod",
+            "n",
+            (
+                F.expr("(2 * n * 10000 + _tot) div (2 * _tot)")
+                / F.lit(10000.0)
+            ).alias("share"),
+        )
+        .orderBy("event_type", "dow", "hod")
+    )
+
+
+def q_clock_alignment(spark, sf_dir):
+    """Clock-alignment automation fingerprint (round 6): per event_type,
+    the share of events landing exactly on :00 seconds and on 10-second
+    ticks — scheduled automation (cron, retry timers, polling loops)
+    aligns to the clock where human activity is uniform over the
+    minute, so alignment far above the uniform expectation (1/60 and
+    1/10) is a bot signature the burstiness/Fano dispersion cards miss
+    when the automation is SLOW but aligned. Exact integer predicate
+    counts (epoch_seconds mod 60/mod 10 — timezone-free), 4-dp
+    integer-domain shares. ONE exchange of map-side partials on the
+    5-key type space, join-free."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.expr("unix_timestamp(ts)")
+    s = ev.select(
+        "event_type",
+        (sec % 60 == 0).cast("long").alias("_m0"),
+        (sec % 10 == 0).cast("long").alias("_t0"),
+    ).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_m0").cast("long").alias("n_on_minute"),
+        F.sum("_t0").cast("long").alias("n_on_10s"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "n_on_minute",
+        "n_on_10s",
+        (
+            F.expr("(2 * n_on_minute * 10000 + n) div (2 * n)")
+            / F.lit(10000.0)
+        ).alias("share_on_minute"),
+        (
+            F.expr("(2 * n_on_10s * 10000 + n) div (2 * n)")
+            / F.lit(10000.0)
+        ).alias("share_on_10s"),
+    ).orderBy("event_type")
+
+
 def q_distinct_cascade(spark, sf_dir):
     """Mergeable-sketch distinct-user cascade (round 6): per event_type
     per hour, approximate distinct users from DataSketches HLL sketches
@@ -8409,6 +8491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "value_volume_corr": q_value_volume_corr,
         "distinct_cascade": q_distinct_cascade,
+        "dow_hod_profile": q_dow_hod_profile,
+        "clock_alignment": q_clock_alignment,
     }
 
 
@@ -12070,6 +12154,42 @@ def oracle_sql() -> dict[str, str]:
                    * 10000 + 0.5) / 10000
                END AS corr_vol_val
         FROM s ORDER BY user_id""",
+        "dow_hod_profile": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7
+                      AS INTEGER) AS dow,
+                 CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24
+                      AS INTEGER) AS hod,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2, 3
+        ), t AS (
+          SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+          FROM c GROUP BY 1
+        )
+        SELECT c.event_type, c.dow, c.hod, c.n,
+               ((2 * c.n * 10000 + t.tot) // (2 * t.tot)) / 10000.0
+                 AS share
+        FROM c JOIN t ON t.event_type = c.event_type
+        ORDER BY c.event_type, c.dow, c.hod""",
+        "clock_alignment": """
+        WITH s AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                    % 60 = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_on_minute,
+                 CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                    % 10 = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_on_10s
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, n, n_on_minute, n_on_10s,
+               ((2 * n_on_minute * 10000 + n) // (2 * n)) / 10000.0
+                 AS share_on_minute,
+               ((2 * n_on_10s * 10000 + n) // (2 * n)) / 10000.0
+                 AS share_on_10s
+        FROM s ORDER BY event_type""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

@@ -1169,6 +1169,20 @@ def test_round6_session6_shapes(spark):
     n = p.count("Exchange hashpartitioning")
     assert n == 2, f"value_volume_corr: {n} hash exchanges\n{p[:3000]}"
 
+    # dow_hod_profile: one exchange on the ≤|types|·168 cell space,
+    # totals re-agg'd from the census and broadcast back
+    p = _plan(E.q_dow_hod_profile(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert "BroadcastHashJoin" in p, p[:3000]
+
+    # clock_alignment: map-side integer predicates, ONE type exchange,
+    # join-free
+    p = _plan(E.q_clock_alignment(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"clock_alignment: {n} hash exchanges\n{p[:3000]}"
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated
