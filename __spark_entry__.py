@@ -8292,6 +8292,50 @@ def q_clock_alignment(spark, sf_dir):
     ).orderBy("event_type")
 
 
+RETRY_GAP_US = 1_000_000  # same-type repeats under 1 s are retry-shaped
+
+
+def q_retry_storms(spark, sf_dir):
+    """Retry-storm fingerprint (round 6): per (user, event_type), the
+    count and share of events arriving less than a second after the
+    SAME user's previous event of the SAME type — the client-retry-loop
+    / double-submit signature: rate_limit_flags sees any 60-s burst,
+    clock_alignment sees slow-but-aligned cron, this isolates the
+    tight same-type repeat that means a failing call being hammered
+    (the storm that melts a backend and poisons count-based detectors
+    upstream). Exact integer microsecond gaps (unix_micros — no float
+    time anywhere), integer-domain 4-dp share, deterministic
+    (ts, event_id) predecessor order. 100 TB shape: lag window + reduce
+    share ONE (user, type) exchange, join-free, map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    # ts is TIMESTAMP_NTZ; session timezone pinned UTC so the cast is
+    # the identity and unix_micros reads the exact stored microseconds
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp"))
+    fast = F.when(gap < RETRY_GAP_US, 1).otherwise(0)
+    s = (
+        ev.select("user_id", "event_type", fast.alias("_f"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_f").cast("long").alias("n_fast"),
+        )
+    )
+    return s.select(
+        "user_id",
+        "event_type",
+        "n",
+        "n_fast",
+        (
+            F.expr("(2 * n_fast * 10000 + n) div (2 * n)")
+            / F.lit(10000.0)
+        ).alias("share_fast"),
+    ).orderBy("user_id", "event_type")
+
+
 def q_distinct_cascade(spark, sf_dir):
     """Mergeable-sketch distinct-user cascade (round 6): per event_type
     per hour, approximate distinct users from DataSketches HLL sketches
@@ -8493,6 +8537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_cascade": q_distinct_cascade,
         "dow_hod_profile": q_dow_hod_profile,
         "clock_alignment": q_clock_alignment,
+        "retry_storms": q_retry_storms,
     }
 
 
@@ -12190,6 +12235,25 @@ def oracle_sql() -> dict[str, str]:
                ((2 * n_on_10s * 10000 + n) // (2 * n)) / 10000.0
                  AS share_on_10s
         FROM s ORDER BY event_type""",
+        "retry_storms": f"""
+        WITH l AS (
+          SELECT user_id, event_type,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           < {RETRY_GAP_US}
+                      THEN 1 ELSE 0 END AS f
+          FROM events
+          WINDOW w AS (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(f) AS BIGINT) AS n_fast
+          FROM l GROUP BY 1, 2
+        )
+        SELECT user_id, event_type, n, n_fast,
+               ((2 * n_fast * 10000 + n) // (2 * n)) / 10000.0
+                 AS share_fast
+        FROM s ORDER BY user_id, event_type""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

@@ -1183,6 +1183,13 @@ def test_round6_session6_shapes(spark):
     n = p.count("Exchange hashpartitioning")
     assert n == 1, f"clock_alignment: {n} hash exchanges\n{p[:3000]}"
 
+    # retry_storms: lag window + reduce on ONE (user, type) exchange,
+    # join-free
+    p = _plan(E.q_retry_storms(spark, sf))
+    assert "EvalPython" not in p and "Join" not in p, p[:2000]
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"retry_storms: {n} hash exchanges\n{p[:3000]}"
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

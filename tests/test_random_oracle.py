@@ -42,7 +42,7 @@ QUERIES = [
     "variance_ratio", "hurst_rs", "fano_factor", "record_stats",
     "xcorr_pairs", "spearman_to_global", "ar1_halflife",
     "weekend_shift", "error_burn", "value_volume_corr",
-    "dow_hod_profile", "clock_alignment",
+    "dow_hod_profile", "clock_alignment", "retry_storms",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
