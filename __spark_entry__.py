@@ -8292,6 +8292,86 @@ def q_clock_alignment(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_type_corr_pairs(spark, sf_dir):
+    """Type-level co-burst correlation (round 6): Pearson correlation
+    of zero-filled minutely counts for every unordered EVENT-TYPE pair
+    — the synchrony family's type-level member (corr_pairs asks which
+    USERS move together; this asks which SIGNALS do: errors spiking
+    with purchases is a checkout incident, errors spiking alone is
+    infra). The type space is tiny (≤5 here, rarely >100s in
+    production), so all pairs are exact and cheap: corr_pairs' sparse
+    zero-fill decomposition verbatim (zeros add nothing to the int64
+    moments; n = global span minutes), per-factor double casts,
+    floor(·10⁴+0.5) rounding, NULL on a constant side. 100 TB shape:
+    ONE corpus shuffle into the persisted (type, minute) grid; span
+    and per-type moments are grid re-aggregates; the pair Σxy is an
+    equi-join of two broadcast grid slices."""
+    ev = _t(spark, sf_dir, "events")
+    minute = F.floor(F.unix_timestamp("ts") / 60).cast("long")
+    grid = (
+        ev.select("event_type", minute.alias("_m"))
+        .groupBy("event_type", "_m")
+        .agg(F.count("*").cast("long").alias("_c"))
+        .persist()
+    )
+    span = grid.agg(
+        (F.max("_m") - F.min("_m") + 1).cast("long").alias("n_min")
+    )
+    stats = grid.groupBy("event_type").agg(
+        F.sum("_c").cast("long").alias("_sx"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_sxx"),
+    )
+    ga = grid.select(
+        F.col("event_type").alias("_ta"), "_m", F.col("_c").alias("_ca")
+    )
+    gb = grid.select(
+        F.col("event_type").alias("_tb"), "_m", F.col("_c").alias("_cb")
+    )
+    sxy = (
+        ga.join(F.broadcast(gb), "_m")
+        .where(F.col("_ta") < F.col("_tb"))
+        .groupBy("_ta", "_tb")
+        .agg(
+            F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("_sxy"),
+            F.count("*").cast("long").alias("_shared"),
+        )
+    )
+    pa = stats.select(
+        F.col("event_type").alias("_ta"),
+        F.col("_sx").alias("_sa"),
+        F.col("_sxx").alias("_saa"),
+    )
+    pb = stats.select(
+        F.col("event_type").alias("_tb"),
+        F.col("_sx").alias("_sb"),
+        F.col("_sxx").alias("_sbb"),
+    )
+    pairs = (
+        pa.join(F.broadcast(pb), pa["_ta"] < pb["_tb"])
+        .join(F.broadcast(sxy), ["_ta", "_tb"], "left")
+        .crossJoin(F.broadcast(span))
+        .na.fill({"_sxy": 0, "_shared": 0})
+    )
+    nd = F.col("n_min").cast("double")
+    num = nd * F.col("_sxy").cast("double") - F.col("_sa").cast(
+        "double"
+    ) * F.col("_sb").cast("double")
+    da = nd * F.col("_saa").cast("double") - F.col("_sa").cast(
+        "double"
+    ) * F.col("_sa").cast("double")
+    db = nd * F.col("_sbb").cast("double") - F.col("_sb").cast(
+        "double"
+    ) * F.col("_sb").cast("double")
+    corr = F.when((da > 0) & (db > 0), num / F.sqrt(da * db))
+    return pairs.select(
+        F.col("_ta").alias("type_a"),
+        F.col("_tb").alias("type_b"),
+        F.col("n_min").alias("n_minutes"),
+        F.col("_shared").alias("shared_minutes"),
+        (F.floor(corr * 10000 + 0.5) / 10000).alias("corr"),
+    ).orderBy("type_a", "type_b")
+
+
 RETRY_GAP_US = 1_000_000  # same-type repeats under 1 s are retry-shaped
 
 
@@ -8538,6 +8618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_hod_profile": q_dow_hod_profile,
         "clock_alignment": q_clock_alignment,
         "retry_storms": q_retry_storms,
+        "type_corr_pairs": q_type_corr_pairs,
     }
 
 
@@ -12254,6 +12335,48 @@ def oracle_sql() -> dict[str, str]:
                ((2 * n_fast * 10000 + n) // (2 * n)) / 10000.0
                  AS share_fast
         FROM s ORDER BY user_id, event_type""",
+        "type_corr_pairs": """
+        WITH grid AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ), span AS (
+          SELECT CAST(max(m) - min(m) + 1 AS BIGINT) AS n_min FROM grid
+        ), stats AS (
+          SELECT event_type, CAST(sum(c) AS BIGINT) AS sx,
+                 CAST(sum(c * c) AS BIGINT) AS sxx
+          FROM grid GROUP BY event_type
+        ), xy AS (
+          SELECT ga.event_type AS ta, gb.event_type AS tb,
+                 CAST(sum(ga.c * gb.c) AS BIGINT) AS sxy,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM grid ga JOIN grid gb
+            ON gb.m = ga.m AND ga.event_type < gb.event_type
+          GROUP BY 1, 2
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               n_min AS n_minutes,
+               COALESCE(shared, 0) AS shared_minutes,
+               CASE WHEN CAST(n_min AS DOUBLE) * CAST(a.sxx AS DOUBLE)
+                         - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE) > 0
+                     AND CAST(n_min AS DOUBLE) * CAST(b.sxx AS DOUBLE)
+                         - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) > 0
+                 THEN floor(
+                   (CAST(n_min AS DOUBLE)
+                      * CAST(COALESCE(sxy, 0) AS DOUBLE)
+                    - CAST(a.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
+                   / sqrt((CAST(n_min AS DOUBLE) * CAST(a.sxx AS DOUBLE)
+                           - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
+                          * (CAST(n_min AS DOUBLE) * CAST(b.sxx AS DOUBLE)
+                             - CAST(b.sx AS DOUBLE)
+                               * CAST(b.sx AS DOUBLE)))
+                   * 10000 + 0.5) / 10000
+               END AS corr
+        FROM stats a JOIN stats b ON a.event_type < b.event_type
+        LEFT JOIN xy ON xy.ta = a.event_type AND xy.tb = b.event_type
+        CROSS JOIN span
+        ORDER BY type_a, type_b""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

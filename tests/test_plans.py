@@ -1190,6 +1190,14 @@ def test_round6_session6_shapes(spark):
     n = p.count("Exchange hashpartitioning")
     assert n == 1, f"retry_storms: {n} hash exchanges\n{p[:3000]}"
 
+    # type_corr_pairs: corr_pairs' census shape at type level —
+    # persisted grid, all joins broadcast, 1-row span BNLJ only
+    p = _plan(E.q_type_corr_pairs(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert "InMemoryTableScan" in p, p[:3000]
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

@@ -43,6 +43,7 @@ QUERIES = [
     "xcorr_pairs", "spearman_to_global", "ar1_halflife",
     "weekend_shift", "error_burn", "value_volume_corr",
     "dow_hod_profile", "clock_alignment", "retry_storms",
+    "type_corr_pairs",
 ]
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]

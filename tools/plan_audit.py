@@ -57,7 +57,7 @@ ALLOWED_BNLJ = {
     "decontaminate", "pagerank_sim", "lang_source_cube", "zipf_fit",
     "markov_entropy", "session_type_lift",
     "corr_pairs", "dtw_pairs", "fano_factor", "xcorr_pairs",
-    "error_burn", "dedup_cluster_sizes",
+    "error_burn", "dedup_cluster_sizes", "type_corr_pairs",
     "mann_kendall", "seasonality_strength", "pettitt_change",
     "detector_ensemble", "lead_lag_ccf", "concurrency_sweep",
     "burstiness", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_lloyd_topk",
