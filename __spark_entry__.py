@@ -8292,6 +8292,63 @@ def q_clock_alignment(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_zipf_deviants(spark, sf_dir):
+    """Zipf residual deviants (round 6): the 15 words sitting furthest
+    ABOVE the corpus's own fitted Zipf line (ln c vs ln rank OLS —
+    q_zipf_fit's fit, recomputed in-query from the same sums) — the
+    word-level actionable behind the one-number fit: a word whose
+    frequency beats its rank's prediction by e^2× is a template token,
+    spam phrase, or boilerplate fragment, exactly what a curator
+    removes first (zipf_fit says THE CORPUS drifted; this names the
+    words responsible). Residual = ln c − (intercept + slope·ln rank),
+    4-dp, deterministic (residual desc, word) order; NULL-den corpora
+    (single-word vocabulary) return zero rows rather than a divide —
+    zipf's ANSI den>0 guard as a WHERE. 100 TB shape: one word
+    exchange; rank window and the 1-row fit broadcast run on the
+    vocab relation (the documented vocab-bounded exception)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    rw = Window.orderBy(F.desc("c"), "w")
+    ranked = counts.select(
+        "w",
+        "c",
+        F.log(F.row_number().over(rw).cast("double")).alias("_x"),
+        F.log(F.col("c").cast("double")).alias("_y"),
+    ).persist()
+    sums = ranked.agg(
+        F.count("*").cast("double").alias("_k"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    den = F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (
+        F.col("_k") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / den
+    fit = sums.where(den > 0).select(
+        slope.alias("_slope"),
+        ((F.col("_sy") - slope * F.col("_sx")) / F.col("_k")).alias(
+            "_icpt"
+        ),
+    )
+    resid = F.col("_y") - (F.col("_icpt") + F.col("_slope") * F.col("_x"))
+    return (
+        ranked.crossJoin(F.broadcast(fit))
+        .select(
+            "w",
+            "c",
+            (F.floor(resid * 10000 + 0.5) / 10000).alias("residual"),
+        )
+        .orderBy(F.desc("residual"), "w")
+        .limit(15)
+    )
+
+
 def q_type_corr_pairs(spark, sf_dir):
     """Type-level co-burst correlation (round 6): Pearson correlation
     of zero-filled minutely counts for every unordered EVENT-TYPE pair
@@ -8619,6 +8676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clock_alignment": q_clock_alignment,
         "retry_storms": q_retry_storms,
         "type_corr_pairs": q_type_corr_pairs,
+        "zipf_deviants": q_zipf_deviants,
     }
 
 
@@ -12377,6 +12435,34 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN xy ON xy.ta = a.event_type AND xy.tb = b.event_type
         CROSS JOIN span
         ORDER BY type_a, type_b""",
+        "zipf_deviants": """
+        WITH counts AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          GROUP BY w
+        ), ranked AS (
+          SELECT w, c,
+                 ln(CAST(row_number() OVER (ORDER BY c DESC, w)
+                         AS DOUBLE)) AS x,
+                 ln(CAST(c AS DOUBLE)) AS y
+          FROM counts
+        ), s AS (
+          SELECT CAST(count(*) AS DOUBLE) AS k,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM ranked
+        ), fit AS (
+          SELECT (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope,
+                 (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+                   / k AS icpt
+          FROM s WHERE k * sxx - sx * sx > 0
+        )
+        SELECT w, c,
+               floor((y - (icpt + slope * x)) * 10000 + 0.5) / 10000
+                 AS residual
+        FROM ranked CROSS JOIN fit
+        ORDER BY residual DESC, w LIMIT 15""",
     }
     d["chunk_dup_groups"] = f"""
         WITH ch AS ({d["chunk_documents"]}),

@@ -1198,6 +1198,15 @@ def test_round6_session6_shapes(spark):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
     assert "InMemoryTableScan" in p, p[:3000]
 
+    # zipf_deviants: persisted ranked vocab feeds the sums and the
+    # residual scan; 1-row fit broadcast; TakeOrdered top-15
+    p = _plan(E.q_zipf_deviants(spark, sf))
+    assert "EvalPython" not in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert "InMemoryTableScan" in p, p[:3000]
+    assert "TakeOrderedAndProject" in p, p[:3000]
+
 
 def test_whole_surface_plan_census(spark):
     """Global plan invariants over EVERY queries() entry (the automated

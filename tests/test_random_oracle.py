@@ -187,7 +187,7 @@ DOC_QUERIES = [
     "gopher_quality_filter", "ngram_novelty", "source_js_divergence",
     "source_length_profile", "kfold_leakage", "bpe_merge_candidates",
     "boilerplate_prefixes", "containment_pairs", "heaps_fit",
-    "dedup_cluster_sizes",
+    "dedup_cluster_sizes", "zipf_deviants",
 ]
 
 

@@ -55,7 +55,7 @@ ALLOWED_BNLJ = {
     "anomaly_contribution", "triangle_count", "source_dup_matrix",
     "kfold_leakage",
     "decontaminate", "pagerank_sim", "lang_source_cube", "zipf_fit",
-    "markov_entropy", "session_type_lift",
+    "markov_entropy", "session_type_lift", "zipf_deviants",
     "corr_pairs", "dtw_pairs", "fano_factor", "xcorr_pairs",
     "error_burn", "dedup_cluster_sizes", "type_corr_pairs",
     "mann_kendall", "seasonality_strength", "pettitt_change",
