@@ -34,6 +34,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round 7 (optimization): redistribute rows before per-row-CPU-heavy
+    map work (md5 / split / array ops) when the scan yields fewer splits
+    than cores. The driver tables are single parquet files with one or two
+    row groups, so a zero-exchange plan decodes AND computes on ONE task,
+    serializing the whole query (guide §2.5 "input skew ... repartition
+    immediately after the read"). Scale-adaptive: at production input sizes
+    the scan already yields >= cores splits and this returns the input
+    unchanged — no exchange is added. Hash-partitioning on doc_id (not
+    round-robin) keeps the placement deterministic under task retry
+    (guide §2.5 / SPARK-38388) and skips the sort-before-repartition pass.
+    Row placement/order does not affect results: callers are pure per-row
+    maps whose outputs are compared as sorted row multisets."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores, "doc_id")
+    return df
+
+
 def _rolling_cols(ev: DataFrame):
     w = (
         Window.partitionBy("user_id")
@@ -2424,28 +2443,28 @@ def q_rollup_minute(spark, sf_dir):
 def q_cascade_hour(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     c = F.round(F.col("value") * 100).cast("long")
-    minute = (
-        ev.withColumn("bucket", F.expr("unix_timestamp(ts) DIV 60"))
-        .groupBy("user_id", "bucket")
-        .agg(
-            F.count("value").alias("cnt"),
-            F.min(c).alias("vmin"),
-            F.max(c).alias("vmax"),
-            F.sum(c).alias("vsum"),
-        )
-    )
     # hardened round 5 (adversarial harness): all aggregates on exact
     # int64 cents — float vsum was order-dependent and vmean (a rational
     # vsum/cnt) hit 4-dp half-ties; vmin/vmax/vsum are exact 2-dp values
     # emitted as the identical cents/100 spelling, vmean rounds in the
-    # integer domain over den = cnt·100
-    hr = minute.withColumn("hbucket", F.expr("bucket DIV 60")).groupBy(
-        "user_id", "hbucket"
-    ).agg(
-        F.sum("cnt").alias("cnt"),
-        F.min("vmin").alias("_mn"),
-        F.max("vmax").alias("_mx"),
-        F.sum("vsum").alias("_sm"),
+    # integer domain over den = cnt·100.
+    # Round 7 (optimization): the minute->hour two-level aggregation is
+    # collapsed into ONE hour-level aggregation — bit-equal because every
+    # aggregate is exact-integer and composes (min∘min = min, max∘max =
+    # max, sum∘sum = sum, count via sum∘count), and truncating integral
+    # division composes ((x DIV 60) DIV 60 == x DIV 3600 for all x).
+    # Plan: 2 Exchanges -> 1, three HashAggregate levels -> two
+    # (partial+final); the DuckDB oracle SQL is untouched and the hash
+    # gate pins equality (guide §2.4 "remove shuffles outright").
+    hr = (
+        ev.withColumn("hbucket", F.expr("unix_timestamp(ts) DIV 3600"))
+        .groupBy("user_id", "hbucket")
+        .agg(
+            F.count("value").alias("cnt"),
+            F.min(c).alias("_mn"),
+            F.max(c).alias("_mx"),
+            F.sum(c).alias("_sm"),
+        )
     )
     return hr.select(
         "user_id",
@@ -2490,10 +2509,21 @@ def q_pricing_summary(spark, sf_dir):
 def q_top_customers(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # Round 7 (optimization): aggregate orders by o_custkey BEFORE the
+    # broadcast join (guide §2.3 "aggregate before you shuffle") — the
+    # join then attaches c_name to ~|customers| pre-reduced rows instead
+    # of every order row, and the aggregation hashes a long key instead of
+    # (long, string). Bit-equal: c_custkey is unique in customer, so
+    # grouping by o_custkey pre-join partitions the order rows identically
+    # to grouping the join output by (c_custkey, c_name); the per-customer
+    # addend multiset is unchanged, and round(·, 2) of a sum of exact-2dp
+    # values cannot sit on a rounding boundary, so summation order is
+    # immaterial. Oracle SQL untouched; hash gate pins equality.
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
+        o.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("c_custkey", "c_name", "revenue")
     )
     return rev.orderBy(F.desc("revenue"), "c_custkey").limit(10)
 
@@ -2657,7 +2687,7 @@ def q_udaf_weighted_chars(spark, sf_dir):
 def q_doc_fingerprint(spark, sf_dir):
     """Exact-dedup machinery: per-doc content hash + bag-of-words hash (the
     join key a dedup pass groups on)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     bow = F.concat_ws(
         " ", F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
     )
@@ -2927,7 +2957,7 @@ def q_token_count(spark, sf_dir):
 
 def q_quality_score(spark, sf_dir):
     """Quality scoring: tokens/char ratio + stopword share, per doc."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     n_toks = F.size(toks)
     stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and")))

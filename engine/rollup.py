@@ -149,7 +149,7 @@ def distinct_user_cascade(events: DataFrame, lg_k: int = 12) -> DataFrame:
     )
     return (
         msk.groupBy(
-            "event_type", (F.col("_m") / 60).cast("long").alias("hour")
+            "event_type", F.expr("_m DIV 60").alias("hour")
         )
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("_sk"))

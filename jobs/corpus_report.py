@@ -119,16 +119,20 @@ def run_corpus_report(
         "cross_source", queries["source_js_divergence"](spark, input_dir)
     )
 
-    # per-source quality/pii shares: the per-doc gated outputs broadcast
-    # into the (doc_id, source) projection (endpoint-lookup plan), then
-    # a source-sized re-agg — integer counts only
+    # per-source quality/pii shares: the per-doc gated outputs join the
+    # (doc_id, source) projection on the doc_id equi-key and re-agg to a
+    # source-sized result — integer counts only. No broadcast hint: both
+    # sides are docs-sized (one row per document), so at 100 TB a broadcast
+    # of either side OOMs the driver/executors (ADVICE r06 medium); a
+    # shuffled equi-join is the scale-correct shape and the re-agg output
+    # stays source-sized either way.
     src = ops._t(spark, input_dir, "documents").select("doc_id", "source")
     if "quality" not in skip:
         flags = queries["gopher_quality_filter"](spark, input_dir).select(
             "doc_id", F.col("keep").cast("long").alias("_keep")
         )
         q = (
-            src.join(F.broadcast(flags), "doc_id")
+            src.join(flags, "doc_id")
             .groupBy("source")
             .agg(
                 F.count("*").cast("long").alias("n_docs"),
@@ -141,7 +145,7 @@ def run_corpus_report(
     if "pii" not in skip:
         pii = queries["pii_scan"](spark, input_dir)
         p = (
-            src.join(F.broadcast(pii), "doc_id")
+            src.join(pii, "doc_id")
             .groupBy("source")
             .agg(
                 F.count("*").cast("long").alias("n_docs_with_pii"),
