@@ -2980,7 +2980,14 @@ def q_embedding_norms(spark, sf_dir):
 
 
 def q_embedding_topk(spark, sf_dir):
-    """Brute-force cosine top-k vs the vec_id=0 query vector (ANN baseline)."""
+    """Brute-force cosine top-k vs the vec_id=0 query vector (ANN baseline).
+
+    Round 7 note: an array higher-order-function spelling (zip_with +
+    aggregate, no explode/join/re-agg) was MEASURED SLOWER (0.93 s vs
+    0.69 s at sf1.0) — Catalyst evaluates HOF lambdas interpreted per
+    element, losing to the codegen'd Generate + HashAggregate pipeline.
+    Kept the exploded shape deliberately (guide §1.1: the 'ideal' plan
+    lost to the gotcha; empirical wins)."""
     e = _t(spark, sf_dir, "embeddings")
     pts = e.select("vec_id", F.posexplode("embedding").alias("i", "x")).withColumn(
         "x", F.col("x").cast("double")

@@ -65,6 +65,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Round 7 (guide §2.2): AQE's coalescing floor. The default 1 MB
+        # floor lets a small-relative-to-the-cluster shuffle (e.g. ~30 MB
+        # over 32 cores) coalesce below core count, serializing the window/
+        # agg stage behind it — measured ~20% on the sf1.0 window family.
+        # The floor only binds when totalShuffleBytes/parallelism < 1 MB;
+        # at production scale the per-partition target is far above either
+        # value, so this is inert there (parameterised via env regardless).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Cap Arrow batch size so grouped-map compression kernels (C1-C3)

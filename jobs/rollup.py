@@ -15,6 +15,7 @@ fault-injection test simulate a mid-job kill.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -24,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F
 
 from engine.io import ParquetManifestFormat, scan_tokens, synth_tokens
-from engine.lineage import lineage_record, partition_stats_from_rollup, pending_partitions
+from engine.lineage import lineage_record, pending_partitions
 from engine.rollup import cascade, rollup_from_points
 from engine.schema import DEFAULT_K, DEFAULT_N_BUCKETS, DEFAULT_WINDOW, TIER_ORDER
 from engine.series import explode_series, gap_fill
@@ -194,6 +195,39 @@ def _build_1m(spark, toks, w, k, policy, compress, stats_mode, pipeline,
     raise ValueError(f"pipeline must be 'fused' or 'exploded', got {pipeline!r}")
 
 
+def _written_stats(spark, fmt, table: str, out_snapshot: int) -> list[dict]:
+    """Round 7 (guide §1/§6): the L3 stats job now scans the snap dir this
+    commit just wrote — directly, with an explicit 2-column schema — instead
+    of ``fmt.read`` of the whole current view. That drops (a) the manifest
+    union/basePath planning, (b) parquet schema inference (footer reads for
+    all 12 columns), and (c) the scan of partitions untouched by this
+    commit; the job reads only the ``cnt`` column of the new files. An
+    Observation on the write itself was measured SLOWER (~0.9 s fixed
+    per-query planning/codegen for 2x64 conditional aggregates vs ~0.2 s
+    for this pruned job), so the separate-job shape stays.
+
+    Every partition written by this commit lives under the new snap dir
+    (overwrite_partitions replaces whole partitions), so the re-read is
+    exactly the committed data for the pending set."""
+    data_dir = os.path.join(fmt.warehouse, table, f"snap-{out_snapshot}")
+    df = (
+        spark.read.schema("cnt long, part_hash long")
+        .option("basePath", data_dir)
+        .parquet(data_dir)
+    )
+    from engine.lineage import partition_stats_from_rollup
+
+    return partition_stats_from_rollup(df)
+
+
+def _pending_only(stats: list[dict], pending_set: list[int]) -> list[dict]:
+    """Merge mode can write carried rows for touched-but-already-committed
+    partitions into the new snap dir; lineage rows are appended only for
+    PENDING partitions, exactly like the r6 ``isin(pending_set)`` re-read."""
+    pend = set(pending_set)
+    return [s for s in stats if s["part_hash"] in pend]
+
+
 def _run_tiers(
     spark, fmt, tokens_df, warehouse, epoch, w, k, policy, n_buckets,
     tiers, stop_after_tier, input_snapshot_id, compress, stats_mode,
@@ -289,11 +323,13 @@ def _run_tiers(
             tier_df = _mk_1m("exploded", "decimal")
             out_snapshot = fmt.overwrite_partitions(tier_df, f"rollup_{tier}")
         write_s = time.monotonic() - t_write
-        # (L3) per-partition counts from the written tier (cheap re-read of
-        # the just-written parquet, no recompute of the pipeline)
+        # (L3) per-partition counts from a pruned direct read of the snap
+        # dir this commit wrote (see _written_stats — round 7).
         t_stats = time.monotonic()
-        written = fmt.read(f"rollup_{tier}").where(F.col("part_hash").isin(pending_set))
-        stats = partition_stats_from_rollup(written)
+        stats = _pending_only(
+            _written_stats(spark, fmt, f"rollup_{tier}", out_snapshot),
+            pending_set,
+        )
         # Partitions attempted but empty (no doc hashes into them at this
         # input size) are COMPLETE, not pending — record them with 0 rows or
         # resume would recompute them forever.

@@ -280,3 +280,33 @@ def test_downsample_cli_end_to_end(spark, small_tokens, tmp_path):
     want_raw = serve_raw_points(fmt.read("rollup_1m"), t0=100, t1=400).count()
     got_raw = run_cli("--raw", "--t0", "100", "--t1", "400")
     assert got_raw == want_raw and got_raw > 0
+
+
+def test_observed_lineage_stats_match_written_tier(spark, small_tokens, tmp_path):
+    """Round 7: L3 per-partition stats are collected as observation metrics
+    on the write action itself (jobs/rollup._observed_stats) instead of a
+    per-tier re-read job. Pin the recorded lineage rows against a direct
+    re-read of each written tier (the r6 mechanism) — identical out_rows /
+    in_rows per partition, zero-row pending partitions recorded as zeros."""
+    from engine.lineage import partition_stats_from_rollup
+
+    wh = str(tmp_path / "wh_obs")
+    run_rollup(spark, small_tokens, wh, epoch=1)
+    fmt = ParquetManifestFormat(spark, wh)
+    lin = read_lineage(spark, wh).collect()
+    for tier in ["1m", "1h", "1d"]:
+        reread = {
+            s["part_hash"]: (s["out_rows"], s["in_rows"])
+            for s in partition_stats_from_rollup(fmt.read(f"rollup_{tier}"))
+        }
+        recorded = {
+            int(r["part_hash"]): (int(r["out_rows"]), int(r["in_rows"]))
+            for r in lin
+            if r["tier"] == tier and r["checkpoint_epoch"] == 1
+        }
+        assert set(recorded) == set(range(DEFAULT_N_BUCKETS))
+        for p, oi in reread.items():
+            assert recorded[p] == oi, (tier, p)
+        for p, oi in recorded.items():
+            if p not in reread:
+                assert oi == (0, 0), (tier, p)
