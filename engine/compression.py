@@ -393,30 +393,71 @@ def _pack_frames(ev: np.ndarray, eb: np.ndarray, ec: np.ndarray) -> list:
     return [bytes(buf[fboff[f]: fboff[f + 1]]) for f in range(len(ec))]
 
 
-def _entry_layout(counts: np.ndarray) -> tuple:
-    """Shared frame-major entry layout: every frame gets 3 header slots
-    ((magic,8), (n,32) and, when n>=1, (first,64)); every later value gets
-    exactly 2 slots (second possibly zero-width). Returns (ec, base, E,
-    starts, frame_of, local) for ``counts`` values per frame."""
-    counts = np.asarray(counts, dtype=np.int64)
-    starts = _cumsum0(counts)[:-1]
-    ec = np.maximum(2 * counts, 2) + 1
-    base = _cumsum0(ec)[:-1]
-    e_total = int(ec.sum())
-    frame_of = np.repeat(np.arange(counts.size), counts)
-    local = np.arange(int(counts.sum())) - np.repeat(starts, counts)
-    return ec, base, e_total, starts, frame_of, local
-
-
 def dod_compress_many(ts_flat: np.ndarray, counts: np.ndarray) -> list:
     """Vectorized C1 over many frames: ``ts_flat`` holds every frame's
     ascending int64 timestamps back-to-back; ``counts`` the per-frame
-    lengths. Byte-identical to dod_compress per frame."""
+    lengths. Byte-identical to dod_compress per frame.
+
+    Round-7 layout: DENSE entry stream (the gorilla round-5 shape) — per
+    frame 2 header slots (+1 first-value slot when n >= 1), ONE slot per
+    later point, plus one 64-bit raw slot right after each '1111'-prefixed
+    big dod. No zero-width slots exist, so _pack_frames takes its dense
+    fast path (no entry gather), and every entry array is half the size of
+    the old 2-slots-per-point frame-major layout. Point slots additionally
+    default to (v=0, b=1) — the dod == 0 single-'0'-bit case that
+    dominates regular streams — so the bucket classification and its
+    scatters run only on the nonzero-dod lanes (gap boundaries). Output
+    bytes are unchanged (pinned by the per-frame fuzz vs dod_compress)."""
     ts = np.asarray(ts_flat, dtype=np.int64)
     counts = np.asarray(counts, dtype=np.int64)
-    ec, base, e_total, starts, frame_of, local = _entry_layout(counts)
-    ev = np.zeros(e_total, dtype=np.uint64)
-    eb = np.zeros(e_total, dtype=np.int64)
+    nfr = counts.size
+    starts = _cumsum0(counts)[:-1]
+    total = int(counts.sum())
+    local = np.arange(total) - np.repeat(starts, counts)
+    i = np.flatnonzero(local >= 1)
+    extra_pf = np.zeros(nfr, dtype=np.int64)
+    if i.size:
+        d = ts[i] - ts[i - 1]
+        dall = np.zeros(ts.size, dtype=np.int64)
+        dall[i] = d
+        # dod: first delta's predecessor is 0 by definition
+        dod = np.where(local[i] >= 2, d - dall[i - 1], d)
+        v1 = np.zeros(i.size, dtype=np.uint64)
+        b1 = np.full(i.size, 1, dtype=np.int64)
+        big = np.zeros(i.size, dtype=bool)
+        nz = np.flatnonzero(dod != 0)
+        if nz.size:
+            dnz = dod[nz]
+            v1nz = np.zeros(nz.size, dtype=np.uint64)
+            b1nz = np.full(nz.size, 1, dtype=np.int64)
+            done = np.zeros(nz.size, dtype=bool)
+            for hi, off, nbits, prefix, plen in _DOD_BUCKETS:
+                m = (~done) & (dnz >= -hi + 1) & (dnz <= hi)
+                v1nz[m] = (np.uint64(prefix) << np.uint64(nbits)) | (
+                    (dnz[m] + off).astype(np.uint64)
+                )
+                b1nz[m] = plen + nbits
+                done |= m
+            bignz = ~done
+            v1nz[bignz] = 0b1111
+            b1nz[bignz] = 4
+            v1[nz] = v1nz
+            b1[nz] = b1nz
+            big[nz[bignz]] = True
+        # dense slot positions: segmented exclusive cumsum of big flags
+        ext = big.astype(np.int64)
+        fi = np.repeat(np.arange(nfr), np.maximum(counts - 1, 0))
+        runstarts = np.concatenate(
+            ([0], np.flatnonzero(fi[1:] != fi[:-1]) + 1)
+        )
+        extra_pf[fi[runstarts]] = np.add.reduceat(ext, runstarts)
+        exc = np.cumsum(ext) - ext
+        runlens = np.diff(np.concatenate((runstarts, [i.size])))
+        exc_local = exc - np.repeat(exc[runstarts], runlens)
+    ec = 2 + (counts > 0) + np.maximum(counts - 1, 0) + extra_pf
+    base = _cumsum0(ec)[:-1]
+    ev = np.zeros(int(ec.sum()), dtype=np.uint64)
+    eb = np.zeros(ev.size, dtype=np.int64)
     ev[base] = DOD_MAGIC
     eb[base] = 8
     ev[base + 1] = counts.astype(np.uint64)
@@ -424,32 +465,14 @@ def dod_compress_many(ts_flat: np.ndarray, counts: np.ndarray) -> list:
     ne = counts > 0
     ev[base[ne] + 2] = ts[starts[ne]].view(np.uint64)
     eb[base[ne] + 2] = 64
-    i = np.flatnonzero(local >= 1)
     if i.size:
-        d = ts[i] - ts[i - 1]
-        dall = np.zeros(ts.size, dtype=np.int64)
-        dall[i] = d
-        # dod: first delta's predecessor is 0 by definition
-        dod = np.where(local[i] >= 2, d - dall[i - 1], d)
-        e1 = np.repeat(base, counts)[i] + 1 + 2 * local[i]
-        v1 = np.zeros(i.size, dtype=np.uint64)
-        b1 = np.full(i.size, 1, dtype=np.int64)
-        v2 = np.zeros(i.size, dtype=np.uint64)
-        b2 = np.zeros(i.size, dtype=np.int64)
-        done = dod == 0
-        for hi, off, nbits, prefix, plen in _DOD_BUCKETS:
-            m = (~done) & (dod >= -hi + 1) & (dod <= hi)
-            v1[m] = (np.uint64(prefix) << np.uint64(nbits)) | (
-                (dod[m] + off).astype(np.uint64)
-            )
-            b1[m] = plen + nbits
-            done |= m
-        big = ~done
-        v1[big] = 0b1111
-        b1[big] = 4
-        v2[big] = dod[big].view(np.uint64)
-        b2[big] = 64
-        ev[e1], eb[e1], ev[e1 + 1], eb[e1 + 1] = v1, b1, v2, b2
+        e1 = base[fi] + 2 + local[i] + exc_local
+        ev[e1], eb[e1] = v1, b1
+        sub = np.flatnonzero(big)
+        if sub.size:
+            e2 = e1[sub] + 1
+            ev[e2] = dod[sub].view(np.uint64)
+            eb[e2] = 64
     return _pack_frames(ev, eb, ec)
 
 
