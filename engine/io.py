@@ -161,6 +161,7 @@ class ParquetManifestFormat:
         table: str,
         n_buckets: int | None = None,
         sort_within=None,
+        rebalance: bool = False,
     ) -> int:
         """S2: atomically replace exactly the partitions present in *df*.
 
@@ -187,9 +188,22 @@ class ParquetManifestFormat:
         # (tasks x N_BUCKETS tiny files). One shuffle of already-aggregated
         # rows buys one file per partition — at 100 TB this is the difference
         # between N_BUCKETS files and N_BUCKETS x shuffle_partitions.
+        #
+        # ``rebalance=True`` (round 7, guide §6 "REBALANCE hint before the
+        # write"): same part_hash clustering, but AQE sizes the task count
+        # from the data — a tiny cascade tier collapses to one or two write
+        # tasks instead of N_BUCKETS near-empty ones, and an oversized
+        # partition is skew-split into several bounded files (the Iceberg
+        # write.distribution-mode=hash shape). Off for callers that chain
+        # sortWithinPartitions (z-order compaction): a coalesced task holds
+        # several part_hash values and the writer's partition-sort would
+        # reorder across them.
         from engine.schema import DEFAULT_N_BUCKETS
 
-        df = df.repartition(int(n_buckets or DEFAULT_N_BUCKETS), "part_hash")
+        if rebalance and sort_within is None:
+            df = df.hint("rebalance", "part_hash")
+        else:
+            df = df.repartition(int(n_buckets or DEFAULT_N_BUCKETS), "part_hash")
         if sort_within is not None:
             cols = sort_within if isinstance(sort_within, list) else [sort_within]
             df = df.sortWithinPartitions(*cols)

@@ -76,6 +76,15 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
         )
+        # Round 7: REBALANCE-mode tier writes (engine/io.py) size their
+        # tasks from this. 8 MB keeps a hundreds-of-MB local write on all
+        # cores while a KB-sized cascade tier still collapses to one task;
+        # on a production cluster set SPARK_GRAFT_ADVISORY_PARTITION=256m
+        # (guide §9) so shuffle partitions land in the 100 MB-1 GB band.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Cap Arrow batch size so grouped-map compression kernels (C1-C3)

@@ -297,7 +297,9 @@ def _run_tiers(
         # to exactly this commit after later epochs overwrite the partitions
         t_write = time.monotonic()
         try:
-            out_snapshot = fmt.overwrite_partitions(tier_df, f"rollup_{tier}")
+            out_snapshot = fmt.overwrite_partitions(
+                tier_df, f"rollup_{tier}", rebalance=True
+            )
         except Exception as e:
             # The fused kernel FAILS LOUDLY outside its exact-int64 domain
             # (engine/fused.py::_check_guard) — surfacing here, at the first
@@ -321,7 +323,9 @@ def _run_tiers(
             )
             used_pipeline = "exploded-decimal-fallback"
             tier_df = _mk_1m("exploded", "decimal")
-            out_snapshot = fmt.overwrite_partitions(tier_df, f"rollup_{tier}")
+            out_snapshot = fmt.overwrite_partitions(
+                tier_df, f"rollup_{tier}", rebalance=True
+            )
         write_s = time.monotonic() - t_write
         # (L3) per-partition counts from a pruned direct read of the snap
         # dir this commit wrote (see _written_stats — round 7).
