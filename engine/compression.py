@@ -344,15 +344,20 @@ def _scatter_or(words: np.ndarray, idx: np.ndarray, contrib: np.ndarray) -> None
     words[idx[starts]] |= np.bitwise_or.reduceat(contrib, starts)
 
 
-def _pack_frames(ev: np.ndarray, eb: np.ndarray, ec: np.ndarray) -> list:
-    """Bit-pack entry streams into per-frame byte strings.
+def _pack_frames_parts(
+    ev: np.ndarray, eb: np.ndarray, ec: np.ndarray
+) -> tuple:
+    """Bit-pack entry streams into ONE contiguous buffer + frame offsets.
 
     ``ev``/``eb`` are (value, nbits<=64) entry arrays laid out frame-major
     (MSB-first semantics identical to _BitWriter, zero-padded final byte);
     ``ec`` is entries-per-frame. All arithmetic is vectorized; each entry's
     bits land in at most two u64 words of one contiguous big-endian buffer
-    where every frame starts byte-aligned. Returns a list of bytes (one
-    slice per frame — the only per-frame Python)."""
+    where every frame starts byte-aligned. Returns ``(data, offsets)``:
+    frame f's payload is ``data[offsets[f]:offsets[f+1]]`` — exactly the
+    Arrow variable-length binary layout (guide §4.2: a binary column is one
+    data buffer plus an offsets array), so the fused pipeline can emit the
+    whole batch zero-copy instead of slicing per-frame Python bytes."""
     estarts = _cumsum0(ec)[:-1]
     fbits = np.add.reduceat(eb, estarts) if eb.size else np.zeros(0, np.int64)
     fbytes = (fbits + 7) // 8
@@ -389,11 +394,29 @@ def _pack_frames(ev: np.ndarray, eb: np.ndarray, ec: np.ndarray) -> list:
         sv = v[spill]
         sh2 = np.uint64(128) - end[spill]
         _scatter_or(words, w[spill] + 1, (sv << sh2) & _M64)
-    buf = memoryview(words.astype(">u8").tobytes())
+    return words.astype(">u8").tobytes(), fboff
+
+
+def _pack_frames(ev: np.ndarray, eb: np.ndarray, ec: np.ndarray) -> list:
+    """Per-frame byte-string view of _pack_frames_parts (the sequential-
+    compatible API; one Python bytes per frame)."""
+    data, fboff = _pack_frames_parts(ev, eb, ec)
+    buf = memoryview(data)
     return [bytes(buf[fboff[f]: fboff[f + 1]]) for f in range(len(ec))]
 
 
 def dod_compress_many(ts_flat: np.ndarray, counts: np.ndarray) -> list:
+    """Vectorized C1 over many frames: per-frame bytes (see _dod_entries)."""
+    return _pack_frames(*_dod_entries(ts_flat, counts))
+
+
+def dod_compress_parts(ts_flat: np.ndarray, counts: np.ndarray) -> tuple:
+    """C1 as one contiguous (data, offsets) pair — the Arrow binary-column
+    layout; byte-identical payload bytes to dod_compress_many."""
+    return _pack_frames_parts(*_dod_entries(ts_flat, counts))
+
+
+def _dod_entries(ts_flat: np.ndarray, counts: np.ndarray) -> tuple:
     """Vectorized C1 over many frames: ``ts_flat`` holds every frame's
     ascending int64 timestamps back-to-back; ``counts`` the per-frame
     lengths. Byte-identical to dod_compress per frame.
@@ -473,10 +496,21 @@ def dod_compress_many(ts_flat: np.ndarray, counts: np.ndarray) -> list:
             e2 = e1[sub] + 1
             ev[e2] = dod[sub].view(np.uint64)
             eb[e2] = 64
-    return _pack_frames(ev, eb, ec)
+    return ev, eb, ec
 
 
 def gorilla_compress_many(vals_flat: np.ndarray, counts: np.ndarray) -> list:
+    """Vectorized C2 over many frames: per-frame bytes (see _gorilla_entries)."""
+    return _pack_frames(*_gorilla_entries(vals_flat, counts))
+
+
+def gorilla_compress_parts(vals_flat: np.ndarray, counts: np.ndarray) -> tuple:
+    """C2 as one contiguous (data, offsets) pair — the Arrow binary-column
+    layout; byte-identical payload bytes to gorilla_compress_many."""
+    return _pack_frames_parts(*_gorilla_entries(vals_flat, counts))
+
+
+def _gorilla_entries(vals_flat: np.ndarray, counts: np.ndarray) -> tuple:
     """Vectorized C2 over many frames (format in module docstring).
     Byte-identical to gorilla_compress per frame: the previous-non-zero-xor
     window is a prefix scan clamped at frame starts, so every branch
@@ -577,7 +611,7 @@ def gorilla_compress_many(vals_flat: np.ndarray, counts: np.ndarray) -> list:
             e2 = e1[sub] + 1
             ev[e2] = payload[sub]
             eb[e2] = pbits[sub]
-    return _pack_frames(ev, eb, ec)
+    return ev, eb, ec
 
 
 # ---------------------------------------------------------------------------

@@ -197,7 +197,7 @@ def _flat_rollup_cols(vf: np.ndarray, anom: np.ndarray,
     pandas (nullable Int arrays), so the pandas -> Arrow trip back to the
     JVM never walks Python objects — measured 3-5 s/task of per-cell
     conversion at 200k output rows otherwise."""
-    from engine.compression import dod_compress_many, gorilla_compress_many
+    from engine.compression import dod_compress_parts, gorilla_compress_parts
 
     n = vf.size
     valid = ~np.isnan(vf)
@@ -221,17 +221,20 @@ def _flat_rollup_cols(vf: np.ndarray, anom: np.ndarray,
         vmeans = sums.astype(np.float64) / cnts.astype(np.float64)
     safe_first = np.where(empty, 0, np.minimum(firsts, n - 1)).astype(np.int64)
     safe_last = np.where(empty, 0, np.maximum(lasts, 0)).astype(np.int64)
-    payloads_t: list | None = None
-    payloads_v: list | None = None
+    payloads_t = None
+    payloads_v = None
     if compress:
         # vectorized multi-frame codecs: the valid points, taken in global
         # order, are already grouped by bucket (buckets are contiguous
         # position ranges), so per-bucket counts ARE the frame lengths.
-        # Timestamps inside a payload are DOC-relative positions.
+        # Timestamps inside a payload are DOC-relative positions. Round 7:
+        # the codecs return (data, offsets) — one contiguous buffer per
+        # batch, consumed zero-copy as an Arrow binary column (guide §4.2);
+        # per-frame Python bytes are no longer materialized on this path.
         tv_global = np.flatnonzero(valid)
         seg_of_point = np.repeat(seg_starts[doc_of_bucket], cnts)
-        payloads_t = dod_compress_many(tv_global - seg_of_point, cnts)
-        payloads_v = gorilla_compress_many(
+        payloads_t = dod_compress_parts(tv_global - seg_of_point, cnts)
+        payloads_v = gorilla_compress_parts(
             vf[tv_global].astype(np.int64), cnts
         )
     return (
@@ -263,11 +266,19 @@ def fused_rollup_1m(
 ):
     """The shuffle-free 1m tier: token table -> finished rollup rows.
 
-    mapInPandas over the raw rows — each doc is self-contained, so the
+    mapInArrow over the raw rows — each doc is self-contained, so the
     operator is NARROW (no exchange, no sort). Returns the standard rollup
     schema incl. bucket_ts; payload columns are NULL when compress=False.
+
+    Round 7 (guide §4.2): the kernel consumes and emits Arrow record
+    batches directly instead of pandas frames. Input series come straight
+    off the list column's values/offsets buffers; output doc_ids are an
+    Arrow ``take`` on the input string column (no per-row Python strings),
+    and the compression payloads are emitted as one contiguous buffer +
+    offsets per batch (the Arrow binary layout the codecs now produce) —
+    the pandas round trip previously walked ~2 Python objects per output
+    row on the payload columns alone.
     """
-    import pandas as pd
     from pyspark.sql import functions as F
 
     if policy not in GAP_POLICIES:
@@ -276,22 +287,54 @@ def fused_rollup_1m(
     w_, k_, policy_, compress_ = int(w), float(k), policy, bool(compress)
 
     def run_batches(batches):
-        for pdf in batches:
-            toks = pdf["tokens"]
-            lengths = np.fromiter(
-                (0 if a is None else len(a) for a in toks),
-                dtype=np.int64,
-                count=len(toks),
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("bucket", pa.int64()),
+                ("cnt", pa.int64()),
+                ("vmin", pa.int32()),
+                ("vmax", pa.int32()),
+                ("vsum", pa.int64()),
+                ("vmean", pa.float64()),
+                ("anom_cnt", pa.int64()),
+                ("first_v", pa.int32()),
+                ("last_v", pa.int32()),
+                ("ts_dod", pa.binary()),
+                ("v_gorilla", pa.binary()),
+            ]
+        )
+
+        def _binary_col(parts, n_rows):
+            data, off = parts
+            return pa.Array.from_buffers(
+                pa.binary(),
+                n_rows,
+                [
+                    None,
+                    pa.py_buffer(off.astype(np.int32).tobytes()),
+                    pa.py_buffer(data),
+                ],
             )
-            keep = lengths > 0
-            if not keep.any():
+
+        for rb in batches:
+            doc_col = rb.column(0)
+            toks = rb.column(1)
+            offs = toks.offsets.to_numpy().astype(np.int64)
+            # a null list row must read as length 0 whatever its offsets
+            lengths_all = np.diff(offs) * toks.is_valid().to_numpy(
+                zero_copy_only=False
+            )
+            kept = np.flatnonzero(lengths_all > 0)
+            if kept.size == 0:
                 continue
-            docs = pdf["doc_id"].to_numpy(dtype=object)[keep]
-            lengths = lengths[keep]
-            # one flat array for the whole batch; Arrow already hands each
-            # series as an ndarray (float64 when the doc has null gaps)
+            lengths = lengths_all[kept]
+            vals_np = toks.values.to_numpy(zero_copy_only=False)
+            # one flat array for the whole batch (float64, NaN = gap; the
+            # no-null fast path hands back int32 — promote)
             vf = np.concatenate(
-                [a for a, k2 in zip(toks, keep) if k2]
+                [vals_np[offs[j]: offs[j + 1]] for j in kept]
             ).astype(np.float64, copy=False)
             n = vf.size
             seg_starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
@@ -312,32 +355,30 @@ def fused_rollup_1m(
                 first_v, last_v, empty, pay_t, pay_v,
             ) = _flat_rollup_cols(vf, anom, seg_starts, lengths, b, compress_)
 
-            def nullable(vals, mask, dtype):
-                return pd.arrays.IntegerArray(vals.astype(dtype), mask.copy())
-
             nbt = bucket.size
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.repeat(docs, nb),
-                    "bucket": bucket,
-                    "cnt": cnt,
-                    "vmin": nullable(vmin, empty, np.int32),
-                    "vmax": nullable(vmax, empty, np.int32),
-                    "vsum": nullable(vsum, empty, np.int64),
-                    "vmean": np.where(empty, np.nan, vmean),
-                    "anom_cnt": anom_cnt,
-                    "first_v": nullable(first_v, empty, np.int32),
-                    "last_v": nullable(last_v, empty, np.int32),
-                    "ts_dod": pd.Series(pay_t, dtype=object)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_col.take(pa.array(np.repeat(kept, nb))),
+                    pa.array(bucket),
+                    pa.array(cnt),
+                    pa.array(vmin.astype(np.int32), mask=empty),
+                    pa.array(vmax.astype(np.int32), mask=empty),
+                    pa.array(vsum, mask=empty),
+                    pa.array(vmean, mask=empty),
+                    pa.array(anom_cnt),
+                    pa.array(first_v.astype(np.int32), mask=empty),
+                    pa.array(last_v.astype(np.int32), mask=empty),
+                    _binary_col(pay_t, nbt)
                     if compress_
-                    else pd.Series([None] * nbt, dtype=object),
-                    "v_gorilla": pd.Series(pay_v, dtype=object)
+                    else pa.nulls(nbt, pa.binary()),
+                    _binary_col(pay_v, nbt)
                     if compress_
-                    else pd.Series([None] * nbt, dtype=object),
-                }
+                    else pa.nulls(nbt, pa.binary()),
+                ],
+                schema=out_schema,
             )
 
-    out = tokens_df.select("doc_id", "tokens").mapInPandas(run_batches, _ROLLUP_DDL)
+    out = tokens_df.select("doc_id", "tokens").mapInArrow(run_batches, _ROLLUP_DDL)
     return out.withColumn(
         "bucket_ts",
         F.timestamp_seconds(F.lit(EPOCH0_EPOCH_SECONDS) + F.col("bucket") * F.lit(b)),
