@@ -1342,7 +1342,7 @@ def q_winnow_fingerprints(spark, sf_dir):
     pure map-side array HOFs (transform/slice/array_min) — ZERO
     exchanges before the presentation sort, O(n·w) per doc with both
     constants pinned."""
-    return _winnow(_t(spark, sf_dir, "documents")).orderBy("doc_id", "fp")
+    return _winnow(_spread(spark, _t(spark, sf_dir, "documents"))).orderBy("doc_id", "fp")
 
 
 def _winnow(d: DataFrame) -> DataFrame:
@@ -1526,7 +1526,7 @@ def q_winnow_pairs(spark, sf_dir):
     grams you don't want pairing the corpus quadratically), so pair
     volume is sum-over-fps of C(df,2) with df capped; the join is
     equi-keyed on fp (never cartesian, plan-asserted d1<d2 dedup)."""
-    fp = _winnow(_t(spark, sf_dir, "documents"))
+    fp = _winnow(_spread(spark, _t(spark, sf_dir, "documents")))
     w = Window.partitionBy("fp")
     kept = fp.select(
         "doc_id", "fp", F.count("*").over(w).alias("_df")
@@ -2784,7 +2784,7 @@ def q_vocab_coverage(spark, sf_dir):
     ((2*oov*1e4 + n) div (2n), the q_bucket_quantiles spelling), so a
     doc whose oov/n lands exactly on a .00005 boundary cannot flip
     between engines."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     # persist: the grid feeds BOTH the vocab head and the coverage join —
     # per-branch pruning defeats ReuseExchange, so without the cache each
     # branch would re-scan the corpus (round-6 plan audit)
@@ -2836,7 +2836,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     back on the term-keyed shuffle (AQE skew-join splits hot terms), N is
     a one-row broadcast, and the top-3 filter is a bounded per-doc
     window, never a global sort."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
@@ -3032,7 +3032,7 @@ def q_unigram_logprob(spark, sf_dir):
     orders of magnitude smaller than the token stream; the token join is
     the one real shuffle and is skew-safe under AQE (hot tokens like
     'the' split by skew-join); per-doc regroup is bounded by doc length."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
@@ -3066,7 +3066,7 @@ def q_word_entropy(spark, sf_dir):
     (prefix partitioning satisfies the wider clustering, same shape as
     q_gopher_repetition). 100 TB shape: per-doc state is bounded by doc
     vocabulary; the single shuffle moves words, not documents."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     counts = (
         d.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("_w")
@@ -3095,7 +3095,7 @@ def _doc_bigrams(spark, sf_dir):
     """doc_id, w1, w2 — one row per adjacent word pair, built array-side
     (transform over sequence) so the token stream explodes exactly once
     and never needs a per-doc window sort."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     # size(_w)=1 must short-circuit: sequence(1, 0) yields the DESCENDING
     # [1, 0] and element_at(_w, 2) is an ANSI error — a single-word doc
     # (real at corpus scale; caught by the adversarial doc harness) has
@@ -3127,7 +3127,7 @@ def q_gopher_repetition(spark, sf_dir):
     broadcast-friendly join on doc_id. 100 TB shape: per-doc state is
     bounded by doc length; the one shuffle moves bigram tokens, not
     documents."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     base = d.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
@@ -3422,7 +3422,7 @@ N_BANDS = 4
 
 def _shingles(spark, sf_dir):
     """Distinct word-3-gram shingles per doc (the dedup unit)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     # guard: sequence(0, -1) yields [0, -1] (negative step inference) and
     # element_at(words, 0) is an ANSI error -> short-circuit docs < 3 words
@@ -3593,7 +3593,7 @@ def q_simhash(spark, sf_dir):
     """16-bit SimHash over word md5s: bit j set iff the majority of word
     hashes have bit j set. Pure integer arithmetic on md5 nibbles so DuckDB
     replays it exactly."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     h16 = (
         _nibble(F.md5("word"), 1) * 4096
@@ -4005,7 +4005,7 @@ _STOPWORDS = {
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic: stopword-family hit counts -> predicted lang
     (deterministic tie-break by family order), compared to the label."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     def stop_counter(ws):
         # single-parameter lambda: pyspark's higher-order-function binding
@@ -4636,7 +4636,7 @@ def q_pii_scan(spark, sf_dir):
     the deterministic graft (see _pii_augmented). 100 TB shape: pure
     map-side regexp_extract_all counting — zero exchanges beyond the
     scan, prunes to (doc_id, text), perfectly parallel."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     aug = _pii_augmented(d)
     return d.select(
         "doc_id",
@@ -4661,7 +4661,7 @@ def q_pii_redact(spark, sf_dir):
     phone) and is identical in the DuckDB twin; Spark regexp_replace is
     replace-all, the oracle passes 'g' for the same semantics. 100 TB
     shape: map-side regexp_replace chain, zero exchanges."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     aug = _pii_augmented(d)
     red = F.regexp_replace(
         F.regexp_replace(
@@ -6179,7 +6179,7 @@ def q_gopher_quality_filter(spark, sf_dir):
     discipline). 100 TB shape: pure map-side — split + array HOFs are
     Catalyst expressions, ZERO exchanges (the chunk_documents shape);
     the orderBy is presentational."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
     ws = F.split(F.col("text"), " ")
     base = d.select(
@@ -7692,7 +7692,7 @@ def q_bpe_merge_candidates(spark, sf_dir):
     token-sized — each distinct word contributes its pairs once,
     weighted by count), one tiny (a, b) exchange (≤ alphabet²), and
     TakeOrdered — never a global sort."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     wc = (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
         .where(F.length("w") >= 2)
@@ -7740,7 +7740,7 @@ def q_boilerplate_prefixes(spark, sf_dir):
     per-source eligible-doc totals re-aggregated from THAT census
     (never a second corpus scan) and broadcast back; deterministic
     (source, n_docs desc, prefix) order."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     pre = (
         d.where(F.size(toks) >= BOILER_PREFIX_K)
