@@ -34,7 +34,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _spread(spark: SparkSession, df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Round 7 (optimization): redistribute rows before per-row-CPU-heavy
     map work (md5 / split / array ops) when the scan yields fewer splits
     than cores. The driver tables are single parquet files with one or two
@@ -49,7 +49,7 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     maps whose outputs are compared as sorted row multisets."""
     cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < cores:
-        return df.repartition(cores, "doc_id")
+        return df.repartition(cores, key)
     return df
 
 
@@ -3760,7 +3760,17 @@ def _ann_signatures(spark, sf_dir, planes: int):
     """Shared random-hyperplane index build: (pts, sigs) where pts is the
     exploded (vec_id, i, x) long form and sigs the (vec_id, tbl, sig) long
     form — one groupBy computing planes*ANN_TABLES signed sums per vector.
-    Used by the top-k ANN query and the corpus-wide near-dup pair query."""
+    Used by the top-k ANN query and the corpus-wide near-dup pair query.
+
+    Round 7 note: deliberately NOT _spread. (a) Measured slower with it
+    (same-moment A/B at sf0.1: lsh 1.62 s vs 1.34 s) — the plane sums are
+    too cheap to pay for the extra exchange. (b) A bare-attribute
+    repartition(vec_id) here is a CORRECTNESS trap: its output
+    partitioning propagates through the two-branch signature Union below,
+    and Spark 4.1 then plans the candidate distinct/groupBy WITHOUT an
+    exchange — equal vec_ids sit in one partition per branch and the
+    top-k emits duplicate rows (observed at sf0.01; an opaque
+    xxhash64(vec_id) key avoids it, but see (a))."""
     e = _t(spark, sf_dir, "embeddings")
     total = planes * ANN_TABLES
     pts = e.select("vec_id", F.posexplode("embedding").alias("i", "x")).withColumn(
