@@ -3067,11 +3067,14 @@ def q_word_entropy(spark, sf_dir):
     q_gopher_repetition). 100 TB shape: per-doc state is bounded by doc
     vocabulary; the single shuffle moves words, not documents."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
+    # Round 7: the doc_id partition point is the _spread above — one
+    # exchange of TEXT rows replaces the old repartition of the exploded
+    # word stream (guide §2.3: shuffle before the explode multiplies
+    # nothing); both groupBys reuse it via prefix partitioning.
     counts = (
         d.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("_w")
         )
-        .repartition("doc_id")
         .groupBy("doc_id", "_w")
         .agg(F.count("*").alias("_c"))
     )
@@ -3135,9 +3138,11 @@ def q_gopher_repetition(spark, sf_dir):
         .cast("long")
         .alias("_u"),
     )
+    # Round 7: the doc_id partition point is _doc_bigrams' _spread — one
+    # exchange of TEXT rows instead of repartitioning the exploded bigram
+    # stream; both groupBys reuse it via prefix partitioning.
     top = (
         _doc_bigrams(spark, sf_dir)
-        .repartition("doc_id")
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("_c"))
         .groupBy("doc_id")
