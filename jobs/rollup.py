@@ -27,7 +27,21 @@ from pyspark.sql import functions as F
 from engine.io import ParquetManifestFormat, scan_tokens, synth_tokens
 from engine.lineage import lineage_record, pending_partitions
 from engine.rollup import cascade, rollup_from_points
-from engine.schema import DEFAULT_K, DEFAULT_N_BUCKETS, DEFAULT_WINDOW, TIER_ORDER
+from engine.schema import (
+    DEFAULT_K,
+    DEFAULT_N_BUCKETS,
+    DEFAULT_WINDOW,
+    ROLLUP_SCHEMA,
+    TIER_ORDER,
+)
+from pyspark.sql import types as T
+
+# Read schema for tier tables incl. the part_hash partition column (int, as
+# partition-value inference types it) — passed to fmt.read so the cascade
+# scans skip parquet footer schema inference.
+_ROLLUP_READ = T.StructType(
+    ROLLUP_SCHEMA.fields + [T.StructField("part_hash", T.IntegerType(), True)]
+)
 from engine.series import explode_series, gap_fill
 from engine.session import get_spark
 from engine.skew import with_part_hash
@@ -279,8 +293,9 @@ def _run_tiers(
         else:
             finer = TIER_ORDER[TIER_ORDER.index(tier) - 1]
             fine_snapshot = fmt.current_snapshot(f"rollup_{finer}")
-            # part_hash partition pruning on the fine-tier scan
-            fine_df = fmt.read(f"rollup_{finer}").where(
+            # part_hash partition pruning on the fine-tier scan; pinned
+            # read schema skips footer inference (round 7, engine/io.py)
+            fine_df = fmt.read(f"rollup_{finer}", schema=_ROLLUP_READ).where(
                 F.col("part_hash").isin(pending_set)
             )
             coarse = cascade(
