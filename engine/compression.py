@@ -312,7 +312,12 @@ def _bitlen_arr(x: np.ndarray) -> np.ndarray:
     > 53 significant bits up past a power of two and misreport by one).
     Endian-free and ~3x faster than the byte-lane argmax + LUT
     formulation it replaces (round-5 encoder profile: that argmax was the
-    single hottest op outside _pack_frames)."""
+    single hottest op outside _pack_frames). Round 7: when every value
+    fits 32 bits (one max() probe — true for every token-stream xor,
+    |v| < 2^18), the hi/lo split collapses to a single frexp pass."""
+    if x.size == 0 or int(x.max()) <= 0xFFFFFFFF:
+        _, e = np.frexp(x.astype(np.float64))
+        return e.astype(np.int64)
     hi = (x >> np.uint64(32)).astype(np.float64)
     lo = (x & np.uint64(0xFFFFFFFF)).astype(np.float64)
     _, ehi = np.frexp(hi)
