@@ -86,6 +86,18 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Round 7 (guide §1/§6): below this many paths, file listing stays
+        # on the driver (its built-in thread pool) instead of being
+        # dispatched as a distributed listing JOB whose fixed scheduling
+        # cost (~0.15 s) dwarfs listing a manifest read's <= n_buckets
+        # leaf dirs. The default 32 predates driver-side parallel listing;
+        # a distributed job only pays off at many thousands of paths —
+        # production tables here expose at most n_buckets partition dirs
+        # per snap dir (engine/io.py read_at), far below 1024.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LISTING_JOB_THRESHOLD", "1024"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Cap Arrow batch size so grouped-map compression kernels (C1-C3)
         # never materialize unbounded pandas frames per call (SURVEY.md §4

@@ -209,8 +209,24 @@ def _build_1m(spark, toks, w, k, policy, compress, stats_mode, pipeline,
     raise ValueError(f"pipeline must be 'fused' or 'exploded', got {pipeline!r}")
 
 
+# Commits at or below this many rows have their L3 stats computed driver-
+# side with pyarrow (out_rows straight from footer num_rows, in_rows = sum
+# of the one ``cnt`` column) instead of a Spark job — the job itself costs
+# ~0.25 s of scheduling/listing regardless of data size, which dominates
+# when the commit is small (every cascade tier at bench scale). The row
+# count comes from parquet FOOTERS (a metadata read, the same thing Spark
+# planning does), so routing costs no data I/O; below the cutover the
+# driver materializes only the int64 cnt column (4 M rows = 32 MB, bounded
+# regardless of how wide the tier schema is). The cutover is data-sized,
+# not core-count-sized (the broadcast-threshold shape): a 100 TB tier
+# commit exceeds any sane threshold and takes the distributed job.
+_STATS_DRIVER_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_STATS_DRIVER_MAX_ROWS", str(4_000_000))
+)
+
+
 def _written_stats(spark, fmt, table: str, out_snapshot: int) -> list[dict]:
-    """Round 7 (guide §1/§6): the L3 stats job now scans the snap dir this
+    """Round 7 (guide §1/§6): the L3 stats job scans the snap dir this
     commit just wrote — directly, with an explicit 2-column schema — instead
     of ``fmt.read`` of the whole current view. That drops (a) the manifest
     union/basePath planning, (b) parquet schema inference (footer reads for
@@ -220,10 +236,52 @@ def _written_stats(spark, fmt, table: str, out_snapshot: int) -> list[dict]:
     per-query planning/codegen for 2x64 conditional aggregates vs ~0.2 s
     for this pruned job), so the separate-job shape stays.
 
+    When the whole commit is small (<= _STATS_DRIVER_MAX_ROWS rows, counted
+    from parquet footers) the same two numbers come from a driver-side
+    pyarrow pass over the snap dir's files instead — exactly the files the
+    distributed job would scan, so the two paths are interchangeable
+    (pinned by
+    tests/test_resume.py::test_written_stats_driver_matches_spark_job).
+
     Every partition written by this commit lives under the new snap dir
     (overwrite_partitions replaces whole partitions), so the re-read is
     exactly the committed data for the pending set."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
     data_dir = os.path.join(fmt.warehouse, table, f"snap-{out_snapshot}")
+    files_by_part: dict[int, list[str]] = {}
+    for name in os.listdir(data_dir):
+        if not name.startswith("part_hash="):
+            continue
+        pdir = os.path.join(data_dir, name)
+        files_by_part[int(name.split("=", 1)[1])] = [
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        ]
+    all_paths = [p for fs in files_by_part.values() for p in fs]
+    # footer opens and (below the cutover) the one-column reads both release
+    # the GIL in pyarrow — a small thread pool turns 64 sequential ~1-2 ms
+    # opens into a few ms total
+    with ThreadPoolExecutor(min(16, max(1, len(all_paths)))) as ex:
+        handles = dict(zip(all_paths, ex.map(pq.ParquetFile, all_paths)))
+        total_rows = sum(h.metadata.num_rows for h in handles.values())
+        if total_rows <= _STATS_DRIVER_MAX_ROWS:
+            import pyarrow.compute as pc
+
+            def _one(item: tuple[int, list[str]]) -> dict:
+                p, fs = item
+                out_rows = 0
+                in_rows = 0
+                for path in fs:
+                    t = handles[path].read(columns=["cnt"])
+                    out_rows += handles[path].metadata.num_rows
+                    in_rows += int(pc.sum(t["cnt"]).as_py() or 0)
+                return {"part_hash": p, "out_rows": out_rows, "in_rows": in_rows}
+
+            return list(ex.map(_one, files_by_part.items()))
     df = (
         spark.read.schema("cnt long, part_hash long")
         .option("basePath", data_dir)

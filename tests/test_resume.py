@@ -282,6 +282,28 @@ def test_downsample_cli_end_to_end(spark, small_tokens, tmp_path):
     assert got_raw == want_raw and got_raw > 0
 
 
+def test_written_stats_driver_matches_spark_job(
+    spark, small_tokens, tmp_path, monkeypatch
+):
+    """Round 7: _written_stats has two interchangeable paths — a driver-side
+    pyarrow pass for small commits and the distributed 2-column Spark job
+    above the size cutover. Force each in turn on the same committed snap
+    dirs and pin identical per-partition (out_rows, in_rows)."""
+    import jobs.rollup as rollup_mod
+
+    wh = str(tmp_path / "wh_paths")
+    run_rollup(spark, small_tokens, wh, epoch=1)
+    fmt = ParquetManifestFormat(spark, wh)
+    for tier in ["1m", "1h", "1d"]:
+        snap = fmt.current_snapshot(f"rollup_{tier}")
+        monkeypatch.setattr(rollup_mod, "_STATS_DRIVER_MAX_ROWS", 1 << 60)
+        via_driver = rollup_mod._written_stats(spark, fmt, f"rollup_{tier}", snap)
+        monkeypatch.setattr(rollup_mod, "_STATS_DRIVER_MAX_ROWS", -1)
+        via_spark = rollup_mod._written_stats(spark, fmt, f"rollup_{tier}", snap)
+        key = lambda s: s["part_hash"]  # noqa: E731
+        assert sorted(via_driver, key=key) == sorted(via_spark, key=key), tier
+
+
 def test_observed_lineage_stats_match_written_tier(spark, small_tokens, tmp_path):
     """Round 7: L3 per-partition stats are collected as observation metrics
     on the write action itself (jobs/rollup._observed_stats) instead of a
