@@ -148,12 +148,20 @@ def _cache_blocked_rows(spark, tokens_df, batch_bytes: int) -> int:
     """Doc rows per Arrow batch so one batch's float64 series stay cache-
     resident for the flat kernel's passes: batch_bytes / (8 * max n_tok).
 
-    max(n_tok) comes from parquet FOOTER statistics via aggregate pushdown
-    (spark.sql.parquet.aggregatePushdown) — a metadata read, not a scan;
-    the one-row job itself is milliseconds. Falls back to the 4096 synth
-    bulk length if the column is missing or the pushdown path errors."""
+    max(n_tok) comes from parquet FOOTER statistics — read driver-side with
+    pyarrow when the input is a parquet fileset (df.inputFiles; a pure
+    metadata pass, ~ms for 64 files), else via a Spark aggregate with
+    parquet aggregate pushdown (still footer-only, but the job costs
+    ~0.2 s of scheduling). Falls back to the 4096 synth bulk length if the
+    column is missing or both paths error. Batch sizing only — the fused
+    kernel's output is batch-size-invariant (tests/test_fused.py)."""
     max_tok = 4096
     if "n_tok" in tokens_df.columns:
+        footer_max = _footer_max_n_tok(tokens_df)
+        if footer_max is not None:
+            return int(
+                min(8192, max(16, batch_bytes // (8 * max(footer_max, 1))))
+            )
         saved = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
         try:
             spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
@@ -167,6 +175,40 @@ def _cache_blocked_rows(spark, tokens_df, batch_bytes: int) -> int:
         finally:
             spark.conf.set("spark.sql.parquet.aggregatePushdown", saved)
     return int(min(8192, max(16, batch_bytes // (8 * max(max_tok, 1)))))
+
+
+def _footer_max_n_tok(tokens_df) -> int | None:
+    """max(n_tok) straight from parquet row-group statistics on the driver
+    — no Spark job. None when the input is not a plain parquet fileset or
+    any row group lacks n_tok min/max stats (caller falls back to the
+    pushdown aggregate). The stats max is exact for int64 columns, and the
+    unfiltered file-level max is the same bound the caller's unfiltered
+    aggregate would compute."""
+    try:
+        files = tokens_df.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.split("?", 1)[0].endswith(".parquet") for f in files):
+        return None
+    import pyarrow.parquet as pq
+
+    mx = 0
+    try:
+        for f in files:
+            # file:///p, file:/p -> /p; non-file URIs were filtered above
+            path = "/" + f[5:].lstrip("/") if f.startswith("file:") else f
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("n_tok")
+            if idx < 0:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mx = max(mx, int(st.max))
+    except Exception:
+        return None
+    return mx if mx > 0 else None
 
 
 def _build_1m(spark, toks, w, k, policy, compress, stats_mode, pipeline,
