@@ -1315,15 +1315,14 @@ def q_fft_top_periods(spark, sf_dir):
 WINNOW_K = 4  # fingerprint k-gram size (words)
 WINNOW_W = 5  # winnowing window (grams)
 
-# 16-bit gram hash from md5 nibbles — the engine-wide md5-parity spelling
-# (_nibble); _G_ is substituted with the gram expression (a literal
-# placeholder: 'g' alone would collide with the 'g' in 'substring')
-_H16_SQL = (
-    "(instr('0123456789abcdef', substring(md5(_G_), 1, 1)) - 1) * 4096"
-    " + (instr('0123456789abcdef', substring(md5(_G_), 2, 1)) - 1) * 256"
-    " + (instr('0123456789abcdef', substring(md5(_G_), 3, 1)) - 1) * 16"
-    " + (instr('0123456789abcdef', substring(md5(_G_), 4, 1)) - 1)"
-)
+# 16-bit gram hash = first 4 md5 hex nibbles as an integer. Round 7: spelled
+# conv(substring(md5(g),1,4),16,10) — ONE md5 + ONE hex parse per gram. The
+# round-5 nibble-arithmetic spelling repeated md5(g) four times, and inside
+# an interpreted HOF lambda there is no subexpression elimination, so every
+# gram paid 4 md5s + 4 array_joins (measured 3.7x whole-query cost at
+# sf0.1). Same value by construction: n1*4096 + n2*256 + n3*16 + n4 ==
+# int(hex[0:4], 16); result equality re-verified against the DuckDB oracle
+# (which keeps its own frozen nibble spelling) at sf0.001/0.01/0.1.
 
 
 def q_winnow_fingerprints(spark, sf_dir):
@@ -1346,10 +1345,18 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 def _winnow(d: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, fp) winnowing fingerprint rows."""
+    """(doc_id, text) -> (doc_id, fp) winnowing fingerprint rows.
+
+    Round 7 spellings (identical values, see the hash comment above): one
+    conv-parsed md5 per gram, and the W-window minimum as least() over W
+    element_at gathers instead of array_min(slice(...)) — no per-window
+    array materialization. The slice fallback remains for docs shorter
+    than one window (least's element_at would read past the array under
+    ANSI); the CASE is on size(_g), evaluated lazily per row."""
     base = d.select("doc_id", F.split("text", " ").alias("_w"))
-    hexpr = _H16_SQL.replace(
-        "_G_", f"array_join(slice(_w, i, {WINNOW_K}), ' ')"
+    hexpr = (
+        f"cast(conv(substring(md5(array_join(slice(_w, i, {WINNOW_K}), ' ')), "
+        f"1, 4), 16, 10) as int)"
     )
     grams = F.expr(
         f"CASE WHEN size(_w) >= {WINNOW_K} THEN "
@@ -1357,9 +1364,13 @@ def _winnow(d: DataFrame) -> DataFrame:
         f"ELSE cast(array() as array<int>) END"
     )
     g = base.select("doc_id", grams.alias("_g")).where(F.size("_g") > 0)
+    least_w = ", ".join(
+        f"element_at(_g, cast(j + {o} as int))" for o in range(WINNOW_W)
+    )
     mins = F.expr(
         f"transform(sequence(1, greatest(size(_g) - {WINNOW_W - 1}, 1)), "
-        f"j -> array_min(slice(_g, j, {WINNOW_W})))"
+        f"j -> CASE WHEN size(_g) >= {WINNOW_W} THEN least({least_w}) "
+        f"ELSE array_min(slice(_g, j, {WINNOW_W})) END)"
     )
     return g.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
