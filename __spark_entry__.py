@@ -7028,29 +7028,24 @@ def q_dtw_pairs(spark, sf_dir):
     act = grid.groupBy("user_id").agg(F.sum("_c").alias("_n"))
     top = act.orderBy(F.desc("_n"), F.asc("user_id")).limit(DTW_TOP_USERS)
     sel = grid.join(F.broadcast(top.select("user_id")), "user_id")
-    dense = (
+    # Round 7: ship the SPARSE (minute, count) entries + bounds to the
+    # kernel and zero-fill there — numpy scatters ~hundreds of entries
+    # into the span array in microseconds, where the round-6 Catalyst
+    # densification evaluated an interpreted element_at(map) probe per
+    # grid minute (span x O(map) on an array-backed map). Series values
+    # are identical; the kernel is unchanged.
+    sparse = (
         sel.crossJoin(F.broadcast(bounds))
         .groupBy("user_id", "_m0", "_m1")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("_m", "_c"))
-            ).alias("_mp")
-        )
-        .select(
-            "user_id",
-            F.transform(
-                F.sequence(F.col("_m0"), F.col("_m1")),
-                lambda m: F.coalesce(
-                    F.element_at(F.col("_mp"), m), F.lit(0).cast("long")
-                ),
-            ).alias("_s"),
-        )
+        .agg(F.collect_list(F.struct("_m", "_c")).alias("_e"))
     )
-    a = dense.select(F.col("user_id").alias("u1"), F.col("_s").alias("_sa"))
-    b = dense.select(F.col("user_id").alias("u2"), F.col("_s").alias("_sb"))
+    a = sparse.select(
+        F.col("user_id").alias("u1"), "_m0", "_m1", F.col("_e").alias("_ea")
+    )
+    b = sparse.select(F.col("user_id").alias("u2"), F.col("_e").alias("_eb"))
     # one task per pair: the kernel is ~1s per 30-day pair, so the
-    # K²/2 pairs (tiny rows, span-arrays ~10 MB total) round-robin
-    # across the cluster instead of serializing in one Arrow stream
+    # K²/2 pairs (tiny sparse rows) round-robin across the cluster
+    # instead of serializing in one Arrow stream
     pairs = a.join(F.broadcast(b), F.col("u1") < F.col("u2")).repartition(
         DTW_TOP_USERS * (DTW_TOP_USERS - 1) // 2
     )
@@ -7061,15 +7056,24 @@ def q_dtw_pairs(spark, sf_dir):
 
         from engine.dtw import banded_dtw_l1
 
+        def _dense(entries, m0: int, n: int) -> "np.ndarray":
+            out = np.zeros(n, dtype=np.int64)
+            k = len(entries)
+            ms = np.fromiter((e["_m"] for e in entries), np.int64, count=k)
+            cs = np.fromiter((e["_c"] for e in entries), np.int64, count=k)
+            out[ms - m0] = cs
+            return out
+
         for pdf in batches:
             out = []
             # NOT itertuples: it renames underscore-leading columns
-            for u1, u2, sa, sb in zip(
-                pdf["u1"], pdf["u2"], pdf["_sa"], pdf["_sb"]
+            for u1, u2, m0, m1, ea, eb in zip(
+                pdf["u1"], pdf["u2"], pdf["_m0"], pdf["_m1"],
+                pdf["_ea"], pdf["_eb"],
             ):
-                av = np.asarray(sa, dtype=np.int64)
-                bv = np.asarray(sb, dtype=np.int64)
-                n = len(av)
+                n = int(m1) - int(m0) + 1
+                av = _dense(ea, int(m0), n)
+                bv = _dense(eb, int(m0), n)
                 band = max(DTW_BAND_MIN, n // DTW_BAND_DIV)
                 out.append(
                     (int(u1), int(u2), n, banded_dtw_l1(av, bv, band))
