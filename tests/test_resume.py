@@ -304,6 +304,62 @@ def test_written_stats_driver_matches_spark_job(
         assert sorted(via_driver, key=key) == sorted(via_spark, key=key), tier
 
 
+def test_written_stats_paths_agree_on_multifile_partitions(
+    spark, small_tokens, tmp_path, monkeypatch
+):
+    """A skew-split REBALANCE write leaves several files in one part_hash
+    dir; both stats paths must sum across them identically. Simulate by
+    duplicating one committed file under a new name (both paths then see
+    the same doubled partition — parity is what's pinned, not the
+    values)."""
+    import shutil
+
+    import jobs.rollup as rollup_mod
+
+    wh = str(tmp_path / "wh_multi")
+    run_rollup(spark, small_tokens, wh, epoch=1, tiers=["1m"])
+    fmt = ParquetManifestFormat(spark, wh)
+    snap = fmt.current_snapshot("rollup_1m")
+    import glob as g
+    import os
+
+    files = sorted(
+        g.glob(os.path.join(wh, "rollup_1m", f"snap-{snap}", "part_hash=*", "*.parquet"))
+    )
+    dup = files[0]
+    shutil.copy(dup, os.path.join(os.path.dirname(dup), "part-dup.c000.snappy.parquet"))
+    monkeypatch.setattr(rollup_mod, "_STATS_DRIVER_MAX_ROWS", 1 << 60)
+    via_driver = rollup_mod._written_stats(spark, fmt, "rollup_1m", snap)
+    monkeypatch.setattr(rollup_mod, "_STATS_DRIVER_MAX_ROWS", -1)
+    via_spark = rollup_mod._written_stats(spark, fmt, "rollup_1m", snap)
+    key = lambda s: s["part_hash"]  # noqa: E731
+    assert sorted(via_driver, key=key) == sorted(via_spark, key=key)
+
+
+def test_footer_max_n_tok_falls_back_without_stats(spark, tmp_path):
+    """_footer_max_n_tok must return None (-> pushdown-aggregate fallback)
+    when any row group lacks n_tok statistics, and the exact max when
+    stats exist."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.rollup import _footer_max_n_tok
+
+    t = pa.table({"doc_id": ["a", "b"], "n_tok": pa.array([7, 12], pa.int64())})
+    p_stats = str(tmp_path / "with_stats")
+    p_none = str(tmp_path / "no_stats")
+    import os
+
+    os.makedirs(p_stats)
+    os.makedirs(p_none)
+    pq.write_table(t, os.path.join(p_stats, "f.parquet"))
+    pq.write_table(
+        t, os.path.join(p_none, "f.parquet"), write_statistics=False
+    )
+    assert _footer_max_n_tok(spark.read.parquet(p_stats)) == 12
+    assert _footer_max_n_tok(spark.read.parquet(p_none)) is None
+
+
 def test_observed_lineage_stats_match_written_tier(spark, small_tokens, tmp_path):
     """Round 7: L3 per-partition stats are collected as observation metrics
     on the write action itself (jobs/rollup._observed_stats) instead of a
