@@ -317,22 +317,22 @@ def _bitlen_arr(x: np.ndarray) -> np.ndarray:
     |v| < 2^18), the hi/lo split collapses to a single frexp pass."""
     if x.size == 0 or int(x.max()) <= 0xFFFFFFFF:
         _, e = np.frexp(x.astype(np.float64))
-        return e.astype(np.int64)
+        return e  # frexp's native int32 — callers' arithmetic stays narrow
     hi = (x >> np.uint64(32)).astype(np.float64)
     lo = (x & np.uint64(0xFFFFFFFF)).astype(np.float64)
     _, ehi = np.frexp(hi)
     _, elo = np.frexp(lo)
-    return np.where(hi > 0.0, ehi.astype(np.int64) + 32, elo.astype(np.int64))
+    return np.where(hi > 0.0, ehi + np.int32(32), elo)
 
 
 def _ctz_arr(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-trailing-zeros over u64 (0 -> 64): isolate the
-    lowest set bit (a power of two — exactly representable in float64 for
-    every k <= 63) and read its exponent via frexp; cheaper than a second
-    bit_length pass."""
+    """Vectorized count-trailing-zeros over u64 (0 -> 64, int32): isolate
+    the lowest set bit (a power of two — exactly representable in float64
+    for every k <= 63) and read its exponent via frexp; cheaper than a
+    second bit_length pass."""
     low = x & (~x + np.uint64(1))  # isolate lowest set bit
     _, e = np.frexp(low.astype(np.float64))
-    return np.where(x == 0, 64, e.astype(np.int64) - 1)
+    return np.where(x == 0, np.int32(64), e - np.int32(1))
 
 
 def _cumsum0(a: np.ndarray) -> np.ndarray:
@@ -588,8 +588,11 @@ def _gorilla_entries(vals_flat: np.ndarray, counts: np.ndarray) -> tuple:
         ptrail = trailall[pidx]
         zero = xall == 0
         fits = has_prev & ~zero & (leadall >= plead) & (trailall >= ptrail)
-        pml = 64 - plead - ptrail          # '10' payload width
-        ml = 64 - leadall - trailall       # '11' payload width
+        # int32 lanes throughout the width arithmetic (frexp's native
+        # exponent dtype) — half the memory traffic of the old int64
+        # chain; only the final packed entry values widen to uint64
+        pml = np.int32(64) - plead - ptrail    # '10' payload width
+        ml = np.int32(64) - leadall - trailall  # '11' payload width
         # SLOT FUSION: emit prefix+payload as ONE entry —
         # ((prefix << pbits) | payload, prefixbits + pbits) packs to the
         # same bits as the two consecutive runs — whenever the pair fits
@@ -602,9 +605,9 @@ def _gorilla_entries(vals_flat: np.ndarray, counts: np.ndarray) -> tuple:
             | ((ml - 1) & 63).astype(np.uint64)
         )
         pbits = np.where(fits, pml, ml)                      # payload width
-        payload = xall >> (np.where(fits, ptrail, trailall) & 63).astype(np.uint64)
+        payload = xall >> (np.where(fits, ptrail, trailall) & np.int32(63)).astype(np.uint64)
         pfx = np.where(fits, np.uint64(0b10), hdr)
-        pfxbits = np.where(fits, 2, 14)
+        pfxbits = np.where(fits, np.int32(2), np.int32(14))
         bc = pfxbits + pbits
         # entry placement works on the non-start positions only
         i = np.flatnonzero(~is_start)
